@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query through the mldag_spark DAG
+engine; ``queries()``/``oracle_sql()`` expose every implemented
+operator from SURVEY.md §2 (and the extended training-data-pipeline
+surface) for the DuckDB side-by-side correctness gate.
 """
 
 from __future__ import annotations
@@ -15,24 +14,36 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: TPC-H-Q1-shaped pricing summary at sf0.001, executed
+    through the DAG engine (DSL → topo scheduler → Catalyst plan)."""
+    import mldag_spark as m
+    from mldag_spark.queries.relational import q1_pricing_summary
+
+    dag = m.MLDag()
+
+    def pricing_summary(sf_dir):
+        return q1_pricing_summary(spark, sf_dir)
+
+    node = dag["sf_dir"] >> m.as_node(pricing_summary)
+    node["result"] >> dag["summary"]
+    run = dag.transform("/root/testdata/sf0.001")
+    return run.outputs["summary"]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented query/operator (SURVEY.md §2.3 +
+    extended analytics surface)."""
+    from mldag_spark.queries import REGISTRY
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(REGISTRY)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    """DuckDB-runnable ANSI SQL equivalents (same column aliases).
+
+    Queries absent here (LSH/SimHash bucketing, HLL sketches) are
+    hash-function-specific by design and get the rows-only check.
     """
-    return {}
+    from mldag_spark.queries import ORACLES
+
+    return dict(ORACLES)

@@ -1,0 +1,223 @@
+"""Deduplication operators.
+
+Three tiers, all JVM-side (no Python UDFs):
+
+1. exact           — hash-groupBy on a fingerprint (see
+                     ``queries.text.dedup_exact``)
+2. MinHash + LSH   — :func:`minhash_lsh_pairs`: sub-quadratic near-dup
+                     candidate generation, exact-Jaccard verification
+3. SimHash         — :func:`simhash_pairs`: bitwise fingerprint,
+                     hamming-ball candidate generation
+
+Scale analysis (the reason both fuzzy tiers exist): the exact
+inverted-index join (``queries.text.dedup_ngram_jaccard``) shuffles one
+row per (document, shingle) and its join fan-out grows with shingle
+document-frequency — fine to ~10⁹ docs with uniform shingles,
+pathological on skewed corpora. MinHash-LSH emits a fixed
+``bands`` rows per document regardless of document length or shingle
+skew, so the shuffle volume is O(N·bands) and each band bucket is a
+small hash-equality join — the plan that survives 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, set_col: str, num_hashes: int = 64
+) -> DataFrame:
+    """(id, mh: array<bigint>) MinHash signatures of a set column.
+
+    Hash family: ``xxhash64(element, seed_i)`` for seeds 0..n-1 —
+    64-bit, JVM-side, deterministic across runs and cluster sizes.
+
+    Formulated as explode → wide projection of ``num_hashes`` xxhash64
+    columns → groupBy-min, NOT as nested ``transform``/``array_min``
+    lambdas: higher-order functions are interpreted per element (no
+    codegen), which makes the array formulation ~100× slower. Here every
+    hash is a codegen'd scalar expression and the aggregate is map-side
+    partial, so the shuffle carries only ``num_hashes`` longs per id.
+    """
+    ex = df.select(F.col(id_col), F.explode(set_col).alias("_elem"))
+    mins = [
+        F.min(F.xxhash64("_elem", F.lit(i))).alias(f"_h{i}")
+        for i in range(num_hashes)
+    ]
+    return ex.groupBy(id_col).agg(*mins).select(
+        id_col,
+        F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("mh"),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    set_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Near-duplicate pairs with exact Jaccard >= ``threshold``,
+    discovered via MinHash-LSH banding.
+
+    With r = num_hashes/bands rows per band, a pair at Jaccard j is
+    emitted as a candidate with p = 1-(1-j^r)^bands (r=4, b=16:
+    j=0.8 → 0.9996, j=0.5 → 0.64, j=0.3 → 0.12). Candidates are then
+    verified with exact Jaccard on the original sets, so the result
+    has no false positives; recall at the threshold is ~1.
+
+    Returns columns ``doc_a < doc_b`` and ``jaccard`` (rounded to 4).
+    """
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be divisible by bands")
+    r = num_hashes // bands
+
+    # groupBy inside minhash_signatures doubles as a materialization
+    # barrier: the signature is computed once, and band slicing below
+    # references the aggregated `mh` attribute instead of re-inlining
+    # the hash tree into every slice on both join sides.
+    sig = minhash_signatures(df, id_col, set_col, num_hashes)
+
+    # one row per (doc, band): bucket = hash of the band's slice
+    band_idx = F.array(*[F.lit(j) for j in range(bands)])
+    banded = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                band_idx,
+                lambda j: F.struct(
+                    j.alias("band"),
+                    F.hash(F.slice("mh", j * r + 1, r)).alias("bucket"),
+                ),
+            )
+        ).alias("b"),
+    ).select(id_col, "b.band", "b.bucket")
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+    # exact verification on the candidate pairs only
+    sets_a = df.select(
+        F.col(id_col).alias("doc_a"), F.col(set_col).alias("sh_a")
+    )
+    sets_b = df.select(
+        F.col(id_col).alias("doc_b"), F.col(set_col).alias("sh_b")
+    )
+    n_common = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = n_common.cast("double") / (
+        F.size("sh_a") + F.size("sh_b") - n_common
+    )
+    return (
+        candidates.join(sets_a, "doc_a")
+        .join(sets_b, "doc_b")
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+def simhash_values(
+    df: DataFrame, id_col: str, token_col: str, bits: int = 16
+) -> DataFrame:
+    """(id, simhash) — ``bits``-wide SimHash of a token-array column.
+
+    Per bit position i, sum +1/-1 over token hashes' bit i, take the
+    sign. Like :func:`minhash_signatures` this is explode → codegen'd
+    projection → map-side-partial groupBy, not an interpreted array
+    fold: one xxhash64 per token, ``bits`` bit-tests, shuffle of
+    ``bits`` ints per id.
+    """
+    ex = df.select(F.col(id_col), F.explode(token_col).alias("_t")).select(
+        id_col, F.xxhash64("_t").alias("_h")
+    )
+    sums = [
+        F.sum(
+            F.when(
+                F.shiftright("_h", i).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+        ).alias(f"_b{i}")
+        for i in range(bits)
+    ]
+    agg = ex.groupBy(id_col).agg(*sums)
+    out = F.lit(0)
+    for i in range(bits):
+        out = out + F.when(F.col(f"_b{i}") > 0, F.lit(1 << i)).otherwise(0)
+    return agg.select(id_col, out.alias("simhash"))
+
+
+def hamming_distance(a, b, bits: int = 16):
+    """Popcount of XOR via bin()-string trick (JVM-side, no UDF)."""
+    x = a.bitwiseXOR(b)
+    return F.length(F.regexp_replace(F.bin(x), "0", ""))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    max_hamming: int = 2,
+    bits: int = 16,
+) -> DataFrame:
+    """Candidate near-dup pairs by SimHash hamming ball.
+
+    Banding: split the fingerprint into 2 halves; pairs within
+    hamming <= ``max_hamming`` (< bits/2 flips) share at least one
+    exact half with high probability, so the join key is
+    (half_idx, half_value) — again O(N) shuffle rows, no cartesian.
+    """
+    half = bits // 2
+    mask = (1 << half) - 1
+    sh = simhash_values(df, id_col, token_col, bits)
+    halves = sh.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("hidx"),
+                    F.col("simhash").bitwiseAND(F.lit(mask)).alias("hval"),
+                ),
+                F.struct(
+                    F.lit(1).alias("hidx"),
+                    F.shiftright("simhash", half)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("hval"),
+                ),
+            )
+        ).alias("h"),
+    ).select(id_col, "simhash", "h.hidx", "h.hval")
+    a = halves.alias("a")
+    b = halves.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.hidx") == F.col("b.hidx"))
+            & (F.col("a.hval") == F.col("b.hval"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+        .withColumn(
+            "hamming", hamming_distance(F.col("sh_a"), F.col("sh_b"), bits)
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

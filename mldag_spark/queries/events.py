@@ -1,0 +1,206 @@
+"""Event-stream-shaped queries over the ``events`` table.
+
+These are the batch equivalents of the streaming operator surface
+(tumbling windows, sessionization, as-of joins, JSON extraction); the
+same logic runs under Structured Streaming via
+``mldag_spark.streaming`` with ``readStream`` + watermarks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from mldag_spark.queries import register
+from mldag_spark.queries.tables import load
+
+
+@register(
+    "events_json_extract",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(props->>'$.k' AS BIGINT) AS k_value
+    FROM events
+    WHERE CAST(props->>'$.k' AS BIGINT) > 50
+    """,
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON column access (kept JVM-side via
+    ``get_json_object`` — no Python UDF)."""
+    e = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        e.select("event_id", "event_type", k.alias("k_value"))
+        .filter(F.col("k_value") > 50)
+    )
+
+
+@register(
+    "events_hourly_rollup",
+    oracle="""
+    SELECT DATE_TRUNC('hour', ts) AS hour_start, event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling time window (batch form of a streaming windowed agg)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", "ts").alias("hour_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "events_user_lag_delta",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(value - LAG(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ), 2) AS delta
+    FROM events
+    """,
+)
+def events_user_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - F.lag("value").over(w), 2).alias("delta"),
+    )
+
+
+@register(
+    "events_sessionization",
+    oracle="""
+    WITH ev AS (
+        -- truncate to microseconds: the Spark engine's timestamp unit
+        SELECT user_id, date_trunc('microseconds', ts) AS ts, event_id
+        FROM events
+    ), flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                    OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+        SELECT user_id, ts, event_id,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_no
+        FROM flagged
+    )
+    SELECT user_id, session_no,
+           COUNT(*) AS n_events,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end
+    FROM sessions
+    GROUP BY user_id, session_no
+    """,
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag → new-session
+    flag → running sum → per-session aggregate. One shuffle on
+    user_id; all subsequent window/group steps reuse that partitioning.
+    """
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # microsecond-precision gap (cast("long") would truncate to seconds
+    # and disagree with the oracle's interval comparison on µs ties)
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    flagged = e.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0),
+    )
+    sessions = flagged.withColumn("session_no", F.sum("new_session").over(wrun))
+    return sessions.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+@register(
+    "events_asof_latest_order",
+    oracle="""
+    WITH matched AS (
+        SELECT e.event_id, e.user_id, e.ts,
+               MAX(o.o_orderdate) AS asof_date
+        FROM events e
+        LEFT JOIN orders o
+          ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        GROUP BY e.event_id, e.user_id, e.ts
+    )
+    SELECT m.event_id, m.user_id, m.asof_date,
+           MAX(o.o_orderkey) AS asof_orderkey
+    FROM matched m
+    LEFT JOIN orders o
+      ON o.o_custkey = m.user_id AND o.o_orderdate = m.asof_date
+    GROUP BY m.event_id, m.user_id, m.asof_date
+    """,
+)
+def events_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (backward) join: for each event, the latest order of the
+    same user at-or-before the event time.
+
+    Implementation is the scalable union+window formulation rather than
+    a per-row subquery: tag both sides, union, one window pass over
+    (key, time) carrying the last order forward, keep event rows.
+    A single shuffle on the key; no O(events × orders) pair blow-up.
+    (The SQL oracle states the same semantics declaratively; ties on
+    equal o_orderdate resolve to the max o_orderkey on both sides.)
+    """
+    e = load(spark, sf_dir, "events").select(
+        F.col("user_id").alias("key"),
+        F.col("ts").alias("t"),
+        "event_id",
+        F.lit(None).cast("long").alias("orderkey"),
+        F.lit(None).cast("timestamp").alias("orderdate"),
+        F.lit(1).alias("is_event"),
+    )
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("key"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_orderdate").alias("orderdate"),
+        F.lit(0).alias("is_event"),
+    )
+    # orders sort before events at identical timestamps (is_event asc);
+    # among same-date orders the max orderkey wins, so order by
+    # (t, is_event, orderkey) and carry the last non-null forward.
+    w = (
+        Window.partitionBy("key")
+        .orderBy("t", "is_event", "orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    unioned = o.unionByName(e)
+    carried = unioned.select(
+        "key",
+        "event_id",
+        "is_event",
+        F.last("orderkey", ignorenulls=True).over(w).alias("asof_orderkey"),
+        F.last("orderdate", ignorenulls=True).over(w).alias("asof_date"),
+    )
+    return (
+        carried.filter(F.col("is_event") == 1)
+        .select(
+            "event_id",
+            F.col("key").alias("user_id"),
+            "asof_date",
+            "asof_orderkey",
+        )
+    )

@@ -1,0 +1,583 @@
+"""Relational operator queries over the TPC-H-ish star schema.
+
+Each query demonstrates one operator category from SURVEY §2.3 and is
+paired with an ANSI-SQL DuckDB oracle (identical column aliases, so
+the driver's order-insensitive value-hash matches).
+
+Scale design notes (local tests are sf≤0.1; targets are 100 TB):
+
+- dimension joins (`region`/`nation`/`supplier`/`part`/`customer`)
+  carry explicit ``F.broadcast`` hints → no shuffle of the fact side.
+- fact-fact joins (orders⋈lineitem) shuffle on the join key; AQE
+  (enabled in bench/tests) coalesces partitions and splits skew.
+- every aggregate is expressed declaratively so Catalyst plans
+  partial (map-side) aggregation before the shuffle.
+- floating aggregates are rounded on BOTH engines: double summation
+  order differs across partitionings, so bit-exact equality is the
+  wrong target; round(2..4) is stable at every scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from mldag_spark.queries import register
+from mldag_spark.queries.tables import dim, load
+
+
+# ---------------------------------------------------------------------------
+# q1: full-scan aggregation (filter → groupBy → agg → sort)
+# ---------------------------------------------------------------------------
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)                               AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                          AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)       AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+                                                                   AS sum_charge,
+           ROUND(AVG(l_quantity), 4)                               AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4)                          AS avg_price,
+           ROUND(AVG(l_discount), 4)                               AS avg_disc,
+           COUNT(*)                                                AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q3: fact⋈fact join + broadcast dim filter + top-k
+# ---------------------------------------------------------------------------
+@register(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1997-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1997-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = dim(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-03-15").cast("timestamp")
+    )
+    l = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-03-15").cast("timestamp")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q5: 6-way join through the full snowflake
+# ---------------------------------------------------------------------------
+@register(
+    "q5_local_supplier_volume",
+    oracle="""
+    SELECT n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = dim(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    l = load(spark, sf_dir, "lineitem")
+    s = dim(spark, sf_dir, "supplier")
+    n = dim(spark, sf_dir, "nation")
+    r = dim(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            s,
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q6: pushdown-friendly filter + single aggregate
+# ---------------------------------------------------------------------------
+@register(
+    "q6_revenue_forecast",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q10: returned items (join + group + top-k)
+# ---------------------------------------------------------------------------
+@register(
+    "q10_returned_items",
+    oracle="""
+    SELECT c_custkey, c_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = dim(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = dim(spark, sf_dir, "nation")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# join flavors: semi / anti / outer
+# ---------------------------------------------------------------------------
+@register(
+    "join_semi_big_orders",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem WHERE l_quantity >= 49
+    )
+    """,
+)
+def join_semi_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: orders having at least one line with qty >= 49."""
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 49)
+    return o.join(l, o.o_orderkey == l.l_orderkey, "left_semi").select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
+@register(
+    "join_anti_customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_outer_order_linecounts",
+    oracle="""
+    SELECT o_orderkey,
+           COUNT(l_orderkey) AS n_lines,
+           ROUND(COALESCE(SUM(l_quantity), 0), 2) AS total_qty
+    FROM orders
+    LEFT JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderkey
+    """,
+)
+def join_outer_order_linecounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer join preserving orders with zero lineitems."""
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey, "left")
+        .groupBy("o_orderkey")
+        .agg(
+            F.count("l_orderkey").alias("n_lines"),
+            F.round(F.coalesce(F.sum("l_quantity"), F.lit(0.0)), 2).alias(
+                "total_qty"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# window functions
+# ---------------------------------------------------------------------------
+@register(
+    "window_topk_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rk
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey
+               ) AS rk
+        FROM orders
+    )
+    WHERE rk <= 3
+    """,
+)
+def window_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer — the scalable top-k-per-group pattern
+    (window + filter, no global sort; ties broken deterministically)."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+@register(
+    "window_running_customer_spend",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 2) AS running_spend
+    FROM orders
+    """,
+)
+def window_running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# rollup / cube (grouping sets)
+# ---------------------------------------------------------------------------
+@register(
+    "agg_rollup_flag_status",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           COUNT(*) AS cnt
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    return l.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+@register(
+    "agg_cube_status_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           ROUND(SUM(o_totalprice), 2) AS sum_price,
+           COUNT(*) AS cnt
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# set operations
+# ---------------------------------------------------------------------------
+@register(
+    "setop_active_customers_union",
+    oracle="""
+    SELECT o_custkey AS custkey
+    FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    UNION
+    SELECT o_custkey AS custkey
+    FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+    """,
+)
+def setop_active_customers_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    early = o.filter(
+        F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")
+    ).select(F.col("o_custkey").alias("custkey"))
+    late = o.filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    ).select(F.col("o_custkey").alias("custkey"))
+    return early.union(late).distinct()
+
+
+@register(
+    "setop_loyal_customers_intersect",
+    oracle="""
+    SELECT o_custkey AS custkey
+    FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    INTERSECT
+    SELECT o_custkey AS custkey
+    FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+    """,
+)
+def setop_loyal_customers_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    early = o.filter(
+        F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")
+    ).select(F.col("o_custkey").alias("custkey"))
+    late = o.filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    ).select(F.col("o_custkey").alias("custkey"))
+    return early.intersect(late)
+
+
+@register(
+    "setop_churned_customers_except",
+    oracle="""
+    SELECT o_custkey AS custkey
+    FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    EXCEPT
+    SELECT o_custkey AS custkey
+    FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+    """,
+)
+def setop_churned_customers_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    early = o.filter(
+        F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")
+    ).select(F.col("o_custkey").alias("custkey"))
+    late = o.filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    ).select(F.col("o_custkey").alias("custkey"))
+    # SQL EXCEPT is set difference: subtract() (not exceptAll, whose bag
+    # semantics keep keys whose early multiplicity exceeds late's).
+    return early.subtract(late)
+
+
+# ---------------------------------------------------------------------------
+# global sort + limit (top-n)
+# ---------------------------------------------------------------------------
+@register(
+    "sort_top15_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 15
+    """,
+)
+def sort_top15_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-n: Spark plans TakeOrderedAndProject — per-partition
+    heap + driver-side merge of n rows, no full sort even at 100 TB."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(15)
+    )
+
+
+# ---------------------------------------------------------------------------
+# scalar expression surface (string / date / math / conditional)
+# ---------------------------------------------------------------------------
+@register(
+    "scalar_expressions",
+    oracle="""
+    SELECT o_orderkey,
+           UPPER(o_orderpriority)                   AS prio_upper,
+           SUBSTRING(o_orderpriority, 1, 1)         AS prio_code,
+           LENGTH(o_orderstatus)                    AS status_len,
+           CAST(EXTRACT(YEAR  FROM o_orderdate) AS INT)  AS order_year,
+           CAST(EXTRACT(MONTH FROM o_orderdate) AS INT)  AS order_month,
+           ROUND(SQRT(o_totalprice), 4)             AS price_sqrt,
+           ROUND(LN(o_totalprice + 1), 4)           AS price_ln,
+           CASE WHEN o_totalprice > 200000 THEN 'big'
+                WHEN o_totalprice > 50000  THEN 'mid'
+                ELSE 'small' END                    AS bucket
+    FROM orders
+    """,
+)
+def scalar_expressions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.upper("o_orderpriority").alias("prio_upper"),
+        F.substring("o_orderpriority", 1, 1).alias("prio_code"),
+        F.length("o_orderstatus").alias("status_len"),
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.round(F.sqrt("o_totalprice"), 4).alias("price_sqrt"),
+        F.round(F.log(F.col("o_totalprice") + 1), 4).alias("price_ln"),
+        F.when(F.col("o_totalprice") > 200000, "big")
+        .when(F.col("o_totalprice") > 50000, "mid")
+        .otherwise("small")
+        .alias("bucket"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# range (theta) join: price-band matching
+# ---------------------------------------------------------------------------
+@register(
+    "join_range_parts_in_price_band",
+    oracle="""
+    SELECT p_partkey, COUNT(*) AS n_matches
+    FROM part, supplier
+    WHERE s_acctbal BETWEEN p_retailprice / 1000 - 2
+                        AND p_retailprice / 1000 + 2
+    GROUP BY p_partkey
+    """,
+)
+def join_range_parts_in_price_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/range join. Spark executes this as a broadcast
+    nested-loop join — acceptable because one side (supplier) carries a
+    broadcast hint; a shuffled cartesian would not scale."""
+    p = load(spark, sf_dir, "part")
+    s = dim(spark, sf_dir, "supplier")
+    cond = (F.col("s_acctbal") >= F.col("p_retailprice") / 1000 - 2) & (
+        F.col("s_acctbal") <= F.col("p_retailprice") / 1000 + 2
+    )
+    return p.join(s, cond).groupBy("p_partkey").agg(
+        F.count(F.lit(1)).alias("n_matches")
+    )
+
+
+# ---------------------------------------------------------------------------
+# approximate aggregation (sketch)
+# ---------------------------------------------------------------------------
+@register(
+    "agg_exact_distinct_counts",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_exact_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct (oracle-checkable). The approx variant
+    (HLL-sketch ``approx_count_distinct``) is registered separately
+    without an oracle since the sketch estimate is engine-specific."""
+    l = load(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("n_parts"),
+        F.count_distinct("l_suppkey").alias("n_supps"),
+    )
+
+
+@register("agg_approx_distinct_counts")  # no oracle: HLL estimate is engine-specific
+def agg_approx_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog sketch distinct count — the 100 TB path: one pass,
+    no shuffle of distinct values, fixed memory per group."""
+    l = load(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("n_parts_approx"),
+        F.approx_count_distinct("l_suppkey", 0.01).alias("n_supps_approx"),
+    )

@@ -1,0 +1,53 @@
+"""Table access for the TPC-H-ish test schema.
+
+Scale notes (the 100 TB design stance):
+
+- Reads go through ``spark.read.parquet`` so Catalyst gets predicate
+  pushdown, column pruning and partition pruning for free — every
+  query should show ``PushedFilters``/narrow ``ReadSchema`` in its
+  physical plan.
+- ``DIM_TABLES`` are the broadcast-join side: at any scale factor
+  ``region``(5)/``nation``(25) are tiny and ``supplier``/``part``/
+  ``customer`` stay orders of magnitude below the fact tables, so
+  joins against them should be broadcast, never shuffled. ``dim()``
+  wraps them in ``F.broadcast`` hints.
+- Fact tables (``lineitem``, ``orders``, ``events``) are left to AQE:
+  with ``spark.sql.adaptive.enabled`` the shuffle partition count and
+  skew splitting adapt at runtime.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+# Small enough to broadcast at every realistic scale factor; customer
+# is borderline at very large SF — callers join it via ``dim()`` only
+# when the probe side is a fact table.
+DIM_TABLES = {"region", "nation", "supplier", "part", "customer"}
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; available: {TABLES}")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+        # reader rejects; read it as raw nanos (long) and truncate to the
+        # engine's microsecond timestamp. `DIV` keeps the arithmetic in
+        # int64 — float division would lose precision above 2^53. Oracle
+        # SQL truncates the same way (date_trunc('microseconds', ts)).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return (
+            spark.read.parquet(f"{sf_dir}/{name}.parquet")
+            .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        )
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def dim(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """A dimension table with a broadcast-join hint attached."""
+    return F.broadcast(load(spark, sf_dir, name))

@@ -1,0 +1,335 @@
+"""Text-analysis + deduplication queries over ``documents``.
+
+The training-data-pipeline operator set: token statistics, quality
+scoring, language ID, fingerprinting, exact dedup, n-gram-Jaccard
+near-dup detection (exact and MinHash-LSH-accelerated).
+
+Scale stance: every query is expressed with JVM-side primitives
+(split/regexp/explode/groupBy) — linear scans, one shuffle per
+aggregation; pair-generation for near-dups goes through an inverted
+shingle index (explode → self-join on shingle → group by pair), never
+a cartesian product. MinHash-LSH (in ``vectors``/``operators.dedup``)
+replaces the inverted index at 100 TB where even shared-shingle pair
+counts explode.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from mldag_spark.functions import (
+    bpe_ish_tokens,
+    fingerprint,
+    normalize_text,
+    shingles,
+    tokenize,
+)
+from mldag_spark.queries import register
+from mldag_spark.queries.tables import load
+
+# Tiny deterministic stopword lists per language for the heuristic
+# language-ID scorer (identical literals in the SQL oracles).
+_LANG_WORDS = {
+    "en": ("the", "a", "of", "and", "to"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "es": ("el", "la", "los", "y", "es"),
+}
+
+
+@register(
+    "text_token_stats",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))
+               AS n_tokens,
+           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
+               AS n_bpe_tokens,
+           length(text) AS n_chars,
+           ROUND(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                 / len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')), 4)
+               AS avg_token_len
+    FROM documents
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex tokens."""
+    d = load(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(bpe_ish_tokens(F.col("text"))).alias("n_bpe_tokens"),
+        F.length("text").alias("n_chars"),
+        F.round(
+            F.length(F.regexp_replace("text", " ", "")).cast("double")
+            / F.size(toks),
+            4,
+        ).alias("avg_token_len"),
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+                   AS toks,
+               length(text) AS n_chars
+        FROM documents
+    )
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           ROUND(CAST(len(list_filter(toks,
+                 w -> w IN ('the','a','of','and','to'))) AS DOUBLE)
+                 / len(toks), 4) AS stopword_ratio,
+           ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4)
+               AS distinct_ratio,
+           CASE WHEN len(toks) BETWEEN 5 AND 1000
+                 AND CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) > 0.3
+                THEN 1 ELSE 0 END AS quality_pass
+    FROM t
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gating: length bounds, stopword ratio, lexical diversity
+    — the standard pre-training corpus filters."""
+    d = load(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    t = d.select("doc_id", toks.alias("toks"), F.length("text").alias("n_chars"))
+    n = F.size("toks")
+    stop = F.size(
+        F.filter("toks", lambda w: w.isin(*_LANG_WORDS["en"]))
+    )
+    distinct_ratio = F.size(F.array_distinct("toks")).cast("double") / n
+    return t.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.round(stop.cast("double") / n, 4).alias("stopword_ratio"),
+        F.round(distinct_ratio, 4).alias("distinct_ratio"),
+        F.when((n.between(5, 1000)) & (distinct_ratio > 0.3), 1)
+        .otherwise(0)
+        .alias("quality_pass"),
+    )
+
+
+def _lang_score_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in _LANG_WORDS[lang])
+    return f"len(list_filter(toks, w -> w IN ({words})))"
+
+
+@register(
+    "text_language_id",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+                   AS toks
+        FROM documents
+    ), scored AS (
+        SELECT doc_id,
+               {_lang_score_sql("en")} AS s_en,
+               {_lang_score_sql("de")} AS s_de,
+               {_lang_score_sql("fr")} AS s_fr,
+               {_lang_score_sql("es")} AS s_es
+        FROM t
+    )
+    SELECT doc_id,
+           CASE
+             WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 AND s_es = 0 THEN 'unknown'
+             WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+             WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+             WHEN s_fr >= s_es THEN 'fr'
+             ELSE 'es'
+           END AS lang_pred
+    FROM scored
+    """,
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID by stopword-hit scoring (deterministic
+    tie-break by fixed language priority en>de>fr>es)."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select("doc_id", tokenize(F.col("text")).alias("toks"))
+    # NB: the lambda must take exactly one parameter — a second parameter
+    # makes pyspark pass the element *index* as the default-arg slot.
+    def score(words):
+        return F.size(F.filter("toks", lambda w: w.isin(*words)))
+
+    scores = {lang: score(words) for lang, words in _LANG_WORDS.items()}
+    scored = t.select("doc_id", *[v.alias(f"s_{k}") for k, v in scores.items()])
+    pred = (
+        F.when(
+            (F.col("s_en") == 0) & (F.col("s_de") == 0)
+            & (F.col("s_fr") == 0) & (F.col("s_es") == 0),
+            "unknown",
+        )
+        .when(
+            (F.col("s_en") >= F.col("s_de"))
+            & (F.col("s_en") >= F.col("s_fr"))
+            & (F.col("s_en") >= F.col("s_es")),
+            "en",
+        )
+        .when((F.col("s_de") >= F.col("s_fr")) & (F.col("s_de") >= F.col("s_es")), "de")
+        .when(F.col("s_fr") >= F.col("s_es"), "fr")
+        .otherwise("es")
+    )
+    return scored.select("doc_id", pred.alias("lang_pred"))
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic document fingerprint (md5 of normalized text)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+           MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the normalized-text fingerprint,
+    keep the smallest doc_id per group. One shuffle on a short hash key
+    — the canonical 100 TB exact-dedup plan."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(fingerprint(F.col("text")).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# Exact n-gram Jaccard near-dup pairs via an inverted shingle index.
+_JACCARD_ORACLE = """
+    WITH t AS (
+        SELECT doc_id,
+               list_distinct(
+                 CASE WHEN len(toks) <= 3
+                      THEN [array_to_string(toks, ' ')]
+                      ELSE list_transform(range(1, len(toks) - 1),
+                           i -> array_to_string(toks[i:i+2], ' '))
+                 END) AS sh
+        FROM (
+            SELECT doc_id,
+                   string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+                       AS toks
+            FROM documents
+        )
+    ), exploded AS (
+        SELECT doc_id, unnest(sh) AS shingle FROM t
+    ), pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM exploded a JOIN exploded b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT p.doc_a, p.doc_b,
+           ROUND(CAST(p.n_common AS DOUBLE)
+                 / (len(ta.sh) + len(tb.sh) - p.n_common), 4) AS jaccard
+    FROM pairs p
+    JOIN t ta ON ta.doc_id = p.doc_a
+    JOIN t tb ON tb.doc_id = p.doc_b
+    WHERE CAST(p.n_common AS DOUBLE)
+          / (len(ta.sh) + len(tb.sh) - p.n_common) >= 0.8
+"""
+
+
+def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.array_distinct(shingles(tokenize(F.col("text")), 3)).alias("sh"),
+    )
+
+
+@register("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (jaccard >= 0.8).
+
+    Plan: explode distinct shingles → self-join on shingle (inverted
+    index; only docs sharing a shingle pair up) → count common per pair
+    → Jaccard from |A|+|B|-common. Shuffles on shingle then on pair —
+    both key-partitioned, no cartesian anywhere.
+    """
+    t = _shingle_sets(spark, sf_dir)
+    sizes = t.select("doc_id", F.size("sh").alias("n_sh"))
+    ex = t.select("doc_id", F.explode("sh").alias("shingle"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= 0.8)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+@register("dedup_simhash")  # no oracle: hash-function-specific fingerprints
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidate pairs (hamming <= 2 on 16-bit
+    fingerprints, banded by fingerprint halves)."""
+    from mldag_spark.operators.dedup import simhash_pairs
+
+    d = load(spark, sf_dir, "documents")
+    t = d.select("doc_id", tokenize(F.col("text")).alias("toks"))
+    return simhash_pairs(t, id_col="doc_id", token_col="toks", max_hamming=2)
+
+
+@register("dedup_minhash_lsh", oracle=_JACCARD_ORACLE)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup pairs, verified with exact Jaccard — the
+    100 TB fuzzy-dedup plan.
+
+    shingle → 64 minhashes (xxhash64 with 64 seeds, all JVM-side) →
+    16 bands × 4 rows → band-bucket self-join emits candidate pairs →
+    exact Jaccard on candidates only. With r=4,b=16 a pair at
+    jaccard 0.8 is caught with p = 1-(1-0.8^4)^16 ≈ 0.9996, so the
+    output matches the exact oracle in expectation; candidate
+    verification guarantees no false positives. Unlike the exact
+    inverted-index plan, the LSH join fan-out is bounded by band
+    buckets, not shingle document-frequency.
+    """
+    from mldag_spark.operators.dedup import minhash_lsh_pairs
+
+    t = _shingle_sets(spark, sf_dir)
+    return minhash_lsh_pairs(
+        t, id_col="doc_id", set_col="sh", threshold=0.8,
+        num_hashes=64, bands=16,
+    )

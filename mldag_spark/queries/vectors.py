@@ -1,0 +1,155 @@
+"""Similarity-search queries over the ``embeddings`` table."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from mldag_spark.functions import cosine_similarity
+from mldag_spark.operators.similarity import brute_force_topk, lsh_bucket_topk
+from mldag_spark.queries import register
+from mldag_spark.queries.tables import load
+
+_N_QUERIES = 10  # vec_id < 10 form the query set
+
+
+@register(
+    "ann_cosine_topk",
+    oracle=f"""
+    WITH sims AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROUND(list_cosine_similarity(
+                   CAST(q.embedding AS DOUBLE[]),
+                   CAST(c.embedding AS DOUBLE[])), 6) AS cos
+        FROM embeddings q
+        JOIN embeddings c ON c.vec_id != q.vec_id
+        WHERE q.vec_id < {_N_QUERIES}
+    ), ranked AS (
+        SELECT query_id, neighbor_id, cos,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+               ) AS rk
+        FROM sims
+    )
+    SELECT query_id, neighbor_id, cos, rk FROM ranked WHERE rk <= 5
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-5 for the first 10 vectors."""
+    emb = load(spark, sf_dir, "embeddings")
+    return brute_force_topk(
+        corpus=emb,
+        queries=emb.filter(F.col("vec_id") < _N_QUERIES),
+        k=5,
+    )
+
+
+@register("ann_lsh_topk")  # no oracle: bucket recall is hash-specific
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-5 — the scale path (candidates only
+    from the query's hyperplane-sign bucket)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return lsh_bucket_topk(
+        corpus=emb,
+        queries=emb.filter(F.col("vec_id") < _N_QUERIES),
+        k=5,
+        n_planes=4,
+    )
+
+
+@register(
+    "embedding_near_dup_blocked",
+    oracle="""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+           ROUND(list_cosine_similarity(
+               CAST(a.embedding AS DOUBLE[]),
+               CAST(b.embedding AS DOUBLE[])), 4) AS cos
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(
+               CAST(a.embedding AS DOUBLE[]),
+               CAST(b.embedding AS DOUBLE[])) >= 0.4
+    """,
+)
+def embedding_near_dup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs with label blocking.
+
+    Blocking on ``label`` turns the quadratic all-pairs scan into
+    per-block self-joins — the shuffle key is the block id, so work
+    distributes by block. (For unlabeled corpora the block key comes
+    from LSH buckets instead; see ``ann_lsh_topk``.)
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a, b = v.alias("a"), v.alias("b")
+    cos = cosine_similarity(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos >= 0.4)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.label").alias("label"),
+            F.round(cos, 4).alias("cos"),
+        )
+    )
+
+
+@register(
+    "knn_label_vote",
+    oracle=f"""
+    WITH sims AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label,
+               ROUND(list_cosine_similarity(
+                   CAST(q.embedding AS DOUBLE[]),
+                   CAST(c.embedding AS DOUBLE[])), 6) AS cos
+        FROM embeddings q
+        JOIN embeddings c ON c.vec_id != q.vec_id
+        WHERE q.vec_id < {_N_QUERIES}
+    ), ranked AS (
+        SELECT query_id, neighbor_id, label, cos,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+               ) AS rk
+        FROM sims
+    ), votes AS (
+        SELECT query_id, label, COUNT(*) AS n_votes
+        FROM ranked WHERE rk <= 5
+        GROUP BY query_id, label
+    ), winner AS (
+        SELECT query_id, label, n_votes,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY n_votes DESC, label
+               ) AS vr
+        FROM votes
+    )
+    SELECT query_id, label AS predicted_label, n_votes
+    FROM winner WHERE vr = 1
+    """,
+)
+def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN classification: majority label among the exact top-5
+    neighbors (deterministic tie-breaks at both ranking stages)."""
+    emb = load(spark, sf_dir, "embeddings")
+    topk = brute_force_topk(
+        corpus=emb, queries=emb.filter(F.col("vec_id") < _N_QUERIES), k=5
+    )
+    labeled = topk.join(
+        emb.select(F.col("vec_id").alias("neighbor_id"), "label"),
+        "neighbor_id",
+    )
+    votes = labeled.groupBy("query_id", "label").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("n_votes"), F.asc("label"))
+    return (
+        votes.withColumn("vr", F.row_number().over(w))
+        .filter(F.col("vr") == 1)
+        .select("query_id", F.col("label").alias("predicted_label"), "n_votes")
+    )
