@@ -50,7 +50,10 @@ def main() -> int:
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.driver.memory", "16g")
+        # NB: do NOT raise spark.driver.memory here. On this host a large
+        # (8-16g) heap makes the local-mode JVM intermittently freeze for
+        # minutes (jstack cannot even attach); with the default heap the
+        # same query sequence is stable and ~10x faster end-to-end.
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

@@ -61,7 +61,8 @@ def main() -> int:
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", "8g")
+        # default driver heap on purpose — see bench.py note on the
+        # large-heap JVM freeze on this host
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
