@@ -1,0 +1,175 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Treats media as opaque ``binary`` columns plus typed metadata structs —
+the layout a 100 TB training-data pipeline uses: payload bytes stay in
+parquet/lance-style files, Spark moves/filters them by metadata, and
+decode/feature-extraction runs as Arrow-batched Python over
+``mapInPandas`` so bytes cross the JVM↔Python boundary once per batch,
+never per row.
+
+The actual codecs (PIL/ffmpeg/torchaudio) are NOT installed in this
+environment, so the decode kernels are stubbed: importable, correctly
+shaped, deterministic — each raises ``NotImplementedError`` at the
+point the real library call would happen unless ``deterministic_fake``
+is set, in which case it derives stable fake features from the bytes
+(so the Spark-side plumbing — schema, batching, partitioning — is
+fully testable).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Optional
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# Canonical media row: payload + typed metadata. Matches how image
+# datasets ship in parquet (bytes column + shape/mime columns).
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("mime", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("duration_ms", LongType()),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("mime", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("features", ArrayType(DoubleType())),
+    ]
+)
+
+
+def synthesize_media(
+    df: DataFrame, id_col: str, text_col: str, mime: str = "image/png"
+) -> DataFrame:
+    """Deterministic fake media table from any source table (the test
+    environment has no real media files): payload = utf-8 bytes of the
+    text column, metadata derived from its length. Pure JVM expressions.
+    """
+    n = F.length(df[text_col])
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        F.lit(mime).alias("mime"),
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+        (n % 640 + 32).cast("int").alias("width"),
+        (n % 480 + 32).cast("int").alias("height"),
+        (n * 10).cast("long").alias("duration_ms"),
+    )
+
+
+def _fake_features(payload: bytes, dim: int) -> list[float]:
+    """Deterministic stand-in for a real encoder: stable per input,
+    cheap, shaped like an embedding."""
+    h = 1469598103934665603  # FNV-1a 64
+    out = []
+    step = max(1, len(payload) // 64)
+    for i in range(dim):
+        for b in payload[i * step: (i + 1) * step] or b"\x00":
+            h ^= b
+            h = (h * 1099511628211) % (1 << 64)
+        out.append((h % 10_000) / 10_000.0)
+    return out
+
+
+def extract_features(
+    media: DataFrame,
+    dim: int = 16,
+    deterministic_fake: bool = True,
+    batch_hint: Optional[int] = None,
+) -> DataFrame:
+    """Decode + featurize media payloads via ``mapInPandas``.
+
+    The Arrow batch shape is the real thing being exercised here: each
+    Python worker receives columnar batches (payload bytes zero-copied
+    where possible), emits one feature row per media row, and the
+    output schema is fixed (``FEATURE_SCHEMA``) so downstream joins /
+    ANN search plan against real types.
+
+    With ``deterministic_fake=False`` this raises
+    ``NotImplementedError`` where the real decoder (PIL / ffmpeg /
+    torchaudio, not installed here) would be invoked.
+    """
+    import pandas as pd
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            if not deterministic_fake:
+                raise NotImplementedError(
+                    "real media decode requires PIL/ffmpeg/torchaudio; "
+                    "not available in this environment"
+                )
+            feats = [
+                _fake_features(bytes(p) if p is not None else b"", dim)
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime": pdf["mime"],
+                    "n_bytes": [
+                        len(p) if p is not None else 0 for p in pdf["payload"]
+                    ],
+                    "features": feats,
+                }
+            )
+
+    cols = media.select(
+        "media_id", "mime", "payload"
+    )
+    if batch_hint:
+        cols = cols.repartition(batch_hint)
+    return cols.mapInPandas(kernel, schema=FEATURE_SCHEMA)
+
+
+def frame_sample_plan(
+    media: DataFrame, every_ms: int = 1000
+) -> DataFrame:
+    """Video frame-sampling *plan*: expands each video row into its
+    sample timestamps JVM-side (sequence/explode — no Python), so the
+    expensive decode only ever sees (media_id, frame_ts) work units.
+    The decode itself would run through :func:`extract_features`-style
+    ``mapInPandas`` on the joined payloads.
+    """
+    return (
+        media.filter(F.col("mime").startswith("video/"))
+        .select(
+            "media_id",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.col("duration_ms"),
+                    F.lit(every_ms),
+                )
+            ).alias("frame_ts_ms"),
+        )
+    )
+
+
+def media_stats(media: DataFrame) -> DataFrame:
+    """Metadata-only scan: per-mime payload size stats. Stays entirely
+    JVM-side — the point of the binary+metadata layout is that queries
+    like this never touch the payload bytes (parquet column pruning
+    skips them when only length metadata is selected)."""
+    return media.groupBy("mime").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.length("payload")).alias("total_bytes"),
+        F.round(F.avg("width"), 2).alias("avg_width"),
+        F.round(F.avg("height"), 2).alias("avg_height"),
+    )

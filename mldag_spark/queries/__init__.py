@@ -36,7 +36,14 @@ def register(name: str, oracle: Optional[str] = None):
 
 def _load_all() -> None:
     # import for side effect: each module registers its queries
-    from mldag_spark.queries import events, relational, text, vectors  # noqa: F401
+    from mldag_spark.queries import (  # noqa: F401
+        events,
+        multimodal,
+        relational,
+        streaming,
+        text,
+        vectors,
+    )
 
 
 _load_all()

@@ -1,0 +1,78 @@
+"""Multimodal-column queries (driver contract entries).
+
+No real media files exist in the test environment, so media rows are
+synthesized deterministically from ``documents`` (payload = utf-8 text
+bytes; metadata derived from length — see
+``operators.multimodal.synthesize_media``), which keeps every step
+oracle-checkable. The decode kernel itself is the deterministic-fake
+path of ``extract_features`` (real codecs aren't installed; the Arrow/
+mapInPandas plumbing is the part under test).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from mldag_spark.operators.multimodal import (
+    extract_features,
+    frame_sample_plan,
+    media_stats,
+    synthesize_media,
+)
+from mldag_spark.queries import register
+from mldag_spark.queries.tables import load
+
+
+def _media(spark: SparkSession, sf_dir: str, mime: str = "image/png") -> DataFrame:
+    return synthesize_media(
+        load(spark, sf_dir, "documents"), "doc_id", "text", mime=mime
+    )
+
+
+@register(
+    "multimodal_media_stats",
+    oracle="""
+    SELECT 'image/png' AS mime,
+           COUNT(*) AS n_items,
+           SUM(octet_length(encode(text))) AS total_bytes,
+           ROUND(AVG(length(text) % 640 + 32), 2) AS avg_width,
+           ROUND(AVG(length(text) % 480 + 32), 2) AS avg_height
+    FROM documents
+    """,
+)
+def multimodal_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only media scan (payload bytes never deserialized)."""
+    return media_stats(_media(spark, sf_dir))
+
+
+@register(
+    "multimodal_frame_samples",
+    oracle="""
+    SELECT doc_id AS media_id,
+           unnest(range(0, length(text) * 10 + 1, 1000)) AS frame_ts_ms
+    FROM documents
+    """,
+)
+def multimodal_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JVM-side video frame-sampling plan (sequence + explode)."""
+    return frame_sample_plan(
+        _media(spark, sf_dir, mime="video/mp4"), every_ms=1000
+    )
+
+
+@register(
+    "multimodal_feature_extract",
+    oracle="""
+    SELECT doc_id AS media_id,
+           'image/png' AS mime,
+           octet_length(encode(text)) AS n_bytes
+    FROM documents
+    """,
+)
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas decode/featurize (deterministic fake
+    kernel). The feature vector itself is kernel-specific, so the
+    oracle checks the relational envelope (ids, mime, byte counts)."""
+    return extract_features(_media(spark, sf_dir), dim=8).select(
+        "media_id", "mime", "n_bytes"
+    )

@@ -1,0 +1,111 @@
+"""Structured Streaming queries (driver contract entries).
+
+Each entry executes the *streaming* plan (state store, watermarks,
+session windows) over the finite test data with an ``availableNow``
+trigger into a memory sink, so the driver can compare the emitted
+result against the batch oracle — streaming/batch parity is exactly
+the property worth gating.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from mldag_spark.queries import register
+from mldag_spark import streaming as S
+
+_COUNTER = [0]
+
+
+def _unique(name: str) -> str:
+    # memory sink query names must be unique within a session
+    _COUNTER[0] += 1
+    return f"{name}_{_COUNTER[0]}"
+
+
+@register(
+    "stream_hourly_rollup",
+    oracle="""
+    SELECT DATE_TRUNC('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window streaming aggregate; complete output mode emits
+    every window, so the result must equal the batch rollup."""
+    ev = S.events_stream(spark, sf_dir)
+    out = S.windowed_rollup(ev, window="1 hour", watermark="2 hours")
+    res = S.run_to_memory(
+        out, _unique("stream_hourly"), output_mode="complete"
+    )
+    return res.select("window_start", "event_type", "n_events", "total_value")
+
+
+@register(
+    "stream_sessionization",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, date_trunc('microseconds', ts) AS ts, event_id
+        FROM events
+    ), flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                    OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_no
+        FROM flagged
+    )
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end
+    FROM sessions
+    GROUP BY user_id, session_no
+    """,
+)
+def stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in ``session_window`` (30-min gap) over the stream; equals
+    the batch lag/running-sum sessionization. (Session windows close at
+    [first, last+gap); a gap of exactly 30:00.000000 would differ from
+    the batch strict-> comparison — measure-zero on µs data.)"""
+    ev = S.events_stream(spark, sf_dir)
+    out = S.sessionize(ev, gap="30 minutes", watermark="2 hours")
+    return S.run_to_memory(
+        out, _unique("stream_sessions"), output_mode="complete"
+    )
+
+
+@register(
+    "stream_user_totals",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (``applyInPandasWithState``): final
+    per-user totals after draining the stream equal the batch groupBy.
+    The test data is a single file → a single micro-batch, so the
+    update-mode memory sink holds exactly one row per user."""
+    ev = S.events_stream(spark, sf_dir)
+    out = S.running_user_totals(ev)
+    res = S.run_to_memory(
+        out, _unique("stream_totals"), output_mode="update"
+    )
+    return res.select(
+        "user_id",
+        "n_events",
+        F.round("total_value", 2).alias("total_value"),
+    )

@@ -1,0 +1,193 @@
+"""Structured Streaming surface.
+
+The reference is fully batch/synchronous (SURVEY §2.3: no streaming of
+any kind — `mldag/mldag.py` is a plain `for` loop), so this module is
+the beyond-parity extension: the same DAG/operator vocabulary over
+unbounded sources.
+
+Design stance (the 100 TB / always-on path):
+
+- sources are declared with explicit schemas (`readStream` cannot
+  infer), watermarks bound state for late data, and every aggregation
+  is expressed with the built-in windowing primitives
+  (``F.window`` / ``F.session_window``) so state lives in the
+  RocksDB/HDFS-backed state store, not in Python.
+- custom per-key state uses ``applyInPandasWithState`` — Arrow-batched,
+  the only Python-side hook that scales (one state object per key,
+  grouped columnar batches).
+- tests drive everything with ``trigger(availableNow=True)`` + memory
+  sink, which executes the exact streaming plan (state store included)
+  over the finite test data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # raw nanos; converted on read
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``events`` table as an unbounded source.
+
+    Parquet file-stream with an explicit schema (streaming reads cannot
+    infer); ``ts`` arrives as raw nanos (see ``queries.tables.load``)
+    and is truncated to Spark's microsecond timestamps.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # file-stream sources take a directory; select just the events
+    # table out of the shared sf_dir with a glob filter
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    )
+
+
+def windowed_rollup(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling (or sliding, if ``slide`` given) windowed aggregate with
+    a watermark bounding state: counts + value sum per (window,
+    event_type). Streaming mirror of ``events_hourly_rollup``."""
+    win = (
+        F.window("ts", window)
+        if slide is None
+        else F.window("ts", window, slide)
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(win.alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Gap-based sessionization with the built-in session window (state
+    merges adjacent windows per key; watermark closes sessions).
+    Streaming mirror of ``events_sessionization``."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .select(
+            "user_id", "n_events", "session_start", "session_end"
+        )
+    )
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: cumulative per-user event count and
+    value sum, maintained with ``applyInPandasWithState`` (Arrow-batched
+    per-key state — the scalable Python-side hook).
+
+    Emits one row per user per micro-batch with the updated totals.
+    """
+    import pandas as pd  # local import: worker-side dependency
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("total_value", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("total", DoubleType()),
+        ]
+    )
+
+    def update(key, pdfs, state):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_memory(
+    df: DataFrame, name: str, output_mode: str = "append"
+) -> DataFrame:
+    """Execute a streaming plan over all currently-available input
+    (``availableNow`` trigger) into a memory sink; returns the result
+    as a (batch) DataFrame. This is the test/debug harness — production
+    sinks go through :func:`write_stream`."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)
+
+
+def write_stream(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    fmt: str = "parquet",
+    output_mode: str = "append",
+):
+    """Production sink: checkpointed file sink (exactly-once per file
+    commit protocol). Returns the started StreamingQuery."""
+    return (
+        df.writeStream.format(fmt)
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(output_mode)
+        .start()
+    )

@@ -1,0 +1,103 @@
+"""Unit tests for the dedup / similarity operators on controlled data
+(the query-level behavior is covered by the DuckDB oracle gate; these
+pin operator semantics on hand-built inputs)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mldag_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    minhash_signatures,
+    simhash_pairs,
+)
+from mldag_spark.operators.similarity import brute_force_topk, lsh_bucket_topk
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (1, ["a b c", "b c d", "c d e"]),          # base
+        (2, ["a b c", "b c d", "c d e"]),          # exact dup of 1
+        (3, ["a b c", "b c d", "x y z"]),          # 2/4 shared with 1
+        (4, ["p q r", "q r s"]),                   # unrelated
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "sh"])
+
+
+def test_minhash_signature_deterministic_and_dup_identical(spark, docs):
+    sig = minhash_signatures(docs, "doc_id", "sh", num_hashes=32)
+    rows = {r["doc_id"]: r["mh"] for r in sig.collect()}
+    assert len(rows[1]) == 32
+    assert rows[1] == rows[2]          # identical sets → identical sigs
+    assert rows[1] != rows[4]
+    # deterministic across evaluations
+    rows2 = {r["doc_id"]: r["mh"] for r in sig.collect()}
+    assert rows == rows2
+
+
+def test_minhash_lsh_finds_exact_dup_and_respects_threshold(spark, docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", "sh", threshold=0.99, num_hashes=32, bands=8
+        ).collect()
+    }
+    assert pairs == {(1, 2): 1.0}      # only the exact dup at j≥0.99
+    loose = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", "sh", threshold=0.5, num_hashes=32, bands=8
+        ).collect()
+    }
+    assert (1, 2) in loose
+    assert all(a < b for a, b in loose)  # canonical pair order
+
+
+def test_simhash_exact_dup_distance_zero(spark, docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_pairs(
+            docs, "doc_id", "sh", max_hamming=2
+        ).collect()
+    }
+    assert pairs.get((1, 2)) == 0
+
+
+@pytest.fixture()
+def vectors(spark):
+    rows = [
+        (0, [1.0, 0.0], "x"),
+        (1, [0.9, 0.1], "x"),      # closest to 0
+        (2, [0.0, 1.0], "y"),      # orthogonal to 0
+        (3, [-1.0, 0.0], "y"),     # opposite of 0
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+
+
+def test_brute_force_topk_ordering(spark, vectors):
+    out = brute_force_topk(
+        corpus=vectors,
+        queries=vectors.filter(F.col("vec_id") == 0),
+        k=3,
+    ).collect()
+    order = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rk"])]
+    assert order == [1, 2, 3]          # by descending cosine
+    assert all(r["query_id"] == 0 for r in out)
+    top = next(r for r in out if r["rk"] == 1)
+    assert top["cos"] == pytest.approx(0.993884, abs=1e-5)
+
+
+def test_lsh_bucket_topk_subset_of_bruteforce(spark, vectors):
+    """LSH candidates come only from the query's bucket, and every
+    reported neighbor must carry its true cosine (no false scores)."""
+    bf = {
+        (r["query_id"], r["neighbor_id"]): r["cos"]
+        for r in brute_force_topk(vectors, vectors, k=3).collect()
+    }
+    lsh = lsh_bucket_topk(vectors, vectors, k=3, n_planes=2, dim=2).collect()
+    for r in lsh:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in bf:
+            assert r["cos"] == pytest.approx(bf[key], abs=1e-6)

@@ -1,0 +1,107 @@
+"""Streaming/batch parity tests (availableNow trigger + memory sink
+executes the real streaming plan, state store included)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mldag_spark import streaming as S
+from mldag_spark.queries.tables import load
+
+
+def test_windowed_rollup_matches_batch(spark, sf_dir):
+    ev = S.events_stream(spark, sf_dir)
+    out = S.run_to_memory(
+        S.windowed_rollup(ev, window="1 hour"),
+        "t_rollup",
+        output_mode="complete",
+    )
+    batch = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in out.collect()
+    }
+    want = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in batch.collect()
+    }
+    assert got == want
+
+
+def test_session_window_counts(spark, sf_dir):
+    ev = S.events_stream(spark, sf_dir)
+    out = S.run_to_memory(
+        S.sessionize(ev, gap="30 minutes"),
+        "t_sessions",
+        output_mode="complete",
+    )
+    rows = out.collect()
+    # sessions partition the events: per-user session counts sum to the
+    # user's event count, and sessions never overlap
+    per_user_events = dict(
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .count()
+        .collect()
+    )
+    seen: dict[int, int] = {}
+    by_user: dict[int, list] = {}
+    for r in rows:
+        seen[r["user_id"]] = seen.get(r["user_id"], 0) + r["n_events"]
+        by_user.setdefault(r["user_id"], []).append(
+            (r["session_start"], r["session_end"])
+        )
+        assert r["session_start"] <= r["session_end"]
+    assert seen == per_user_events
+    for spans in by_user.values():
+        spans.sort()
+        for (s1, e1), (s2, _e2) in zip(spans, spans[1:]):
+            assert e1 < s2  # strictly ordered, non-overlapping
+
+
+def test_stateful_user_totals(spark, sf_dir):
+    ev = S.events_stream(spark, sf_dir)
+    out = S.run_to_memory(
+        S.running_user_totals(ev), "t_totals", output_mode="update"
+    )
+    # single input file → one micro-batch → exactly the final totals
+    got = {
+        r["user_id"]: (r["n_events"], round(r["total_value"], 2))
+        for r in out.collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], round(r["s"], 2))
+        for r in load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_file_sink_roundtrip(tmp_path, spark, sf_dir):
+    ev = S.events_stream(spark, sf_dir)
+    q = S.write_stream(
+        S.windowed_rollup(ev, window="6 hours", watermark="1 hour"),
+        path=str(tmp_path / "out"),
+        checkpoint=str(tmp_path / "ckpt"),
+        output_mode="append",
+    )
+    q.awaitTermination(60)
+    q.stop()
+    back = spark.read.parquet(str(tmp_path / "out"))
+    assert back.columns == [
+        "window_start", "window_end", "event_type", "n_events", "total_value"
+    ]
+    # append mode emits only watermark-closed windows; all but the last
+    # hour of data must be present
+    assert back.count() > 0
