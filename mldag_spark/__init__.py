@@ -59,6 +59,14 @@ from mldag_spark.exceptions import (
     NodeExecutionError,
     SlotError,
 )
+from mldag_spark.persistence import load_dag, save_dag
+from mldag_spark.sources import (
+    read_source,
+    sink_node,
+    source_node,
+    write_bucketed_table,
+    write_sink,
+)
 
 __version__ = "0.1.0"
 
@@ -69,4 +77,7 @@ __all__ = [
     "DummyNode", "NodeConnection", "NodeSlot", "as_node", "as_transform",
     "returns", "set_function_return", "InputSlot", "OutputSlot",
     "MLDagError", "GraphError", "SlotError", "NodeExecutionError",
+    "save_dag", "load_dag",
+    "read_source", "write_sink", "write_bucketed_table",
+    "source_node", "sink_node",
 ]

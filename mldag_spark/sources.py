@@ -1,0 +1,116 @@
+"""Source and sink nodes (SURVEY §2.3 scans/sources).
+
+The reference has no I/O at all — inputs arrive as Python arguments
+(`/root/reference/mldag/mldag.py:523-599`). Here sources/sinks are
+first-class DAG nodes over ``spark.read``/``df.write``, declared so
+Catalyst keeps pushdown/pruning (a source node returns the *lazy* scan;
+filters composed downstream still reach the parquet reader).
+
+Scale notes baked into the defaults:
+
+- parquet/orc: no schema needed (footer metadata); predicate pushdown
+  and column pruning on by default.
+- csv/json: pass ``schema`` explicitly in production — ``inferSchema``
+  is a full extra pass over the data (allowed here for small files).
+- sinks default to snappy parquet, and expose ``partition_by`` (layout
+  pruning) and ``bucket_by`` (pre-shuffled join/agg key co-location via
+  ``saveAsTable``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from mldag_spark.core.node import FunctionNode
+
+_READ_FORMATS = ("parquet", "orc", "csv", "json", "text")
+
+
+def read_source(
+    spark: SparkSession,
+    fmt: str,
+    path: str,
+    schema=None,
+    **options,
+) -> DataFrame:
+    """Lazy scan of a file source. ``options`` pass through to the
+    reader (e.g. ``header=True`` for csv, ``pathGlobFilter=...``)."""
+    if fmt not in _READ_FORMATS:
+        raise ValueError(f"unsupported source format {fmt!r}")
+    reader = spark.read.format(fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load(path)
+
+
+def source_node(
+    fmt: str, path: str, schema=None, name: Optional[str] = None, **options
+) -> FunctionNode:
+    """DAG node: (spark) → DataFrame scan."""
+
+    # NB: no literal return annotation — the node port resolver treats
+    # one as the declared output name (reference rule, SURVEY §1.2 ③)
+    def source(spark: SparkSession):
+        return read_source(spark, fmt, path, schema=schema, **options)
+
+    source.__name__ = name or f"{fmt}_source"
+    return FunctionNode(func=source, name=source.__name__)
+
+
+def write_sink(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: Optional[list[str]] = None,
+    compression: Optional[str] = None,
+    **options,
+) -> str:
+    """Materialize ``df`` to a file sink; returns the path (so a sink
+    node has a slot-compatible scalar output)."""
+    writer = df.write.format(fmt).mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if compression:
+        writer = writer.option("compression", compression)
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.save(path)
+    return path
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: Optional[list[str]] = None,
+    mode: str = "overwrite",
+) -> str:
+    """Bucketed managed table: pre-shuffles on ``bucket_cols`` so later
+    joins/aggregations on those keys are exchange-free (the 100 TB
+    co-location strategy for repeatedly-joined fact tables)."""
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+    return table
+
+
+def sink_node(
+    path: str,
+    fmt: str = "parquet",
+    name: Optional[str] = None,
+    **kwargs,
+) -> FunctionNode:
+    """DAG node: (df) → path, materializing the upstream plan."""
+
+    def sink(df: DataFrame):
+        return write_sink(df, path, fmt=fmt, **kwargs)
+
+    sink.__name__ = name or f"{fmt}_sink"
+    return FunctionNode(func=sink, name=sink.__name__)
