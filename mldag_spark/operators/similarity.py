@@ -64,6 +64,74 @@ def brute_force_topk(
     )
 
 
+def brute_force_topk_arrow(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k via Arrow-batched numpy matmul.
+
+    Same contract/result as :func:`brute_force_topk`, different engine
+    path: the query set is collected once into a numpy matrix and
+    closed over (Spark broadcasts the serialized closure to every
+    worker); each ``mapInPandas`` batch of corpus vectors then computes
+    a (batch × queries) similarity matrix in one BLAS call and emits
+    only each batch's local top-k per query, so the JVM-side window
+    ranks |partitions|·k·|Q| candidate rows instead of |corpus|·|Q|.
+    This is the 100 TB brute-force layout: scan stays distributed and
+    columnar, Python cost is one matmul per Arrow batch, and the
+    shuffle carries only partial top-k rows.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+
+    out_schema = "query_id long, neighbor_id long, cos double"
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            sims = mat @ q_norm.T                        # (batch, |Q|)
+            sims = np.round(sims, 6)
+            mask = ids[:, None] == q_ids[None, :]
+            sims[mask] = -np.inf                         # drop self-pairs
+            top = min(k, sims.shape[0])
+            # per-query local top-k within this batch
+            idx = np.argpartition(-sims, top - 1, axis=0)[:top]
+            qi = np.tile(np.arange(sims.shape[1]), top)
+            ci = idx.ravel()
+            keep = np.isfinite(sims[ci, qi])
+            yield pd.DataFrame(
+                {
+                    "query_id": q_ids[qi[keep]],
+                    "neighbor_id": ids[ci[keep]],
+                    "cos": sims[ci[keep], qi[keep]],
+                }
+            )
+
+    partial = corpus.select(id_col, vec_col).mapInPandas(
+        kernel, schema=out_schema
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        partial.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cos", "rk")
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_planes, dim)).round(6).tolist()

@@ -6,16 +6,19 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
 from mldag_spark.functions import cosine_similarity
-from mldag_spark.operators.similarity import brute_force_topk, lsh_bucket_topk
+from mldag_spark.operators.similarity import (
+    brute_force_topk,
+    brute_force_topk_arrow,
+    lsh_bucket_topk,
+)
 from mldag_spark.queries import register
 from mldag_spark.queries.tables import load
 
 _N_QUERIES = 10  # vec_id < 10 form the query set
 
-
-@register(
-    "ann_cosine_topk",
-    oracle=f"""
+# shared by the JVM-expression and Arrow/numpy variants: identical
+# results, different execution paths
+_TOPK_ORACLE = f"""
     WITH sims AS (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                ROUND(list_cosine_similarity(
@@ -32,12 +35,28 @@ _N_QUERIES = 10  # vec_id < 10 form the query set
         FROM sims
     )
     SELECT query_id, neighbor_id, cos, rk FROM ranked WHERE rk <= 5
-    """,
-)
+"""
+
+
+@register("ann_cosine_topk", oracle=_TOPK_ORACLE)
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact brute-force cosine top-5 for the first 10 vectors."""
+    """Exact brute-force cosine top-5 for the first 10 vectors
+    (pure JVM expressions: zip_with/aggregate + ranking window)."""
     emb = load(spark, sf_dir, "embeddings")
     return brute_force_topk(
+        corpus=emb,
+        queries=emb.filter(F.col("vec_id") < _N_QUERIES),
+        k=5,
+    )
+
+
+@register("ann_cosine_topk_arrow", oracle=_TOPK_ORACLE)
+def ann_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same top-5, Arrow path: one numpy matmul per mapInPandas batch,
+    per-batch partial top-k, JVM window merges — the layout that wins
+    once |corpus|·|queries| dwarfs the per-batch BLAS cost."""
+    emb = load(spark, sf_dir, "embeddings")
+    return brute_force_topk_arrow(
         corpus=emb,
         queries=emb.filter(F.col("vec_id") < _N_QUERIES),
         k=5,
