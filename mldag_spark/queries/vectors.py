@@ -9,6 +9,7 @@ from mldag_spark.functions import cosine_similarity
 from mldag_spark.operators.similarity import (
     brute_force_topk,
     brute_force_topk_arrow,
+    ivf_topk,
     lsh_bucket_topk,
 )
 from mldag_spark.queries import register
@@ -60,6 +61,19 @@ def ann_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus=emb,
         queries=emb.filter(F.col("vec_id") < _N_QUERIES),
         k=5,
+    )
+
+
+@register("ann_ivf_topk")  # no oracle: cell recall is kmeans-specific
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5: KMeans cells + n_probe nearest lists."""
+    emb = load(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        corpus=emb,
+        queries=emb.filter(F.col("vec_id") < _N_QUERIES),
+        k=5,
+        n_lists=8,
+        n_probe=3,
     )
 
 

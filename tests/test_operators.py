@@ -101,3 +101,25 @@ def test_lsh_bucket_topk_subset_of_bruteforce(spark, vectors):
         key = (r["query_id"], r["neighbor_id"])
         if key in bf:
             assert r["cos"] == pytest.approx(bf[key], abs=1e-6)
+
+
+def test_ivf_topk_recall_and_exact_scores(spark, sf_dir):
+    """IVF candidates carry exact cosine; recall vs brute force should
+    be high at n_probe=half the lists."""
+    from mldag_spark.operators.similarity import ivf_topk
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    bf = {
+        (r["query_id"], r["neighbor_id"]): r["cos"]
+        for r in brute_force_topk(emb, q, k=5).collect()
+    }
+    ivf = ivf_topk(emb, q, k=5, n_lists=4, n_probe=2).collect()
+    assert len(ivf) > 0
+    hits = sum(1 for r in ivf if (r["query_id"], r["neighbor_id"]) in bf)
+    for r in ivf:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in bf:
+            assert r["cos"] == pytest.approx(bf[key], abs=1e-6)
+    assert hits / len(bf) > 0.4  # loose recall floor at n_probe=2/4
