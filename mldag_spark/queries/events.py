@@ -204,3 +204,44 @@ def events_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             "asof_orderkey",
         )
     )
+
+
+@register(
+    "events_grouped_zscore_arrow",
+    oracle="""
+    SELECT event_id, event_type,
+           ROUND((value - AVG(value) OVER (PARTITION BY event_type))
+                 / STDDEV_SAMP(value) OVER (PARTITION BY event_type), 4)
+               AS zscore
+    FROM events
+    """,
+)
+def events_grouped_zscore_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score via ``applyInPandas`` (grouped-map Arrow hook).
+
+    NB: for this particular statistic the JVM window formulation (see
+    the oracle) is strictly better — no Python boundary, no full-group
+    materialization. This entry exists to pin the grouped-map hook's
+    semantics for the cases that genuinely need imperative per-group
+    Python (model scoring, library calls); the driver gate proves the
+    Arrow path computes exactly what the declarative plan computes.
+    Each group must fit in one worker's memory — acceptable for bounded
+    group cardinality, the standard applyInPandas caveat.
+    """
+    import pandas as pd
+
+    e = load(spark, sf_dir, "events")
+
+    def zscore(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        v = pdf["value"]
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "event_type": pdf["event_type"],
+                "zscore": ((v - v.mean()) / v.std(ddof=1)).round(4),
+            }
+        )
+
+    return e.groupBy("event_type").applyInPandas(
+        zscore, schema="event_id long, event_type string, zscore double"
+    )
