@@ -62,6 +62,22 @@ def main() -> int:
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
+
+    # Warmup at the smallest SF: compiles/JITs every generated stage of
+    # the exact headline plans so the timed sf run measures steady-state
+    # throughput, not first-query codegen (set SPARK_GRAFT_WARMUP=0 to
+    # include cold-start in the measurement).
+    if os.environ.get("SPARK_GRAFT_WARMUP", "1") != "0":
+        warm_dir = "/root/testdata/sf0.001"
+        if os.path.isdir(warm_dir):
+            for name in HEADLINE:
+                try:
+                    qs[name](spark, warm_dir).write.mode("overwrite").format(
+                        "noop"
+                    ).save()
+                except Exception:
+                    pass
+
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]

@@ -109,3 +109,43 @@ def stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.round("total_value", 2).alias("total_value"),
     )
+
+
+@register(
+    "stream_sliding_counts",
+    oracle="""
+    WITH expanded AS (
+        SELECT event_type,
+               unnest([
+                   date_trunc('hour', ts)
+                     + CASE WHEN extract(minute from ts) >= 30
+                            THEN INTERVAL 30 MINUTE ELSE INTERVAL 0 MINUTE END,
+                   date_trunc('hour', ts)
+                     + CASE WHEN extract(minute from ts) >= 30
+                            THEN INTERVAL 30 MINUTE ELSE INTERVAL 0 MINUTE END
+                     - INTERVAL 30 MINUTE
+               ]) AS window_start
+        FROM events
+    )
+    SELECT window_start, event_type, COUNT(*) AS n_events
+    FROM expanded
+    GROUP BY 1, 2
+    """,
+)
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1h every 30min): every event lands in exactly two
+    overlapping windows; the oracle expands the same membership
+    manually (trunc-to-half-hour and its predecessor)."""
+    ev = S.events_stream(spark, sf_dir)
+    out = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    res = S.run_to_memory(out, _unique("stream_sliding"), output_mode="complete")
+    return res
