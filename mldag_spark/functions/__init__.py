@@ -114,3 +114,45 @@ def fingerprint(c) -> Column:
     """Deterministic document fingerprint: md5 of the normalized text
     (md5 exists in every engine, so oracles can reproduce it)."""
     return F.md5(normalize_text(c))
+
+
+def winnow_fingerprints(df, id_col: str, text_col: str, k: int = 3, w: int = 4):
+    """(id, fp) — winnowing fingerprints (Schleimer/Wilkerson/Aiken):
+    hash every k-gram positionally, slide a window of ``w`` consecutive
+    hashes, keep each window's minimum, emit the distinct set.
+
+    Guarantees every shared run of ≥ w+k-1 tokens between two documents
+    shares at least one fingerprint — the rolling-hash dedup primitive
+    for partial-overlap (quotation/boilerplate) detection, where
+    whole-set Jaccard is too coarse.
+
+    Same execution shape as :func:`shingle_sets`: posexplode + window
+    functions, all codegen'd, one shuffle on ``id``.
+    """
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(tokenize(F.col(text_col))).alias("_pos", "_t"),
+    )
+    wo = Window.partitionBy(id_col).orderBy("_pos")
+    gram = F.concat_ws(
+        " ", F.col("_t"), *[F.lead("_t", i).over(wo) for i in range(1, k)]
+    )
+    n = F.count(F.lit(1)).over(Window.partitionBy(id_col))
+    grams = toks.select(
+        F.col(id_col),
+        F.xxhash64(gram).alias("_h"),
+        "_pos",
+        n.alias("_n"),
+    ).filter(
+        (F.col("_pos") <= F.col("_n") - k)
+        | ((F.col("_n") <= k) & (F.col("_pos") == 0))
+    )
+    roll = wo.rowsBetween(0, w - 1)
+    return (
+        grams.select(
+            F.col(id_col), F.min("_h").over(roll).alias("fp")
+        )
+        .distinct()
+    )

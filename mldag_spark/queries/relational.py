@@ -945,3 +945,73 @@ def agg_pivot_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)))
         .na.fill(0)
     )
+
+
+# ---------------------------------------------------------------------------
+# skew-mitigation: salted two-phase aggregation (exact result)
+# ---------------------------------------------------------------------------
+@register(
+    "agg_salted_returnflag_totals",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(l_extendedprice), 2) AS total_price,
+           COUNT(*) AS n_lines,
+           ROUND(MAX(l_quantity), 2) AS max_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_salted_returnflag_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over a deliberately low-cardinality
+    (≡ skew-prone) key: 3 flags × n_salts partials, then a 3-row final
+    fold. Result is exact — identical oracle to the plain groupBy —
+    which is the point: salting changes routing, never answers."""
+    from mldag_spark.operators.skew import salted_aggregate
+
+    l = load(spark, sf_dir, "lineitem")
+    out = salted_aggregate(
+        l,
+        keys=["l_returnflag"],
+        aggs={
+            "total_price_raw": F.sum("l_extendedprice"),
+            "n_lines": F.count(F.lit(1)),
+            "max_qty_raw": F.max("l_quantity"),
+        },
+        n_salts=16,
+    )
+    return out.select(
+        "l_returnflag",
+        F.round("total_price_raw", 2).alias("total_price"),
+        "n_lines",
+        F.round("max_qty_raw", 2).alias("max_qty"),
+    )
+
+
+@register(
+    "join_salted_nation_volume",
+    oracle="""
+    SELECT n_name, COUNT(*) AS n_customers,
+           ROUND(SUM(c_acctbal), 2) AS total_balance
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def join_salted_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join on the nation key (25 values → hot buckets by
+    construction). Same oracle as the plain join: salting must not
+    change the answer. (In production this shape would broadcast —
+    the query pins the technique for the can't-broadcast case.)"""
+    from mldag_spark.operators.skew import salted_join
+
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation").withColumnRenamed(
+        "n_nationkey", "c_nationkey"
+    )
+    return (
+        salted_join(c, n, key="c_nationkey", n_salts=8)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+        )
+    )

@@ -332,3 +332,29 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         t, id_col="doc_id", set_col="sh", threshold=0.8,
         num_hashes=64, bands=16,
     )
+
+
+@register("text_winnow_overlap")  # no oracle: fingerprint selection is hash-specific
+def text_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-overlap detection via winnowing fingerprints: doc pairs
+    sharing >= 3 rolling-hash fingerprints, with the shared count.
+    Catches shared passages (quotes/boilerplate) that whole-document
+    Jaccard dilutes away. Join is an inverted index on fp — the same
+    bounded-fanout shape as the shingle index."""
+    from mldag_spark.functions import winnow_fingerprints
+
+    d = load(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(d, "doc_id", "text", k=3, w=4)
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_fps"))
+        .filter(F.col("n_shared_fps") >= 3)
+    )

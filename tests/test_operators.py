@@ -123,3 +123,48 @@ def test_ivf_topk_recall_and_exact_scores(spark, sf_dir):
         if key in bf:
             assert r["cos"] == pytest.approx(bf[key], abs=1e-6)
     assert hits / len(bf) > 0.4  # loose recall floor at n_probe=2/4
+
+
+def test_winnow_fingerprints_dup_and_overlap(spark):
+    from mldag_spark.functions import winnow_fingerprints
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base),
+        (2, base),                                   # exact dup
+        (3, "completely different words without any overlap here at all"),
+        (4, "prefix text then " + base),             # contains base
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    fps = winnow_fingerprints(df, "doc_id", "text", k=3, w=4)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] == by_doc[2]                    # identical docs
+    assert not (by_doc[1] & by_doc[3])               # disjoint docs
+    # winnowing guarantee: a shared run >= w+k-1 tokens shares >=1 fp
+    assert by_doc[1] & by_doc[4]
+
+
+def test_salted_aggregate_and_join_exact(spark):
+    from pyspark.sql import functions as F
+    from mldag_spark.operators.skew import salted_aggregate, salted_join
+
+    df = spark.createDataFrame(
+        [("a", i) for i in range(100)] + [("b", i) for i in range(5)],
+        ["k", "v"],
+    )
+    out = {
+        r["k"]: (r["total"], r["n"], r["mx"])
+        for r in salted_aggregate(
+            df, ["k"],
+            {"total": F.sum("v"), "n": F.count(F.lit(1)), "mx": F.max("v")},
+            n_salts=7,
+        ).collect()
+    }
+    assert out == {"a": (4950, 100, 99), "b": (10, 5, 4)}
+
+    dim = spark.createDataFrame([("a", "A"), ("b", "B")], ["k", "label"])
+    joined = salted_join(df, dim, key="k", n_salts=5)
+    assert joined.count() == 105
+    assert joined.filter(F.col("label") == "A").count() == 100
