@@ -1,0 +1,90 @@
+"""Property-based tests (hypothesis) — beyond the reference's
+literal-value test strategy (SURVEY §5: it has none).
+
+Spark session startup dominates, so properties run on small generated
+inputs with a shared session and bounded example counts.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from mldag_spark.functions import shingle_sets
+
+_settings = settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+words = st.text(alphabet="abcdef", min_size=1, max_size=4)
+docs = st.lists(words, min_size=1, max_size=12)
+
+
+def _naive_shingle_set(tokens: list[str], k: int = 3) -> set[str]:
+    if len(tokens) <= k:
+        return {" ".join(tokens)}
+    return {" ".join(tokens[i: i + k]) for i in range(len(tokens) - k + 1)}
+
+
+@given(doc=docs)
+@_settings
+def test_shingle_sets_matches_naive(spark, doc):
+    text = " ".join(doc)
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    got = set(shingle_sets(df, "doc_id", "text", 3).first()["sh"])
+    assert got == _naive_shingle_set(doc, 3)
+
+
+@given(
+    data=st.lists(
+        st.tuples(st.sampled_from("ab"), st.integers(0, 1000)),
+        min_size=1,
+        max_size=30,
+    ),
+    n_salts=st.integers(1, 9),
+)
+@_settings
+def test_salted_aggregate_always_exact(spark, data, n_salts):
+    from pyspark.sql import functions as F
+
+    from mldag_spark.operators.skew import salted_aggregate
+
+    df = spark.createDataFrame(data, ["k", "v"])
+    got = {
+        r["k"]: (r["total"], r["n"])
+        for r in salted_aggregate(
+            df, ["k"], {"total": F.sum("v"), "n": F.count(F.lit(1))},
+            n_salts=n_salts,
+        ).collect()
+    }
+    want: dict[str, tuple[int, int]] = {}
+    for k, v in data:
+        t, n = want.get(k, (0, 0))
+        want[k] = (t + v, n + 1)
+    assert got == want
+
+
+@given(
+    sets=st.lists(
+        st.sets(st.integers(0, 30), min_size=1, max_size=10),
+        min_size=2,
+        max_size=6,
+    )
+)
+@_settings
+def test_minhash_lsh_no_false_positives(spark, sets):
+    """Whatever the banding emits, verification guarantees every
+    reported pair truly meets the Jaccard threshold."""
+    from mldag_spark.operators.dedup import minhash_lsh_pairs
+
+    rows = [(i, [str(x) for x in s]) for i, s in enumerate(sets)]
+    df = spark.createDataFrame(rows, ["doc_id", "sh"])
+    out = minhash_lsh_pairs(
+        df, "doc_id", "sh", threshold=0.6, num_hashes=16, bands=4
+    ).collect()
+    for r in out:
+        a, b = set(sets[r["doc_a"]]), set(sets[r["doc_b"]])
+        true_j = len(a & b) / len(a | b)
+        assert true_j >= 0.6
+        assert abs(r["jaccard"] - round(true_j, 4)) < 1e-9
