@@ -40,6 +40,7 @@ def _load_all() -> None:
         events,
         multimodal,
         relational,
+        relational_ext,
         streaming,
         text,
         vectors,

@@ -1,0 +1,437 @@
+"""Extended relational coverage: scalar-subquery / EXISTS patterns
+(TPC-H q11/q15/q20/q21 shapes adapted to the test schema, which has no
+``partsupp`` table or ship/commit/receipt-date triple), plus window
+functions (ntile, percent_rank, cume_dist, first/last value), exact
+percentiles, correlation statistics, unpivot, and grouping sets.
+
+Scale notes:
+
+- scalar subqueries (the q11/q15 HAVING/WHERE thresholds) become a
+  1-row aggregate cross-joined (Spark auto-broadcasts a 1-row side;
+  BroadcastNestedLoopJoin over one row is free) — never a driver-side
+  ``.collect()`` round trip, so one job, no eager materialization.
+- the q21 EXISTS/NOT-EXISTS pair is rewritten as a single per-order
+  aggregate + join, which replaces two correlated semi/anti joins
+  (each a full shuffle of lineitem) with ONE shuffle on l_orderkey.
+- window queries partition by a real key (priority, nation) so work
+  distributes; no global single-partition windows except over
+  already-aggregated tiny frames.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from mldag_spark.queries import register
+from mldag_spark.queries.tables import dim, load
+
+
+# ---------------------------------------------------------------------------
+# q11 shape: aggregate + HAVING against a scalar subquery of the total
+# ---------------------------------------------------------------------------
+@register(
+    "q11_part_value_concentration",
+    oracle="""
+    SELECT l_partkey,
+           ROUND(SUM(l_extendedprice * l_quantity), 2) AS part_value
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING SUM(l_extendedprice * l_quantity) >
+           (SELECT SUM(l_extendedprice * l_quantity) * 0.0008 FROM lineitem)
+    """,
+)
+def q11_part_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts whose traded value exceeds 0.12% of total traded value.
+
+    TPC-H q11 pattern (group HAVING > scalar subquery), adapted from
+    partsupp to lineitem. The total is a 1-row aggregate broadcast into
+    the filter — no collect, no second scan of the grouped result.
+    """
+    l = load(spark, sf_dir, "lineitem")
+    value = F.col("l_extendedprice") * F.col("l_quantity")
+    per_part = l.groupBy("l_partkey").agg(F.sum(value).alias("_val"))
+    total = l.agg((F.sum(value) * F.lit(0.0008)).alias("_threshold"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("_val") > F.col("_threshold"))
+        .select("l_partkey", F.round("_val", 2).alias("part_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q15 shape: aggregate view + WHERE = (SELECT MAX(...) FROM view)
+# ---------------------------------------------------------------------------
+@register(
+    "q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+        SELECT l_suppkey,
+               SUM(l_extendedprice * (1 - l_discount)) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, ROUND(total_revenue, 2) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier(s) with max revenue in 1997Q1 (TPC-H q15 pattern).
+
+    The max-of-aggregate is an empty-frame window over the ~|suppliers|
+    aggregated rows (tiny), not a re-scan of lineitem: one fact shuffle
+    total. Ties (several suppliers at the max) are kept, like q15.
+    """
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    revenue = l.groupBy("l_suppkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "_rev"
+        )
+    )
+    top = revenue.withColumn(
+        "_max", F.max("_rev").over(Window.partitionBy())
+    ).filter(F.col("_rev") == F.col("_max"))
+    s = dim(spark, sf_dir, "supplier")
+    return top.join(s, top.l_suppkey == s.s_suppkey).select(
+        "s_suppkey", "s_name", F.round("_rev", 2).alias("total_revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q20 shape: IN-subquery chain (semi join against an aggregated filter)
+# ---------------------------------------------------------------------------
+@register(
+    "q20_heavy_small_part_suppliers",
+    oracle="""
+    WITH heavy AS (
+        SELECT l_suppkey, SUM(l_quantity) AS qty
+        FROM lineitem
+        WHERE l_partkey IN
+              (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, ROUND(s_acctbal, 2) AS s_acctbal
+    FROM supplier
+    WHERE s_suppkey IN (
+        SELECT l_suppkey FROM heavy
+        WHERE qty > (SELECT AVG(qty) * 1.1 FROM heavy)
+    )
+    """,
+)
+def q20_heavy_small_part_suppliers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Suppliers that moved 10%-above-average volume of 'small *' parts
+    (q20 shape: nested IN subqueries → broadcast semi joins). The
+    threshold is RELATIVE (1.1 × mean per-supplier quantity), so the
+    query stays selective at every scale factor.
+
+    part is broadcast into lineitem (semi), the aggregate runs
+    map-side-partial on l_suppkey, the mean is a window over the tiny
+    aggregated frame, and the surviving supplier key set (tiny)
+    semi-joins supplier.
+    """
+    p = dim(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    l = load(spark, sf_dir, "lineitem")
+    heavy = (
+        l.join(p, l.l_partkey == p.p_partkey, "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("_qty"))
+        .withColumn("_avg", F.avg("_qty").over(Window.partitionBy()))
+        .filter(F.col("_qty") > F.col("_avg") * 1.1)
+    )
+    s = load(spark, sf_dir, "supplier")
+    return s.join(
+        F.broadcast(heavy), s.s_suppkey == heavy.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+
+
+# ---------------------------------------------------------------------------
+# q21 shape: EXISTS + NOT EXISTS over sibling lineitems of an order
+# ---------------------------------------------------------------------------
+@register(
+    "q21_sole_late_supplier",
+    oracle="""
+    WITH lat AS (
+        SELECT l_orderkey, l_suppkey,
+               CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                    THEN 1 ELSE 0 END AS late
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        WHERE o_orderstatus = 'F'
+    ),
+    ord AS (
+        SELECT l_orderkey,
+               COUNT(DISTINCT l_suppkey) AS n_supp,
+               COUNT(DISTINCT CASE WHEN late = 1 THEN l_suppkey END) AS n_late
+        FROM lat GROUP BY l_orderkey
+    )
+    SELECT s_name, COUNT(DISTINCT lat.l_orderkey) AS numwait
+    FROM lat
+    JOIN ord ON ord.l_orderkey = lat.l_orderkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE lat.late = 1 AND ord.n_supp >= 2 AND ord.n_late = 1
+    GROUP BY s_name
+    """,
+)
+def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who were the ONLY late shipper in multi-supplier
+    finished orders ("late" = shipped > 90 days after order date, since
+    the schema has no commit/receipt dates).
+
+    TPC-H q21's correlated EXISTS (another supplier in the order) +
+    NOT EXISTS (no OTHER late supplier) is algebraized into one
+    per-order aggregate — n_supp ≥ 2 ∧ n_late = 1 ∧ this row late —
+    replacing two extra correlated shuffles of lineitem with one
+    groupBy(l_orderkey) that reuses the join shuffle's partitioning.
+    """
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    l = load(spark, sf_dir, "lineitem")
+    lat = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+            )
+            .cast("int")
+            .alias("late"),
+        )
+    )
+    ord_stats = lat.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("late") == 1, F.col("l_suppkey"))
+        ).alias("n_late"),
+    )
+    s = dim(spark, sf_dir, "supplier")
+    return (
+        lat.filter(F.col("late") == 1)
+        .join(ord_stats, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        .join(s, lat.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# window: NTILE decile segmentation
+# ---------------------------------------------------------------------------
+@register(
+    "window_ntile_price_deciles",
+    oracle="""
+    SELECT o_orderpriority, tile,
+           COUNT(*) AS n_orders,
+           ROUND(AVG(o_totalprice), 2) AS avg_price
+    FROM (
+        SELECT o_orderpriority, o_totalprice,
+               NTILE(10) OVER (PARTITION BY o_orderpriority
+                               ORDER BY o_totalprice, o_orderkey) AS tile
+        FROM orders
+    )
+    GROUP BY o_orderpriority, tile
+    """,
+)
+def window_ntile_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile segmentation of order value within each priority class
+    (NTILE), aggregated per tile. The window partitions by priority so
+    the sort distributes; (o_totalprice, o_orderkey) ordering makes
+    tile assignment deterministic under ties.
+    """
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return (
+        o.withColumn("tile", F.ntile(10).over(w))
+        .groupBy("o_orderpriority", "tile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# window: percent_rank / cume_dist / first_value / last_value
+# ---------------------------------------------------------------------------
+@register(
+    "window_supplier_balance_ranks",
+    oracle="""
+    SELECT s_suppkey, s_nationkey,
+           ROUND(PERCENT_RANK() OVER w, 4) AS pct_rank,
+           ROUND(CUME_DIST()    OVER w, 4) AS cume,
+           FIRST_VALUE(s_suppkey) OVER w   AS poorest_supp,
+           LAST_VALUE(s_suppkey) OVER (
+               PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS richest_supp
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)
+    """,
+)
+def window_supplier_balance_ranks(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """percent_rank + cume_dist + first/last_value over suppliers per
+    nation. last_value uses an explicit unbounded frame (the default
+    RANGE … CURRENT ROW frame would return the current row — a classic
+    trap both engines share).
+    """
+    s = load(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
+    w_full = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return s.select(
+        "s_suppkey",
+        "s_nationkey",
+        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 4).alias("cume"),
+        F.first("s_suppkey").over(w).alias("poorest_supp"),
+        F.last("s_suppkey").over(w_full).alias("richest_supp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# aggregate: exact percentiles (linear interpolation)
+# ---------------------------------------------------------------------------
+@register(
+    "agg_price_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(QUANTILE_CONT(l_extendedprice, 0.25), 4) AS p25,
+           ROUND(MEDIAN(l_extendedprice), 4)              AS p50,
+           ROUND(QUANTILE_CONT(l_extendedprice, 0.75), 4) AS p75,
+           ROUND(QUANTILE_CONT(l_extendedprice, 0.99), 4) AS p99
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear-interpolated, matching QUANTILE_CONT).
+
+    Exact percentile is a full-sort aggregate — right for audits at
+    moderate group cardinality; the approx_percentile variant in
+    ``agg_approx_distinct_counts``'s family is the 100 TB default.
+    """
+    l = load(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.median("l_extendedprice"), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 4).alias("p75"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 4).alias("p99"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# aggregate: correlation / covariance / dispersion statistics
+# ---------------------------------------------------------------------------
+@register(
+    "agg_quantity_price_stats",
+    oracle="""
+    SELECT l_linestatus,
+           ROUND(CORR(l_quantity, l_extendedprice), 4)       AS qty_price_corr,
+           ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 4) AS qty_price_covar,
+           ROUND(STDDEV_SAMP(l_discount), 6)                 AS disc_stddev,
+           ROUND(VAR_POP(l_tax), 6)                          AS tax_var
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+)
+def agg_quantity_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (corr/covar/stddev/variance) — all
+    single-pass partial-aggregable moments, so they scale like SUM."""
+    l = load(spark, sf_dir, "lineitem")
+    return l.groupBy("l_linestatus").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias(
+            "qty_price_corr"
+        ),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "qty_price_covar"
+        ),
+        F.round(F.stddev_samp("l_discount"), 6).alias("disc_stddev"),
+        F.round(F.var_pop("l_tax"), 6).alias("tax_var"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# reshape: unpivot (wide → long)
+# ---------------------------------------------------------------------------
+@register(
+    "unpivot_revenue_components",
+    oracle="""
+    WITH wide AS (
+        SELECT l_returnflag,
+               ROUND(SUM(l_extendedprice), 2)                AS gross,
+               ROUND(SUM(l_extendedprice * l_discount), 2)   AS discount_given,
+               ROUND(SUM(l_extendedprice * l_tax), 2)        AS tax_collected
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, component, amount FROM (
+        SELECT l_returnflag, 'gross' AS component, gross AS amount FROM wide
+        UNION ALL
+        SELECT l_returnflag, 'discount_given', discount_given FROM wide
+        UNION ALL
+        SELECT l_returnflag, 'tax_collected', tax_collected FROM wide
+    )
+    """,
+)
+def unpivot_revenue_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide aggregate → long (component, amount) rows via unpivot/melt —
+    the inverse of ``agg_pivot_event_values``. Unpivot is a zero-shuffle
+    row-expansion (Expand node), so it's free at any scale."""
+    l = load(spark, sf_dir, "lineitem")
+    wide = l.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("gross"),
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "discount_given"
+        ),
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_tax")), 2).alias(
+            "tax_collected"
+        ),
+    )
+    return wide.unpivot(
+        ["l_returnflag"],
+        ["gross", "discount_given", "tax_collected"],
+        "component",
+        "amount",
+    )
+
+
+# ---------------------------------------------------------------------------
+# aggregate: GROUPING SETS (beyond rollup/cube)
+# ---------------------------------------------------------------------------
+@register(
+    "agg_grouping_sets_flag_status",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def agg_grouping_sets_flag_status(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Explicit GROUPING SETS — the per-flag and per-status marginals
+    plus the grand total, WITHOUT the (flag, status) cross cells that
+    rollup/cube would add. One Expand + one shuffle."""
+    l = load(spark, sf_dir, "lineitem")
+    return l.groupingSets(
+        [["l_returnflag"], ["l_linestatus"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
