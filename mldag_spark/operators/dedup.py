@@ -129,6 +129,94 @@ def minhash_lsh_pairs(
     )
 
 
+def connected_components(
+    edges: DataFrame, src: str = "doc_a", dst: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) labels for the undirected graph given as an
+    edge list — the clustering step that turns near-dup PAIRS into
+    duplicate GROUPS (component id = min node id in the group).
+
+    Algorithm: alternating Large-Star / Small-Star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) — each
+    round is two shuffle stages (groupBy min + re-emit), and the edge
+    set contracts toward star graphs in O(log² n) rounds regardless of
+    component diameter. Plain min-label propagation needs O(diameter)
+    rounds, which is unbounded for chain-shaped near-dup clusters
+    (templated text), so it is the wrong plan at 100 TB.
+
+    Each round materializes via ``localCheckpoint`` to truncate plan
+    lineage (on a real cluster point ``spark.sparkContext.setCheckpointDir``
+    at durable storage and swap in ``checkpoint``); convergence is
+    detected by the edge set's (count, hash-sum) signature reaching a
+    fixed point.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def signature(df: DataFrame):
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            # bit_xor, not sum: order-independent and cannot overflow
+            # under ANSI mode
+            F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+        ).collect()[0]
+        return row["n"], row["h"]
+
+    def large_star(df: DataFrame) -> DataFrame:
+        sym = df.union(df.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        return (
+            sym.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("m").alias("u"), F.col("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(df: DataFrame) -> DataFrame:
+        # orient max→min, so every grouped neighbor is <= u
+        d = df.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        m = d.groupBy("u").agg(F.min("v").alias("m"))
+        relinked = (
+            d.join(m, "u")
+            .select(F.col("m").alias("u"), F.col("v"))
+            .union(m.select(F.col("m").alias("u"), F.col("u").alias("v")))
+        )
+        return (
+            relinked.select(
+                F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    sig = signature(e)
+    for _ in range(max_iter):
+        e = small_star(large_star(e)).localCheckpoint()
+        new_sig = signature(e)
+        if new_sig == sig:
+            break
+        sig = new_sig
+
+    # converged edge set is a union of stars (root = component min);
+    # label every member, roots included
+    members = e.select(F.col("v").alias("node"), F.col("u").alias("component"))
+    roots = e.select(F.col("u").alias("node"), F.col("u").alias("component"))
+    return members.union(roots).groupBy("node").agg(
+        F.min("component").alias("component")
+    )
+
+
 def simhash_values(
     df: DataFrame, id_col: str, token_col: str, bits: int = 16
 ) -> DataFrame:

@@ -358,3 +358,81 @@ def text_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared_fps"))
         .filter(F.col("n_shared_fps") >= 3)
     )
+
+
+_COMPONENTS_ORACLE_BODY = f"""
+    jp AS (
+        {_JACCARD_ORACLE}
+    ),
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM jp
+        UNION ALL
+        SELECT doc_b AS u, doc_a AS v FROM jp
+    ),
+    reach(node, comp) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+        UNION
+        SELECT e.v, r.comp
+        FROM reach r JOIN edges e ON e.u = r.node
+    ),
+    labels AS (
+        SELECT node, MIN(comp) AS component FROM reach GROUP BY node
+    )
+"""
+
+
+@register(
+    "dedup_components",
+    oracle=f"""
+    WITH RECURSIVE {_COMPONENTS_ORACLE_BODY}
+    SELECT node AS doc_id, component FROM labels
+    """,
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate GROUPS from near-dup pairs: connected components over
+    the exact 3-gram-Jaccard >= 0.8 pair graph (component id = min
+    doc_id of the group).
+
+    Pair generation is the oracle-matched inverted-index plan of
+    ``dedup_ngram_jaccard``; clustering is alternating
+    Large-Star/Small-Star (see ``operators.dedup.connected_components``)
+    — O(log² n) shuffle rounds independent of cluster diameter, the
+    shape that survives chain-shaped duplicate clusters at 100 TB.
+    The DuckDB oracle computes the same closure with a recursive CTE.
+    """
+    from mldag_spark.operators.dedup import connected_components
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir)
+    return connected_components(pairs, "doc_a", "doc_b").select(
+        F.col("node").alias("doc_id"), "component"
+    )
+
+
+@register(
+    "dedup_keep_representatives",
+    oracle=f"""
+    WITH RECURSIVE {_COMPONENTS_ORACLE_BODY}
+    SELECT d.doc_id, d.n_chars
+    FROM documents d
+    WHERE d.doc_id NOT IN
+          (SELECT node FROM labels WHERE node != component)
+    """,
+)
+def dedup_keep_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized dedup: keep ONE representative (min doc_id) per
+    duplicate group, all singletons untouched — i.e. drop every
+    component member that is not its component's id. This is the actual
+    corpus-shrinking step a training-data pipeline runs after pair
+    mining + clustering; implemented as a broadcast anti-join of the
+    (tiny) non-representative id set against documents."""
+    from mldag_spark.operators.dedup import connected_components
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir)
+    labels = connected_components(pairs, "doc_a", "doc_b")
+    drop = labels.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    d = load(spark, sf_dir, "documents")
+    return d.join(F.broadcast(drop), "doc_id", "left_anti").select(
+        "doc_id", "n_chars"
+    )

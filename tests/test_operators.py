@@ -168,3 +168,34 @@ def test_salted_aggregate_and_join_exact(spark):
     joined = salted_join(df, dim, key="k", n_salts=5)
     assert joined.count() == 105
     assert joined.filter(F.col("label") == "A").count() == 100
+
+
+def test_connected_components_chain_triangle_singleton(spark):
+    from mldag_spark.operators.dedup import connected_components
+
+    # 0-1-2-...-9 chain (diameter 9 — the case where naive label
+    # propagation needs 9 rounds), a triangle, a 2-cycle duplicate
+    # edge, and reversed/self/dup edges for normalization coverage
+    edges = (
+        [(i, i + 1) for i in range(9)]
+        + [(20, 21), (21, 22), (22, 20)]
+        + [(30, 31), (31, 30), (30, 31), (40, 40)]
+    )
+    df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    got = {
+        (r["node"], r["component"])
+        for r in connected_components(df, "doc_a", "doc_b").collect()
+    }
+    want = (
+        {(i, 0) for i in range(10)}
+        | {(20, 20), (21, 20), (22, 20)}
+        | {(30, 30), (31, 30)}
+    )
+    assert got == want  # self-loop node 40 is not a component member
+
+
+def test_connected_components_empty_edges(spark):
+    from mldag_spark.operators.dedup import connected_components
+
+    df = spark.createDataFrame([], "doc_a bigint, doc_b bigint")
+    assert connected_components(df).count() == 0
