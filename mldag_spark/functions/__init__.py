@@ -156,3 +156,59 @@ def winnow_fingerprints(df, id_col: str, text_col: str, k: int = 3, w: int = 4):
         )
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-summation guards for the DuckDB value-hash gate
+# ---------------------------------------------------------------------------
+# ROUND(SUM(<double expr>), k) is order-of-summation dependent in the
+# last float bit: Spark's partial aggregates accumulate in partition
+# order (which shifts with partition count / AQE) while DuckDB uses its
+# own order, so a sum landing within float noise of a 0.5·10^-k
+# boundary rounds differently per engine — a penny-level, plan-dependent
+# flake. Summing an exact DECIMAL instead makes the aggregate
+# order-independent and bit-identical on both engines at ANY
+# partitioning, which is precisely what a 100 TB re-partition must not
+# break. The per-row cast is exact-enough (half-up at 1e-6 on identical
+# doubles) and decimal(18,6) holds |x| < 1e12, far above any per-row
+# money value in the schema.
+#
+# SQL oracle mirrors: see DSUM_SQL / DAVG_SQL format helpers.
+
+_DEC = "decimal(18,6)"
+
+
+def _dec(c):
+    if isinstance(c, str):
+        c = F.col(c)
+    return c.cast(_DEC)
+
+
+def dsum(c, scale: int = 2):
+    """Order-independent ROUND(SUM(c), scale) as a double column."""
+    return F.round(F.sum(_dec(c)), scale).cast("double")
+
+
+def davg(c, scale: int = 4):
+    """Order-independent ROUND(AVG(c), scale): exact decimal sum cast
+    to double, divided by the group count (both engines perform the
+    identical IEEE division), then rounded."""
+    return F.round(
+        F.sum(_dec(c)).cast("double") / F.count(F.lit(1)), scale
+    )
+
+
+def dsum_sql(expr: str, scale: int = 2) -> str:
+    """DuckDB oracle equivalent of :func:`dsum`."""
+    return (
+        f"CAST(ROUND(SUM(CAST(({expr}) AS DECIMAL(18,6))), {scale})"
+        " AS DOUBLE)"
+    )
+
+
+def davg_sql(expr: str, scale: int = 4) -> str:
+    """DuckDB oracle equivalent of :func:`davg`."""
+    return (
+        f"ROUND(CAST(SUM(CAST(({expr}) AS DECIMAL(18,6))) AS DOUBLE)"
+        f" / COUNT(*), {scale})"
+    )

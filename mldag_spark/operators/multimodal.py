@@ -22,6 +22,8 @@ from collections.abc import Iterator
 from typing import Optional
 
 from pyspark.sql import DataFrame, functions as F
+
+from mldag_spark.functions import davg
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
@@ -170,6 +172,6 @@ def media_stats(media: DataFrame) -> DataFrame:
     return media.groupBy("mime").agg(
         F.count(F.lit(1)).alias("n_items"),
         F.sum(F.length("payload")).alias("total_bytes"),
-        F.round(F.avg("width"), 2).alias("avg_width"),
-        F.round(F.avg("height"), 2).alias("avg_height"),
+        davg("width", 2).alias("avg_width"),
+        davg("height", 2).alias("avg_height"),
     )

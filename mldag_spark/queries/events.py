@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
 from mldag_spark.queries import register
-from mldag_spark.queries.tables import load
+from mldag_spark.queries.tables import dsum, load
 
 
 @register(
@@ -40,7 +40,7 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT DATE_TRUNC('hour', ts) AS hour_start, event_type,
            COUNT(*) AS n_events,
-           ROUND(SUM(value), 2) AS total_value
+           CAST(ROUND(SUM(CAST((value) AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -55,7 +55,7 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            dsum("value", 2).alias("total_value"),
         )
     )
 

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
 from mldag_spark.queries import register
-from mldag_spark.queries.tables import dim, load
+from mldag_spark.queries.tables import davg, dim, dsum, load
 
 
 # ---------------------------------------------------------------------------
@@ -33,14 +33,14 @@ from mldag_spark.queries.tables import dim, load
     "q1_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           ROUND(SUM(l_quantity), 2)                               AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2)                          AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)       AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+           CAST(ROUND(SUM(CAST((l_quantity) AS DECIMAL(18,6))), 2) AS DOUBLE)                               AS sum_qty,
+           CAST(ROUND(SUM(CAST((l_extendedprice) AS DECIMAL(18,6))), 2) AS DOUBLE)                          AS sum_base_price,
+           CAST(ROUND(SUM(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(18,6))), 2) AS DOUBLE)       AS sum_disc_price,
+           CAST(ROUND(SUM(CAST((l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS DECIMAL(18,6))), 2) AS DOUBLE)
                                                                    AS sum_charge,
-           ROUND(AVG(l_quantity), 4)                               AS avg_qty,
-           ROUND(AVG(l_extendedprice), 4)                          AS avg_price,
-           ROUND(AVG(l_discount), 4)                               AS avg_disc,
+           ROUND(CAST(SUM(CAST((l_quantity) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4)                               AS avg_qty,
+           ROUND(CAST(SUM(CAST((l_extendedprice) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4)                          AS avg_price,
+           ROUND(CAST(SUM(CAST((l_discount) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4)                               AS avg_disc,
            COUNT(*)                                                AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -54,13 +54,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            dsum("l_quantity", 2).alias("sum_qty"),
+            dsum("l_extendedprice", 2).alias("sum_base_price"),
+            dsum(disc_price, 2).alias("sum_disc_price"),
+            dsum(disc_price * (1 + F.col("l_tax")), 2).alias("sum_charge"),
+            davg("l_quantity", 4).alias("avg_qty"),
+            davg("l_extendedprice", 4).alias("avg_price"),
+            davg("l_discount", 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -73,7 +73,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     oracle="""
     SELECT l_orderkey,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(ROUND(SUM(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
            o_orderdate
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -99,9 +99,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias("revenue")
         )
         .select("l_orderkey", "revenue", "o_orderdate")
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
@@ -116,7 +114,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_local_supplier_volume",
     oracle="""
     SELECT n_name,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           CAST(ROUND(SUM(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -150,9 +148,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(r, n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias("revenue")
         )
     )
 
@@ -163,7 +159,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q6_revenue_forecast",
     oracle="""
-    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+    SELECT CAST(ROUND(SUM(CAST((l_extendedprice * l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
            COUNT(*) AS n_items
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -182,7 +178,7 @@ def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            dsum(F.col("l_extendedprice") * F.col("l_discount"), 2).alias(
                 "revenue"
             ),
             F.count(F.lit(1)).alias("n_items"),
@@ -197,7 +193,7 @@ def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_items",
     oracle="""
     SELECT c_custkey, c_name,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(ROUND(SUM(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
            n_name
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -220,9 +216,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(n, c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias("revenue")
         )
         .select("c_custkey", "c_name", "revenue", "n_name")
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
@@ -273,7 +267,7 @@ def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> Data
     oracle="""
     SELECT o_orderkey,
            COUNT(l_orderkey) AS n_lines,
-           ROUND(COALESCE(SUM(l_quantity), 0), 2) AS total_qty
+           CAST(ROUND(COALESCE(SUM(CAST((l_quantity) AS DECIMAL(18,6))), 0), 2) AS DOUBLE) AS total_qty
     FROM orders
     LEFT JOIN lineitem ON o_orderkey = l_orderkey
     GROUP BY o_orderkey
@@ -288,9 +282,15 @@ def join_outer_order_linecounts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderkey")
         .agg(
             F.count("l_orderkey").alias("n_lines"),
-            F.round(F.coalesce(F.sum("l_quantity"), F.lit(0.0)), 2).alias(
-                "total_qty"
-            ),
+            F.round(
+                F.coalesce(
+                    F.sum(F.col("l_quantity").cast("decimal(18,6)")),
+                    F.lit(0),
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("total_qty"),
         )
     )
 
@@ -331,11 +331,11 @@ def window_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFra
     "window_running_customer_spend",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           ROUND(SUM(o_totalprice) OVER (
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
                PARTITION BY o_custkey
                ORDER BY o_orderdate, o_orderkey
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ), 2) AS running_spend
+           ), 2) AS DOUBLE) AS running_spend
     FROM orders
     """,
 )
@@ -349,7 +349,9 @@ def window_running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")).over(w), 2)
+        .cast("double")
+        .alias("running_spend"),
     )
 
 
@@ -360,7 +362,7 @@ def window_running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame
     "agg_rollup_flag_status",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           CAST(ROUND(SUM(CAST((l_quantity) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty,
            COUNT(*) AS cnt
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -369,7 +371,7 @@ def window_running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame
 def agg_rollup_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load(spark, sf_dir, "lineitem")
     return l.rollup("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        dsum("l_quantity", 2).alias("sum_qty"),
         F.count(F.lit(1)).alias("cnt"),
     )
 
@@ -378,7 +380,7 @@ def agg_rollup_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_cube_status_priority",
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
-           ROUND(SUM(o_totalprice), 2) AS sum_price,
+           CAST(ROUND(SUM(CAST((o_totalprice) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_price,
            COUNT(*) AS cnt
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
@@ -387,7 +389,7 @@ def agg_rollup_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     return o.cube("o_orderstatus", "o_orderpriority").agg(
-        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        dsum("o_totalprice", 2).alias("sum_price"),
         F.count(F.lit(1)).alias("cnt"),
     )
 
@@ -629,7 +631,7 @@ def q4_late_shipment_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
            CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS l_year,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           CAST(ROUND(SUM(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
     FROM lineitem
     JOIN orders   ON o_orderkey = l_orderkey
     JOIN customer ON c_custkey = o_custkey
@@ -670,9 +672,7 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias("revenue")
         )
     )
 
@@ -711,10 +711,12 @@ def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q14_promo_revenue_share",
     oracle="""
-    SELECT ROUND(100.0 * SUM(CASE WHEN p_type LIKE 'PROMO%'
+    SELECT ROUND(100.0 * CAST(SUM(CAST((CASE WHEN p_type LIKE 'PROMO%'
                                   THEN l_extendedprice * (1 - l_discount)
-                                  ELSE 0 END)
-                 / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_share
+                                  ELSE 0 END) AS DECIMAL(18,6))) AS DOUBLE)
+                 / CAST(SUM(CAST((l_extendedprice * (1 - l_discount))
+                                 AS DECIMAL(18,6))) AS DOUBLE),
+                 4) AS promo_share
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
@@ -731,7 +733,12 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.join(p, l.l_partkey == p.p_partkey)
         .agg(
-            F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_share")
+            F.round(
+                100.0
+                * F.sum(promo.cast("decimal(18,6)")).cast("double")
+                / F.sum(rev.cast("decimal(18,6)")).cast("double"),
+                4,
+            ).alias("promo_share")
         )
     )
 
@@ -742,7 +749,7 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q17_small_quantity_revenue",
     oracle="""
-    SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+    SELECT ROUND(CAST(SUM(CAST((l_extendedprice) AS DECIMAL(18,6))) AS DOUBLE) / 7.0, 2) AS avg_yearly
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
     WHERE p_brand = 'Brand#1'
@@ -764,7 +771,12 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.withColumn("avg_qty", F.avg("l_quantity").over(w))
         .join(p, F.col("l_partkey") == F.col("p_partkey"))
         .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg(F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
+                .cast("double")
+                / 7.0,
+                2,
+            ).alias("avg_yearly"))
     )
 
 
@@ -775,7 +787,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q18_large_orders",
     oracle="""
     SELECT c_name, o_orderkey, o_orderdate, o_totalprice,
-           ROUND(SUM(l_quantity), 2) AS total_qty
+           CAST(ROUND(SUM(CAST((l_quantity) AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_qty
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON o_orderkey = l_orderkey
@@ -803,7 +815,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(c, o.o_custkey == c.c_custkey)
         .join(l, o.o_orderkey == l.l_orderkey)
         .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .agg(dsum("l_quantity", 2).alias("total_qty"))
     )
 
 
@@ -813,7 +825,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q19_disjunctive_revenue",
     oracle="""
-    SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+    SELECT CAST(ROUND(SUM(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
            COUNT(*) AS n_lines
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
@@ -846,9 +858,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(p, l.l_partkey == p.p_partkey)
         .filter(cond)
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
@@ -862,7 +872,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_mktsegment,
            COUNT(*) AS numcust,
-           ROUND(SUM(c_acctbal), 2) AS totacctbal
+           CAST(ROUND(SUM(CAST((c_acctbal) AS DECIMAL(18,6))), 2) AS DOUBLE) AS totacctbal
     FROM customer
     WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
       AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
@@ -885,7 +895,7 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            dsum("c_acctbal", 2).alias("totacctbal"),
         )
     )
 
@@ -954,7 +964,7 @@ def agg_pivot_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_salted_returnflag_totals",
     oracle="""
     SELECT l_returnflag,
-           ROUND(SUM(l_extendedprice), 2) AS total_price,
+           CAST(ROUND(SUM(CAST((l_extendedprice) AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_price,
            COUNT(*) AS n_lines,
            ROUND(MAX(l_quantity), 2) AS max_qty
     FROM lineitem
@@ -973,7 +983,9 @@ def agg_salted_returnflag_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         l,
         keys=["l_returnflag"],
         aggs={
-            "total_price_raw": F.sum("l_extendedprice"),
+            "total_price_raw": F.sum(
+                F.col("l_extendedprice").cast("decimal(18,6)")
+            ),
             "n_lines": F.count(F.lit(1)),
             "max_qty_raw": F.max("l_quantity"),
         },
@@ -981,7 +993,7 @@ def agg_salted_returnflag_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "l_returnflag",
-        F.round("total_price_raw", 2).alias("total_price"),
+        F.round("total_price_raw", 2).cast("double").alias("total_price"),
         "n_lines",
         F.round("max_qty_raw", 2).alias("max_qty"),
     )
@@ -991,7 +1003,7 @@ def agg_salted_returnflag_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_salted_nation_volume",
     oracle="""
     SELECT n_name, COUNT(*) AS n_customers,
-           ROUND(SUM(c_acctbal), 2) AS total_balance
+           CAST(ROUND(SUM(CAST((c_acctbal) AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_balance
     FROM customer JOIN nation ON c_nationkey = n_nationkey
     GROUP BY n_name
     """,
@@ -1012,7 +1024,7 @@ def join_salted_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+            dsum("c_acctbal", 2).alias("total_balance"),
         )
     )
 
@@ -1024,8 +1036,11 @@ def join_salted_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q8_market_share",
     oracle="""
     SELECT o_year,
-           ROUND(SUM(CASE WHEN n_name = 'CHINA' THEN volume ELSE 0 END)
-                 / SUM(volume), 4) AS mkt_share
+           ROUND(CAST(SUM(CAST((CASE WHEN n_name = 'CHINA'
+                               THEN volume ELSE 0 END) AS DECIMAL(18,6)))
+                      AS DOUBLE)
+                 / CAST(SUM(CAST((volume) AS DECIMAL(18,6))) AS DOUBLE),
+                 4) AS mkt_share
     FROM (
         SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
                l_extendedprice * (1 - l_discount) AS volume,
@@ -1051,8 +1066,12 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
             F.round(
-                F.sum(F.when(F.col("n_name") == "CHINA", vol).otherwise(0.0))
-                / F.sum(vol),
+                F.sum(
+                    F.when(F.col("n_name") == "CHINA", vol)
+                    .otherwise(0.0)
+                    .cast("decimal(18,6)")
+                ).cast("double")
+                / F.sum(vol.cast("decimal(18,6)")).cast("double"),
                 4,
             ).alias("mkt_share")
         )
@@ -1067,8 +1086,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT n_name AS nation,
            CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)
-                     - 0.6 * p_retailprice * l_quantity), 2) AS profit
+           CAST(ROUND(SUM(CAST((l_extendedprice * (1 - l_discount)
+                     - 0.6 * p_retailprice * l_quantity) AS DECIMAL(18,6))), 2) AS DOUBLE) AS profit
     FROM lineitem
     JOIN part     ON p_partkey = l_partkey
     JOIN supplier ON s_suppkey = l_suppkey
@@ -1098,7 +1117,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").alias("o_year"),
         )
-        .agg(F.round(F.sum(profit), 2).alias("profit"))
+        .agg(dsum(profit, 2).alias("profit"))
     )
 
 
@@ -1123,4 +1142,50 @@ def q16_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(p, l.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q12-shaped: conditional priority counts over the fact-fact join
+# (reference has no relational ops — SURVEY.md §2.3; this covers the
+# CASE-WHEN-inside-SUM aggregation pattern of TPC-H Q12, with
+# l_returnflag standing in for the absent l_shipmode column)
+# ---------------------------------------------------------------------------
+@register(
+    "q12_priority_shipments",
+    oracle="""
+    SELECT l_returnflag,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_returnflag
+    """,
+)
+def q12_priority_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 pattern: shuffle join on the order key, then a two-way
+    conditional count.  Both CASE branches fold into one map-side
+    partial aggregate, so the post-join shuffle carries only
+    (flag, two longs) per partition — constant-size at any SF."""
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(
+            l,
+            (o.o_orderkey == l.l_orderkey)
+            & (l.l_shipdate > F.date_add(o.o_orderdate, 60)),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
     )

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
 from mldag_spark.queries import register
-from mldag_spark.queries.tables import dim, load
+from mldag_spark.queries.tables import davg, dim, dsum, load
 
 
 # ---------------------------------------------------------------------------
@@ -34,11 +34,13 @@ from mldag_spark.queries.tables import dim, load
     "q11_part_value_concentration",
     oracle="""
     SELECT l_partkey,
-           ROUND(SUM(l_extendedprice * l_quantity), 2) AS part_value
+           CAST(ROUND(SUM(CAST((l_extendedprice * l_quantity) AS DECIMAL(18,6))), 2) AS DOUBLE) AS part_value
     FROM lineitem
     GROUP BY l_partkey
-    HAVING SUM(l_extendedprice * l_quantity) >
-           (SELECT SUM(l_extendedprice * l_quantity) * 0.0008 FROM lineitem)
+    HAVING SUM(CAST((l_extendedprice * l_quantity) AS DECIMAL(18,6))) >
+           (SELECT SUM(CAST((l_extendedprice * l_quantity) AS DECIMAL(18,6)))
+                   * 0.0008
+            FROM lineitem)
     """,
 )
 def q11_part_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -50,12 +52,20 @@ def q11_part_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     l = load(spark, sf_dir, "lineitem")
     value = F.col("l_extendedprice") * F.col("l_quantity")
-    per_part = l.groupBy("l_partkey").agg(F.sum(value).alias("_val"))
-    total = l.agg((F.sum(value) * F.lit(0.0008)).alias("_threshold"))
+    dvalue = value.cast("decimal(18,6)")
+    per_part = l.groupBy("l_partkey").agg(F.sum(dvalue).alias("_val"))
+    total = l.agg(
+        (F.sum(dvalue) * F.lit("0.0008").cast("decimal(8,6)")).alias(
+            "_threshold"
+        )
+    )
     return (
         per_part.join(F.broadcast(total))
         .filter(F.col("_val") > F.col("_threshold"))
-        .select("l_partkey", F.round("_val", 2).alias("part_value"))
+        .select(
+            "l_partkey",
+            F.round("_val", 2).cast("double").alias("part_value"),
+        )
     )
 
 
@@ -67,13 +77,15 @@ def q11_part_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH revenue AS (
         SELECT l_suppkey,
-               SUM(l_extendedprice * (1 - l_discount)) AS total_revenue
+               SUM(CAST((l_extendedprice * (1 - l_discount))
+                        AS DECIMAL(18,6))) AS total_revenue
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
           AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
         GROUP BY l_suppkey
     )
-    SELECT s_suppkey, s_name, ROUND(total_revenue, 2) AS total_revenue
+    SELECT s_suppkey, s_name,
+           CAST(ROUND(total_revenue, 2) AS DOUBLE) AS total_revenue
     FROM supplier JOIN revenue ON s_suppkey = l_suppkey
     WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
     """,
@@ -90,16 +102,20 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
     )
     revenue = l.groupBy("l_suppkey").agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-            "_rev"
-        )
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(18,6)"
+            )
+        ).alias("_rev")
     )
     top = revenue.withColumn(
         "_max", F.max("_rev").over(Window.partitionBy())
     ).filter(F.col("_rev") == F.col("_max"))
     s = dim(spark, sf_dir, "supplier")
     return top.join(s, top.l_suppkey == s.s_suppkey).select(
-        "s_suppkey", "s_name", F.round("_rev", 2).alias("total_revenue")
+        "s_suppkey",
+        "s_name",
+        F.round("_rev", 2).cast("double").alias("total_revenue"),
     )
 
 
@@ -230,7 +246,7 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderpriority, tile,
            COUNT(*) AS n_orders,
-           ROUND(AVG(o_totalprice), 2) AS avg_price
+           ROUND(CAST(SUM(CAST((o_totalprice) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 2) AS avg_price
     FROM (
         SELECT o_orderpriority, o_totalprice,
                NTILE(10) OVER (PARTITION BY o_orderpriority
@@ -255,7 +271,7 @@ def window_ntile_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority", "tile")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+            davg("o_totalprice", 2).alias("avg_price"),
         )
     )
 
@@ -371,9 +387,9 @@ def agg_quantity_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH wide AS (
         SELECT l_returnflag,
-               ROUND(SUM(l_extendedprice), 2)                AS gross,
-               ROUND(SUM(l_extendedprice * l_discount), 2)   AS discount_given,
-               ROUND(SUM(l_extendedprice * l_tax), 2)        AS tax_collected
+               CAST(ROUND(SUM(CAST((l_extendedprice) AS DECIMAL(18,6))), 2) AS DOUBLE)                AS gross,
+               CAST(ROUND(SUM(CAST((l_extendedprice * l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE)   AS discount_given,
+               CAST(ROUND(SUM(CAST((l_extendedprice * l_tax) AS DECIMAL(18,6))), 2) AS DOUBLE)        AS tax_collected
         FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag, component, amount FROM (
@@ -391,11 +407,11 @@ def unpivot_revenue_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     row-expansion (Expand node), so it's free at any scale."""
     l = load(spark, sf_dir, "lineitem")
     wide = l.groupBy("l_returnflag").agg(
-        F.round(F.sum("l_extendedprice"), 2).alias("gross"),
-        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+        dsum("l_extendedprice", 2).alias("gross"),
+        dsum(F.col("l_extendedprice") * F.col("l_discount"), 2).alias(
             "discount_given"
         ),
-        F.round(F.sum(F.col("l_extendedprice") * F.col("l_tax")), 2).alias(
+        dsum(F.col("l_extendedprice") * F.col("l_tax"), 2).alias(
             "tax_collected"
         ),
     )
@@ -414,7 +430,7 @@ def unpivot_revenue_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_grouping_sets_flag_status",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           CAST(ROUND(SUM(CAST((l_quantity) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty,
            COUNT(*) AS n
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
@@ -432,6 +448,131 @@ def agg_grouping_sets_flag_status(
         "l_returnflag",
         "l_linestatus",
     ).agg(
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        dsum("l_quantity", 2).alias("sum_qty"),
         F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# full-outer join (completes the join-flavor matrix: inner/left/right/
+# semi/anti/cross are covered elsewhere — SURVEY.md §2.3 "joins (all
+# flavors)")
+# ---------------------------------------------------------------------------
+@register(
+    "join_full_outer_daily_activity",
+    oracle="""
+    SELECT COALESCE(o.d, s.d) AS d,
+           COALESCE(o.n_orders, 0) AS n_orders,
+           COALESCE(s.n_ship, 0)   AS n_ship
+    FROM (SELECT o_orderdate AS d, COUNT(*) AS n_orders
+          FROM orders GROUP BY 1) o
+    FULL OUTER JOIN
+         (SELECT l_shipdate AS d, COUNT(*) AS n_ship
+          FROM lineitem GROUP BY 1) s
+      ON o.d = s.d
+    """,
+)
+def join_full_outer_daily_activity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Daily order-placement vs shipment calendars, FULL OUTER joined
+    so days present on only one side survive with a zero count.
+
+    Both sides aggregate BEFORE the join (map-side partial → one
+    shuffle each), so the full-outer join — which Spark can only
+    execute as a shuffle join, never broadcast — runs over two
+    date-cardinality inputs, not the raw facts. That ordering is what
+    keeps this plan viable at 100 TB: ~2.5k distinct days regardless
+    of fact-table size."""
+    o = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    s = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_shipdate").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n_ship"))
+    )
+    return (
+        o.withColumnRenamed("d", "d_o")
+        .join(s.withColumnRenamed("d", "d_s"), F.col("d_o") == F.col("d_s"), "full")
+        .select(
+            F.coalesce("d_o", "d_s").alias("d"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("n_ship", F.lit(0)).alias("n_ship"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# RANGE-frame window: trailing 30-day moving average (value-range
+# frame, vs the rowsBetween running frames used elsewhere)
+# ---------------------------------------------------------------------------
+@register(
+    "window_range_30d_spend",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+             AS sum_30d,
+           COUNT(*) OVER w AS n_30d
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+                 RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_range_30d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer trailing-30-day spend via a rangeBetween frame
+    over epoch seconds.
+
+    RANGE frames (unlike ROWS) include ORDER-BY peers symmetrically,
+    so ties on the sort key are deterministic — required for the
+    value-hash gate. The windowed aggregate runs over DECIMAL, not
+    DOUBLE: sliding-frame sums are order-of-evaluation-dependent in
+    the last float bit (Spark recomputes, DuckDB uses segment trees),
+    and decimal arithmetic is exact on both engines. Partitioning is
+    by customer, so the window never concentrates on one task; frame
+    offsets are relative, so the session-timezone shift of
+    unix_timestamp cancels between row and peers."""
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-2592000, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_30d"),
+        F.count(F.lit(1)).over(w).alias("n_30d"),
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "join_right_customer_ordercounts",
+    oracle="""
+    SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+    FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_custkey
+    """,
+)
+def join_right_customer_ordercounts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """RIGHT OUTER join flavor: preserve every customer, count their
+    orders (0 for order-less customers via COUNT of a nullable key).
+    Spark plans this as the mirrored left-outer; with the customer
+    side small it broadcasts and the fact side never shuffles."""
+    o = load(spark, sf_dir, "orders")
+    c = dim(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "right")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
     )

@@ -51,3 +51,8 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def dim(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """A dimension table with a broadcast-join hint attached."""
     return F.broadcast(load(spark, sf_dir, name))
+
+
+# Exact-summation guards live with the other reusable column helpers;
+# re-exported here because every query module already imports tables.
+from mldag_spark.functions import davg, davg_sql, dsum, dsum_sql  # noqa: E402,F401

@@ -16,6 +16,7 @@ counts explode.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
 
 from mldag_spark.functions import (
     bpe_ish_tokens,
@@ -436,3 +437,44 @@ def dedup_keep_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.join(F.broadcast(drop), "doc_id", "left_anti").select(
         "doc_id", "n_chars"
     )
+
+
+@register(
+    "text_top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT lang,
+             unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS tok
+      FROM documents
+    ),
+    freq AS (
+      SELECT lang, tok, COUNT(*) AS n
+      FROM toks WHERE tok <> '' GROUP BY 1, 2
+    )
+    SELECT lang, tok, n, rnk FROM (
+      SELECT lang, tok, n,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, tok) AS rnk
+      FROM freq
+    ) WHERE rnk <= 10
+    """,
+)
+def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary ranking: top-10 terms per language.
+
+    explode → groupBy(lang, tok) with map-side partial counts →
+    per-lang row_number window.  The window input is the aggregated
+    term dictionary (vocabulary-sized, not corpus-sized), so the sort
+    per language stays small at any corpus scale; ties are broken
+    lexicographically so the top-k set is deterministic for the
+    value-hash gate."""
+    d = load(spark, sf_dir, "documents")
+    freq = (
+        d.select("lang", F.explode(tokenize(F.col("text"))).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("tok"))
+    return freq.select(
+        "lang", "tok", "n", F.row_number().over(w).alias("rnk")
+    ).filter(F.col("rnk") <= 10)

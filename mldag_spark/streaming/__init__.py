@@ -80,7 +80,12 @@ def windowed_rollup(
         .groupBy(win.alias("win"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            # decimal, not double, so the windowed sum is
+            # order-independent and matches the batch/DuckDB value
+            # exactly at any micro-batch partitioning
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("total_value"),
         )
         .select(
             F.col("win.start").alias("window_start"),
@@ -134,18 +139,27 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     state_schema = StructType(
         [
             StructField("n", LongType()),
-            StructField("total", DoubleType()),
+            # exact integer micro-units: float accumulation across
+            # micro-batches is order-dependent in the last bit, which
+            # flips the rounded total vs the batch oracle
+            StructField("total_micro", LongType()),
         ]
     )
 
     def update(key, pdfs, state):
-        n, total = state.get if state.exists else (0, 0.0)
+        n, total_micro = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            total += float(pdf["value"].sum())
-        state.update((n, total))
+            total_micro += int(
+                (pdf["value"] * 1_000_000).round().astype("int64").sum()
+            )
+        state.update((n, total_micro))
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [total_micro / 1_000_000],
+            }
         )
 
     return events.groupBy("user_id").applyInPandasWithState(
