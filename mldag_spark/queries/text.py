@@ -478,3 +478,44 @@ def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return freq.select(
         "lang", "tok", "n", F.row_number().over(w).alias("rnk")
     ).filter(F.col("rnk") <= 10)
+
+
+@register(
+    "sample_deterministic_split",
+    oracle="""
+    WITH tagged AS (
+        SELECT doc_id, lang,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                 % 100 AS bucket
+        FROM documents
+    )
+    SELECT CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           lang,
+           COUNT(*) AS n_docs
+    FROM tagged
+    GROUP BY 1, 2
+    """,
+)
+def sample_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split by content-free key
+    hash (md5 of the id, not rand()): the assignment is a pure
+    per-row projection, so it is stable across runs, engines, cluster
+    sizes and re-partitions — the property a reproducible training
+    pipeline needs, and why rand()-based sampling is the wrong tool.
+    No shuffle until the final tiny (split, lang) rollup."""
+    d = load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "lang")
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
