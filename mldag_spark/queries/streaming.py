@@ -149,3 +149,24 @@ def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     res = S.run_to_memory(out, _unique("stream_sliding"), output_mode="complete")
     return res
+
+
+@register(
+    "stream_dedup_keys",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+)
+def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact deduplication: ``dropDuplicates`` on the key
+    columns keeps the first arrival per key in the state store — the
+    streaming mirror of batch DISTINCT. Only the keys are emitted
+    (which arrival wins is arrival-order dependent, so payload columns
+    would not be oracle-stable). At 100 TB the state is bounded by key
+    cardinality, not stream length; pair with
+    ``dropDuplicatesWithinWatermark`` when keys can expire."""
+    ev = S.events_stream(spark, sf_dir)
+    out = ev.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    return S.run_to_memory(out, _unique("stream_dedup"), output_mode="append")
