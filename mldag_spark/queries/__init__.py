@@ -37,6 +37,7 @@ def register(name: str, oracle: Optional[str] = None):
 def _load_all() -> None:
     # import for side effect: each module registers its queries
     from mldag_spark.queries import (  # noqa: F401
+        dag_pipeline,
         events,
         multimodal,
         relational,

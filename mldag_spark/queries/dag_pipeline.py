@@ -1,0 +1,68 @@
+"""A query executed THROUGH the DAG engine (not a plain function).
+
+Everything else in the registry calls the DataFrame API directly; this
+entry builds an ``MLDag`` — two source nodes, a join node, an
+aggregate node, wired with the piping DSL — and runs its transform
+pass, so the engine's construction/routing/scheduling path itself sits
+inside the driver's DuckDB correctness gate.
+
+Because every node hands its downstream a *lazy* DataFrame, the DAG
+boundary adds zero execution cost: Catalyst sees one fused plan
+(broadcast-joined, partially aggregated) identical to the hand-written
+equivalent — the core design claim of the rebuild (SURVEY.md §1.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+import mldag_spark as m
+from mldag_spark.queries import register
+from mldag_spark.queries.tables import dsum, load
+
+
+@register(
+    "dag_pipeline_priority_revenue",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(ROUND(SUM(CAST((l_extendedprice * (1 - l_discount))
+                               AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def dag_pipeline_priority_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    dag = m.MLDag()
+
+    def load_orders(sf_dir):
+        return load(spark, sf_dir, "orders")
+
+    def load_lineitem(sf_dir):
+        return load(spark, sf_dir, "lineitem")
+
+    def join_facts(orders, lineitem):
+        return orders.join(
+            lineitem, orders.o_orderkey == lineitem.l_orderkey
+        )
+
+    def priority_revenue(joined):
+        return joined.groupBy("o_orderpriority").agg(
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+
+    o_node = dag["sf_dir"] >> m.as_node(load_orders, name="orders_src")
+    l_node = dag["sf_dir"] >> m.as_node(load_lineitem, name="lineitem_src")
+    j_node = m.as_node(join_facts, name="join_facts")
+    o_node["result"] >> j_node["orders"]
+    l_node["result"] >> j_node["lineitem"]
+    agg = j_node >> m.as_node(priority_revenue, name="priority_revenue")
+    agg["result"] >> dag["revenue_by_priority"]
+
+    run = dag.transform(sf_dir)
+    return run.outputs["revenue_by_priority"]

@@ -1189,3 +1189,23 @@ def q12_priority_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
         )
     )
+
+
+@register(
+    "setop_except_all_multiset",
+    oracle="""
+    SELECT l_orderkey FROM lineitem
+    EXCEPT ALL
+    SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+    """,
+)
+def setop_except_all_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (bag semantics, vs the set-difference ``subtract`` of
+    ``setop_churned_customers_except``): each order key survives with
+    multiplicity = total lines − returned lines. One shuffle on the
+    key; multiplicities are counted map-side, never materialized as
+    duplicate rows until output."""
+    l = load(spark, sf_dir, "lineitem")
+    all_keys = l.select("l_orderkey")
+    returned = l.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return all_keys.exceptAll(returned)

@@ -199,3 +199,25 @@ def test_connected_components_empty_edges(spark):
 
     df = spark.createDataFrame([], "doc_a bigint, doc_b bigint")
     assert connected_components(df).count() == 0
+
+
+def test_dsum_partition_invariant(spark):
+    """The decimal-exact aggregates must return bit-identical values
+    at any partitioning — the property the double-sum versions lacked
+    (order-of-summation noise flips ROUND at a boundary)."""
+    from mldag_spark.functions import davg, dsum
+
+    # values chosen to sit near a .005 rounding boundary when summed
+    rows = [(i, 0.105 + i * 1e-9) for i in range(10_000)]
+    df = spark.createDataFrame(rows, ["k", "x"])
+
+    def run(parts):
+        return (
+            df.repartition(parts)
+            .agg(dsum("x", 2).alias("s"), davg("x", 6).alias("a"))
+            .collect()[0]
+        )
+
+    r1, r13 = run(1), run(13)
+    assert r1["s"] == r13["s"]
+    assert r1["a"] == r13["a"]
