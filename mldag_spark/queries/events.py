@@ -245,3 +245,81 @@ def events_grouped_zscore_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("event_type").applyInPandas(
         zscore, schema="event_id long, event_type string, zscore double"
     )
+
+
+@register(
+    "events_funnel",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, event_type, date_trunc('microseconds', ts) AS ts
+        FROM events
+    ),
+    a AS (
+        SELECT user_id, MIN(ts) AS ts_a FROM ev
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    b AS (
+        SELECT e.user_id, MIN(e.ts) AS ts_b FROM ev e
+        JOIN a ON a.user_id = e.user_id
+        WHERE e.event_type = 'click' AND e.ts > a.ts_a
+        GROUP BY e.user_id
+    ),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS ts_c FROM ev e
+        JOIN b ON b.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > b.ts_b
+        GROUP BY e.user_id
+    )
+    SELECT 'view' AS stage, 1 AS stage_no,
+           (SELECT COUNT(*) FROM a) AS n_users
+    UNION ALL
+    SELECT 'click', 2, (SELECT COUNT(*) FROM b)
+    UNION ALL
+    SELECT 'purchase', 3, (SELECT COUNT(*) FROM c)
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → click → purchase): a user advances a
+    stage only with an event strictly AFTER their previous stage's
+    first event.
+
+    Each stage is a per-user MIN aggregate followed by a join back to
+    the (already user_id-partitioned) event rows, so every stage reuses
+    one hash partitioning on user_id — stage count scales the plan
+    linearly, never quadratically. Timestamp comparisons are µs-exact
+    on both engines (events ts is truncated from nanos on load; the
+    oracle truncates identically)."""
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+
+    a = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts_a"))
+    )
+    b = (
+        ev.join(a, "user_id")
+        .filter((F.col("event_type") == "click") & (F.col("ts") > F.col("ts_a")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts_b"))
+    )
+    c = (
+        ev.join(b, "user_id")
+        .filter(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("ts_b"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts_c"))
+    )
+
+    def stage(df, name, no):
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.lit(no).alias("stage_no"),
+            F.count(F.lit(1)).alias("n_users"),
+        )
+
+    return (
+        stage(a, "view", 1)
+        .unionAll(stage(b, "click", 2))
+        .unionAll(stage(c, "purchase", 3))
+    )

@@ -12,9 +12,11 @@ Scale design notes (local tests are sf≤0.1; targets are 100 TB):
   (enabled in bench/tests) coalesces partitions and splits skew.
 - every aggregate is expressed declaratively so Catalyst plans
   partial (map-side) aggregation before the shuffle.
-- floating aggregates are rounded on BOTH engines: double summation
-  order differs across partitionings, so bit-exact equality is the
-  wrong target; round(2..4) is stable at every scale.
+- money aggregates sum exact DECIMAL on BOTH engines (``dsum``/
+  ``davg``): double summation order differs across partitionings, so
+  a rounded double sum can flip its last penny per plan. Integer-
+  valued columns (``l_quantity``) are exempt — integer sums in
+  doubles are exact below 2^53 at any order.
 """
 
 from __future__ import annotations
@@ -33,12 +35,12 @@ from mldag_spark.queries.tables import davg, dim, dsum, load
     "q1_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           CAST(ROUND(SUM(CAST((l_quantity) AS DECIMAL(18,6))), 2) AS DOUBLE)                               AS sum_qty,
+           ROUND(SUM(l_quantity), 2)                               AS sum_qty,
            CAST(ROUND(SUM(CAST((l_extendedprice) AS DECIMAL(18,6))), 2) AS DOUBLE)                          AS sum_base_price,
            CAST(ROUND(SUM(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(18,6))), 2) AS DOUBLE)       AS sum_disc_price,
            CAST(ROUND(SUM(CAST((l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS DECIMAL(18,6))), 2) AS DOUBLE)
                                                                    AS sum_charge,
-           ROUND(CAST(SUM(CAST((l_quantity) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4)                               AS avg_qty,
+           ROUND(AVG(l_quantity), 4)                               AS avg_qty,
            ROUND(CAST(SUM(CAST((l_extendedprice) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4)                          AS avg_price,
            ROUND(CAST(SUM(CAST((l_discount) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4)                               AS avg_disc,
            COUNT(*)                                                AS count_order
@@ -54,11 +56,11 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            dsum("l_quantity", 2).alias("sum_qty"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             dsum("l_extendedprice", 2).alias("sum_base_price"),
             dsum(disc_price, 2).alias("sum_disc_price"),
             dsum(disc_price * (1 + F.col("l_tax")), 2).alias("sum_charge"),
-            davg("l_quantity", 4).alias("avg_qty"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             davg("l_extendedprice", 4).alias("avg_price"),
             davg("l_discount", 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
@@ -267,7 +269,7 @@ def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> Data
     oracle="""
     SELECT o_orderkey,
            COUNT(l_orderkey) AS n_lines,
-           CAST(ROUND(COALESCE(SUM(CAST((l_quantity) AS DECIMAL(18,6))), 0), 2) AS DOUBLE) AS total_qty
+           ROUND(COALESCE(SUM(l_quantity), 0), 2) AS total_qty
     FROM orders
     LEFT JOIN lineitem ON o_orderkey = l_orderkey
     GROUP BY o_orderkey
@@ -282,15 +284,9 @@ def join_outer_order_linecounts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderkey")
         .agg(
             F.count("l_orderkey").alias("n_lines"),
-            F.round(
-                F.coalesce(
-                    F.sum(F.col("l_quantity").cast("decimal(18,6)")),
-                    F.lit(0),
-                ),
-                2,
-            )
-            .cast("double")
-            .alias("total_qty"),
+            F.round(F.coalesce(F.sum("l_quantity"), F.lit(0.0)), 2).alias(
+                "total_qty"
+            ),
         )
     )
 
@@ -362,7 +358,7 @@ def window_running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame
     "agg_rollup_flag_status",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           CAST(ROUND(SUM(CAST((l_quantity) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
            COUNT(*) AS cnt
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -371,7 +367,7 @@ def window_running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame
 def agg_rollup_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load(spark, sf_dir, "lineitem")
     return l.rollup("l_returnflag", "l_linestatus").agg(
-        dsum("l_quantity", 2).alias("sum_qty"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
         F.count(F.lit(1)).alias("cnt"),
     )
 
@@ -787,7 +783,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q18_large_orders",
     oracle="""
     SELECT c_name, o_orderkey, o_orderdate, o_totalprice,
-           CAST(ROUND(SUM(CAST((l_quantity) AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_qty
+           ROUND(SUM(l_quantity), 2) AS total_qty
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON o_orderkey = l_orderkey
@@ -815,7 +811,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(c, o.o_custkey == c.c_custkey)
         .join(l, o.o_orderkey == l.l_orderkey)
         .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(dsum("l_quantity", 2).alias("total_qty"))
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
     )
 
 

@@ -430,7 +430,7 @@ def unpivot_revenue_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_grouping_sets_flag_status",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           CAST(ROUND(SUM(CAST((l_quantity) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
            COUNT(*) AS n
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
@@ -448,7 +448,7 @@ def agg_grouping_sets_flag_status(
         "l_returnflag",
         "l_linestatus",
     ).agg(
-        dsum("l_quantity", 2).alias("sum_qty"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
         F.count(F.lit(1)).alias("n"),
     )
 
