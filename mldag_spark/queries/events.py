@@ -323,3 +323,55 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(stage(b, "click", 2))
         .unionAll(stage(c, "purchase", 3))
     )
+
+
+@register(
+    "events_retention_cohorts",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, date_trunc('microseconds', ts) AS ts FROM events
+    ),
+    firsts AS (
+        SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+        FROM ev GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week FROM ev
+    )
+    SELECT cohort_week,
+           CAST(date_diff('day', cohort_week, act_week) / 7 AS INT)
+             AS weeks_since,
+           COUNT(*) AS n_users
+    FROM activity a JOIN firsts USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by the week of their
+    first event, counted in each later week they were active.
+
+    Both inputs hash-partition on user_id (first-event aggregate and
+    the distinct-activity set), so the join is co-partitioned; the
+    week offset is a day-difference divided by 7, which is exact on
+    week-truncated timestamps in both engines (DuckDB date_diff
+    'week' counts boundary crossings — a different function — so the
+    oracle uses the day form too). COUNT(*) over (user, week)-distinct
+    rows equals COUNT(DISTINCT user) per cell without a second
+    distinct aggregation."""
+    ev = load(spark, sf_dir, "events").select("user_id", "ts")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("act_week")
+    ).distinct()
+    return (
+        activity.join(firsts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("act_week", "cohort_week") / 7)
+            .cast("int")
+            .alias("weeks_since"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

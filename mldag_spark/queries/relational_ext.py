@@ -576,3 +576,35 @@ def join_right_customer_ordercounts(
         .groupBy("c_custkey")
         .agg(F.count("o_orderkey").alias("n_orders"))
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "agg_price_histogram",
+    oracle="""
+    SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bucket,
+           COUNT(*) AS n_orders,
+           ROUND(MIN(o_totalprice), 2) AS lo,
+           ROUND(MAX(o_totalprice), 2) AS hi
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def agg_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram via floor-division bucketing — a pure
+    projection before the aggregate, so the shuffle carries one row
+    per bucket per partition (map-side partial), independent of data
+    volume. min/max are order-independent, no decimal guard needed."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.floor(F.col("o_totalprice") / 50000)
+            .cast("long")
+            .alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
