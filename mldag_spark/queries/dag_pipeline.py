@@ -66,3 +66,68 @@ def dag_pipeline_priority_revenue(
 
     run = dag.transform(sf_dir)
     return run.outputs["revenue_by_priority"]
+
+
+@register(
+    "dag_ml_standard_scaler",
+    oracle="""
+    WITH stats AS (
+        SELECT AVG(embedding[1]) AS m, STDDEV_SAMP(embedding[1]) AS s
+        FROM embeddings
+    )
+    SELECT label, COUNT(*) AS n_vecs,
+           ROUND(AVG((embedding[1] - m) / s), 3) AS avg_scaled_x0
+    FROM embeddings, stats
+    GROUP BY label
+    """,
+)
+def dag_ml_standard_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A ``pyspark.ml`` estimator fitted through the DAG's FIT pass:
+    source → StandardScaler ``EstimatorNode`` (fit is an eager Spark
+    job producing the Model; transform applies it lazily) → per-label
+    stats of the scaled first component.
+
+    The oracle reproduces the scaler arithmetic in SQL — Spark ML's
+    StandardScaler(withMean, withStd) is (x - mean)/std with the
+    SAMPLE std (n-1 denominator), i.e. exactly STDDEV_SAMP. Output is
+    rounded to 3 dp: mean/std carry last-bit summation noise, but at
+    ~1-magnitude values the rounding boundary is ~1e12 times wider
+    than the noise."""
+    from pyspark.ml.feature import StandardScaler
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    dag = m.MLDag()
+
+    def load_vectors(sf_dir):
+        return load(spark, sf_dir, "embeddings").select(
+            "vec_id",
+            "label",
+            array_to_vector(
+                F.col("embedding").cast("array<double>")
+            ).alias("v"),
+        )
+
+    def label_stats(df):
+        x0 = vector_to_array(F.col("scaled")).getItem(0)
+        return (
+            df.select("label", x0.alias("x0"))
+            .groupBy("label")
+            .agg(
+                F.count(F.lit(1)).alias("n_vecs"),
+                F.round(F.avg("x0"), 3).alias("avg_scaled_x0"),
+            )
+        )
+
+    src = dag["sf_dir"] >> m.as_node(load_vectors, name="vectors_src")
+    scaler = m.EstimatorNode(
+        StandardScaler(
+            inputCol="v", outputCol="scaled", withMean=True, withStd=True
+        ),
+        name="scaler",
+    )
+    src >> scaler
+    stats = scaler >> m.as_node(label_stats, name="label_stats")
+    stats["result"] >> dag["scaled_stats"]
+
+    run = dag.fit_transform(sf_dir)
+    return run.outputs["scaled_stats"]
