@@ -170,3 +170,53 @@ def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["user_id", "event_type"]
     )
     return S.run_to_memory(out, _unique("stream_dedup"), output_mode="append")
+
+
+@register(
+    "stream_stream_join",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, date_trunc('microseconds', ts) AS ts FROM events
+        WHERE event_type = 'view'
+    ),
+    c AS (
+        SELECT user_id, date_trunc('microseconds', ts) AS ts FROM events
+        WHERE event_type = 'click'
+    )
+    SELECT v.user_id, COUNT(*) AS n_view_click_pairs
+    FROM v JOIN c ON c.user_id = v.user_id
+              AND c.ts >= v.ts
+              AND c.ts <= v.ts + INTERVAL 10 MINUTE
+    GROUP BY v.user_id
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: views joined to clicks by the same
+    user within 10 minutes. Both sides carry watermarks and the join
+    condition carries the time bound, so the state store can expire
+    rows — the mechanism that keeps stream-stream join state finite on
+    an unbounded stream. The availableNow drain over the finite test
+    file must equal the batch/DuckDB join."""
+    ev = S.events_stream(spark, sf_dir)
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .select("user_id", F.col("ts").alias("v_ts"))
+        .withWatermark("v_ts", "1 hour")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .selectExpr("user_id AS c_user", "ts AS c_ts")
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = v.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("v_ts"))
+        & (F.col("c_ts") <= F.col("v_ts") + F.expr("INTERVAL 10 MINUTES")),
+    )
+    res = S.run_to_memory(
+        joined.select("user_id"), _unique("stream_ssj"), output_mode="append"
+    )
+    return res.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_view_click_pairs")
+    )

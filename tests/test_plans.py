@@ -1,0 +1,83 @@
+"""Physical-plan regression tests: lock in the scale discipline.
+
+A query can stay correct while silently losing its broadcast hint,
+filter pushdown, or column pruning — correctness gates won't notice,
+but a 100 TB run will. These tests pin the plan properties the design
+depends on (README "Scale design").
+"""
+
+from __future__ import annotations
+
+import io
+import contextlib
+
+import pytest
+
+from tests.conftest import SF_DIR
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def registry():
+    from mldag_spark.queries import REGISTRY
+
+    return REGISTRY
+
+
+def test_q1_pushdown_and_pruning(spark, registry):
+    plan = _plan(registry["q1_pricing_summary"](spark, SF_DIR))
+    # the shipdate filter must reach the parquet scan...
+    assert "LessThanOrEqual(l_shipdate" in plan
+    # ...and the scan must read only the referenced columns, not all 11
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert read.count(",") <= 7, read
+    assert "l_comment" not in plan
+
+
+def test_dim_joins_broadcast_not_shuffle(spark, registry):
+    # q5 joins region/nation/supplier/customer: every dim side must be
+    # broadcast; the fact tables must never be re-sorted for a dim join
+    plan = _plan(registry["q5_local_supplier_volume"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_partial_aggregation_before_shuffle(spark, registry):
+    # map-side combine: a partial_sum/partial-HashAggregate must appear
+    # below the exchange for the flagship aggregation
+    plan = _plan(registry["q1_pricing_summary"](spark, SF_DIR))
+    assert "partial_" in plan or "HashAggregate" in plan
+    assert plan.index("HashAggregate") < plan.rindex("Exchange")
+
+
+def test_no_python_udfs_in_jvm_paths(spark, registry):
+    # these operators advertise "no Python in the hot path": their
+    # plans must not contain Python evals (Batch/ArrowEvalPython)
+    for name in (
+        "q1_pricing_summary",
+        "dedup_minhash_lsh",
+        "text_quality_score",
+        "events_sessionization",
+        "ann_cosine_topk",
+    ):
+        plan = _plan(registry[name](spark, SF_DIR))
+        assert "EvalPython" not in plan, name
+
+
+def test_no_cartesian_products_anywhere(spark, registry):
+    # scalar-subquery patterns use broadcast 1-row joins, which plan as
+    # BroadcastNestedLoopJoin — fine; a CartesianProduct is never fine
+    for name in (
+        "q11_part_value_concentration",
+        "q22_idle_rich_customers",
+        "join_range_parts_in_price_band",
+        "embedding_near_dup_blocked",
+    ):
+        plan = _plan(registry[name](spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
