@@ -95,10 +95,11 @@ def events_user_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sessions AS (
         SELECT user_id, ts, event_id,
-               SUM(new_session) OVER (
+               -- CAST: DuckDB SUM(int)=HUGEINT -> pandas float64; Spark is bigint
+               CAST(SUM(new_session) OVER (
                    PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-               ) AS session_no
+               ) AS BIGINT) AS session_no
         FROM flagged
     )
     SELECT user_id, session_no,

@@ -34,7 +34,7 @@ def _media(spark: SparkSession, sf_dir: str, mime: str = "image/png") -> DataFra
     oracle="""
     SELECT 'image/png' AS mime,
            COUNT(*) AS n_items,
-           SUM(octet_length(encode(text))) AS total_bytes,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
            ROUND(CAST(SUM(CAST((length(text) % 640 + 32) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 2) AS avg_width,
            ROUND(CAST(SUM(CAST((length(text) % 480 + 32) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 2) AS avg_height
     FROM documents

@@ -31,12 +31,18 @@ def normalize(df):
     df = df.reindex(sorted(df.columns), axis=1)
 
     def norm_cell(v):
+        # Type-tagged so 236.0 (DuckDB HUGEINT->float64) != 236 (Spark
+        # bigint) — mirrors the driver's dtype-sensitive value hash.
         if v is None:
             return None
         if isinstance(v, float):
             if math.isnan(v):
                 return None
-            return round(v, 6)
+            return ("f", round(v, 6))
+        import numpy as np
+
+        if isinstance(v, (int, np.integer)) and not isinstance(v, bool):
+            return ("i", int(v))
         return v
 
     rows = [

@@ -1,0 +1,66 @@
+"""Pins the driver-contract gate window.
+
+The driver's correctness gate checks only the FIRST 50 entries of
+``__spark_entry__.queries()`` (dict insertion order). These tests pin
+that the window is representative: every operator category and
+LLM-pipeline component has at least one entry inside it, and no
+rows-only (oracle-less) query burns a gated slot.
+"""
+
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+
+GATE_N = 50
+
+
+def _window():
+    return list(entrymod.queries())[:GATE_N]
+
+
+def test_registry_order_is_gate_order_prefix():
+    names = list(entrymod.queries())
+    assert names[: len(entrymod._GATE_ORDER)] == entrymod._GATE_ORDER
+    assert len(names) == len(set(names))
+
+
+def test_every_gated_query_has_an_oracle():
+    oracles = entrymod.oracle_sql()
+    missing = [n for n in _window() if n not in oracles]
+    assert missing == [], f"rows-only queries inside gate window: {missing}"
+
+
+def test_gate_window_covers_all_categories():
+    window = _window()
+
+    def any_with(prefix_or_names):
+        if isinstance(prefix_or_names, str):
+            return any(n.startswith(prefix_or_names) for n in window)
+        return any(n in window for n in prefix_or_names)
+
+    # SURVEY §2.3 categories + LLM-pipeline components
+    assert any_with("dag_")           # DAG engine fit/transform
+    assert any_with("text_")          # text analysis
+    assert any_with("dedup_")         # deduplication (exact + LSH + CC)
+    assert "dedup_minhash_lsh" in window
+    assert "dedup_components" in window
+    assert any_with("ann_")           # similarity search
+    assert any_with("stream_")        # structured streaming
+    assert any_with("multimodal_")    # multimodal columns
+    assert "sample_deterministic_split" in window
+    assert any_with("join_")          # joins incl. range + salted
+    assert "join_range_parts_in_price_band" in window
+    assert "join_salted_nation_volume" in window
+    assert any_with("window_")        # window functions
+    assert any_with("agg_")           # aggregations
+    assert any_with("setop_")         # set operations
+    assert any_with(["sort_top15_orders"])  # sort/limit
+    assert any_with(["scalar_expressions"])  # projection/scalar fns
+    assert any_with(["events_grouped_zscore_arrow"])  # Arrow UDF surface
+    assert any_with(["events_json_extract"])  # scalar fn breadth (json)
+
+
+def test_all_registered_queries_still_reachable():
+    from mldag_spark.queries import REGISTRY
+
+    assert set(entrymod.queries()) == set(REGISTRY)
