@@ -55,6 +55,7 @@ def main() -> int:
         # minutes (jstack cannot even attach); with the default heap the
         # same query sequence is stable and ~10x faster end-to-end.
         .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")

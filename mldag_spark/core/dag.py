@@ -700,9 +700,14 @@ class MLDag(Graph):
             down = dag.node_dict[order[e["downstream"]]]
             dag.connect(up, down, e["upstream_slot"], e["downstream_slot"])
         for i in data.get("inputs", []):
+            node = dag.node_dict[i["node"]]
+            # Re-derive default/kind from the live slot definition so a
+            # loaded DAG keeps optional inputs optional and preserves
+            # *args/**kwargs ports (same derivation as set_input).
+            slot_def = dag._input_slot_def(node, i["slot"])
             dag.inputs.append(
-                MLDagInput(name=i["name"], node=dag.node_dict[i["node"]],
-                           slot=i["slot"])
+                MLDagInput(name=i["name"], node=node, slot=i["slot"],
+                           default=slot_def.default, kind=slot_def.kind)
             )
         for o in data.get("outputs", []):
             dag.outputs.append(

@@ -261,31 +261,34 @@ def simhash_pairs(
 ) -> DataFrame:
     """Candidate near-dup pairs by SimHash hamming ball.
 
-    Banding: split the fingerprint into 2 halves; pairs within
-    hamming <= ``max_hamming`` (< bits/2 flips) share at least one
-    exact half with high probability, so the join key is
-    (half_idx, half_value) — again O(N) shuffle rows, no cartesian.
+    Banding: split the fingerprint into ``max_hamming + 1`` bands — by
+    pigeonhole, a pair within hamming <= ``max_hamming`` has all its
+    differing bits confined to at most ``max_hamming`` bands, so at
+    least one band matches EXACTLY (guaranteed recall, not
+    probabilistic). Join key is (band_idx, band_value) — O(N * bands)
+    shuffle rows, no cartesian.
     """
-    half = bits // 2
-    mask = (1 << half) - 1
+    n_bands = max_hamming + 1
+    if n_bands > bits:
+        raise ValueError(f"max_hamming={max_hamming} needs more bands than {bits} bits")
+    base, extra = divmod(bits, n_bands)
+    widths = [base + (1 if i < extra else 0) for i in range(n_bands)]
+    bands, off = [], 0
+    for i, w in enumerate(widths):
+        bands.append(
+            F.struct(
+                F.lit(i).alias("hidx"),
+                F.shiftright("simhash", off)
+                .bitwiseAND(F.lit((1 << w) - 1))
+                .alias("hval"),
+            )
+        )
+        off += w
     sh = simhash_values(df, id_col, token_col, bits)
     halves = sh.select(
         id_col,
         "simhash",
-        F.explode(
-            F.array(
-                F.struct(
-                    F.lit(0).alias("hidx"),
-                    F.col("simhash").bitwiseAND(F.lit(mask)).alias("hval"),
-                ),
-                F.struct(
-                    F.lit(1).alias("hidx"),
-                    F.shiftright("simhash", half)
-                    .bitwiseAND(F.lit(mask))
-                    .alias("hval"),
-                ),
-            )
-        ).alias("h"),
+        F.explode(F.array(*bands)).alias("h"),
     ).select(id_col, "simhash", "h.hidx", "h.hval")
     a = halves.alias("a")
     b = halves.alias("b")

@@ -9,12 +9,15 @@
   from O(N·Q) to O(N·Q/2^planes) expected — the 100 TB path. Recall
   is approximate; verification still computes true cosine.
 
-Both are pure JVM expressions (``zip_with``/``aggregate``); no UDFs.
+Cosine math in the exact path is a pure JVM expression; bucketing and
+batch kernels are Arrow-vectorized pandas UDFs (one BLAS call per
+batch), never row-at-a-time Python.
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
@@ -85,7 +88,6 @@ def brute_force_topk_arrow(
     shuffle carries only partial top-k rows.
     """
     import numpy as np
-    import pandas as pd
 
     q_rows = queries.select(id_col, vec_col).collect()
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
@@ -106,16 +108,30 @@ def brute_force_topk_arrow(
             mask = ids[:, None] == q_ids[None, :]
             sims[mask] = -np.inf                         # drop self-pairs
             top = min(k, sims.shape[0])
-            # per-query local top-k within this batch
-            idx = np.argpartition(-sims, top - 1, axis=0)[:top]
-            qi = np.tile(np.arange(sims.shape[1]), top)
-            ci = idx.ravel()
-            keep = np.isfinite(sims[ci, qi])
+            # Per-query local top-k within this batch. Ties at the
+            # local boundary must be broken exactly like the final
+            # window (cos DESC, neighbor_id ASC) or a tied smaller-id
+            # neighbor can be evicted in-batch and diverge from
+            # brute_force_topk.
+            out_q, out_n, out_c = [], [], []
+            for j in range(sims.shape[1]):
+                col = sims[:, j]
+                if top < col.shape[0]:
+                    kth = -np.partition(-col, top - 1)[top - 1]
+                    cand = np.nonzero(col >= kth)[0]  # includes boundary ties
+                else:
+                    cand = np.arange(col.shape[0])
+                order = cand[np.lexsort((ids[cand], -col[cand]))][:top]
+                keep = np.isfinite(col[order])
+                order = order[keep]
+                out_q.append(np.full(order.shape[0], q_ids[j]))
+                out_n.append(ids[order])
+                out_c.append(col[order])
             yield pd.DataFrame(
                 {
-                    "query_id": q_ids[qi[keep]],
-                    "neighbor_id": ids[ci[keep]],
-                    "cos": sims[ci[keep], qi[keep]],
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "cos": np.concatenate(out_c),
                 }
             )
 
@@ -170,18 +186,34 @@ def ivf_topk(
 
     centroids = np.array([np.asarray(ctr) for ctr in model.clusterCenters()])
 
-    q_rows = queries.select(
+    # Probe assignment stays distributed: the (n_lists × dim) centroid
+    # matrix is closed over (broadcast with the task closure) and each
+    # Arrow batch of queries computes its n_probe nearest cells with
+    # one vectorized distance matrix — no driver-side per-query loop,
+    # so large query sets scale with the cluster.
+
+    def probe_kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qm = np.array(list(pdf["qv"]), dtype=np.float64)
+            d = ((qm[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+            cells = np.argsort(d, axis=1, kind="stable")[:, :n_probe]
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(
+                        pdf["query_id"].to_numpy(), n_probe
+                    ),
+                    "qv": [v for v in pdf["qv"] for _ in range(n_probe)],
+                    "cell": cells.ravel().astype("int32"),
+                }
+            )
+
+    qdf = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
-    ).collect()
-    # probe assignment driver-side: |Q| × n_lists distances, tiny
-    probe_rows = []
-    for r in q_rows:
-        qv = np.array(r["qv"])
-        d = ((centroids - qv) ** 2).sum(axis=1)
-        for cell in np.argsort(d)[:n_probe]:
-            probe_rows.append((r["query_id"], list(r["qv"]), int(cell)))
-    probes = corpus.sparkSession.createDataFrame(
-        probe_rows, "query_id long, qv array<double>, cell int"
+    )
+    probes = qdf.mapInPandas(
+        probe_kernel, "query_id long, qv array<double>, cell int"
     )
 
     sims = (
@@ -208,18 +240,27 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return rng.standard_normal((n_planes, dim)).round(6).tolist()
 
 
-def signature_col(vec_col, planes: list[list[float]]):
-    """Sign-pattern bucket id of a vector against fixed hyperplanes."""
-    sig = F.lit(0)
-    for i, p in enumerate(planes):
-        plane = F.array(*[F.lit(float(x)) for x in p])
-        d = F.aggregate(
-            F.zip_with(vec_col, plane, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        sig = sig + F.when(d > 0, F.lit(1 << i)).otherwise(0)
-    return sig
+def signature_udf(planes: list[list[float]]):
+    """Sign-pattern bucket id of a vector against fixed hyperplanes.
+
+    Arrow-batched: one (batch × dim) @ (dim × n_planes) BLAS matmul
+    per batch plus a bit-pack, instead of n_planes interpreted
+    ``zip_with``/``aggregate`` folds per row (the repo-wide
+    interpreted-HOF tax — see operators/dedup.py minhash notes).
+    """
+
+    planes_mat = np.asarray(planes, dtype=np.float64)
+    pows = (1 << np.arange(planes_mat.shape[0], dtype=np.int64))
+
+    @F.pandas_udf("long")
+    def _sig(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype="int64")
+        mat = np.array(list(vs), dtype=np.float64)
+        bits = (mat @ planes_mat.T) > 0
+        return pd.Series((bits * pows).sum(axis=1))
+
+    return _sig
 
 
 def lsh_bucket_topk(
@@ -241,14 +282,15 @@ def lsh_bucket_topk(
     n_planes for higher recall).
     """
     planes = _hyperplanes(dim, n_planes)
+    sig = signature_udf(planes)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         _as_double(F.col(vec_col)).alias("cv"),
-    ).withColumn("bucket", signature_col(F.col("cv"), planes))
+    ).withColumn("bucket", sig(F.col("cv")))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         _as_double(F.col(vec_col)).alias("qv"),
-    ).withColumn("bucket", signature_col(F.col("qv"), planes))
+    ).withColumn("bucket", sig(F.col("qv")))
     sims = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))

@@ -21,34 +21,37 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 
+_PARTIAL = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
+_FOLD = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+
+
 def salted_aggregate(
     df: DataFrame,
     keys: list[str],
-    aggs: dict[str, Column],
+    aggs: dict[str, tuple[str, "str | Column"]],
     n_salts: int = 16,
 ) -> DataFrame:
     """Exact two-phase aggregation: groupBy(keys + salt) partials, then
     groupBy(keys) final fold.
 
-    ``aggs`` maps output column name → *algebraic* aggregate expression
-    (sum/count/min/max — anything where agg(agg(parts)) == agg(whole)
-    after the documented fold: counts re-sum, sums re-sum, min/max
-    re-min/max). The fold is inferred from the outer function name.
+    ``aggs`` maps output column name → ``(fn, column)`` where ``fn`` is
+    one of ``sum``/``count``/``min``/``max`` — the *algebraic*
+    aggregates, where agg(agg(parts)) == agg(whole) after the fold
+    (counts re-sum, sums re-sum, min/max re-min/max). The explicit
+    spec (not expression-head sniffing) keeps the fold choice stable
+    across aliases, DISTINCT, and Spark versions.
     """
-    fold = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
     salted = df.withColumn("_salt", (F.rand(seed=42) * n_salts).cast("int"))
-    partial = salted.groupBy(*keys, "_salt").agg(
-        *[expr.alias(f"_p_{name}") for name, expr in aggs.items()]
-    )
-    finals = []
-    for name, expr in aggs.items():
-        # expression head, e.g. sum(...), count(...)
-        head = expr._jc.toString().split("(", 1)[0].lower()
-        if head not in fold:
+    partials, finals = [], []
+    for name, (fn, col) in aggs.items():
+        if fn not in _PARTIAL:
             raise ValueError(
-                f"{name}: non-algebraic aggregate {head!r} cannot be salted"
+                f"{name}: non-algebraic aggregate {fn!r} cannot be salted "
+                f"(supported: {sorted(_PARTIAL)})"
             )
-        finals.append(fold[head](f"_p_{name}").alias(name))
+        partials.append(_PARTIAL[fn](col).alias(f"_p_{name}"))
+        finals.append(_FOLD[fn](f"_p_{name}").alias(name))
+    partial = salted.groupBy(*keys, "_salt").agg(*partials)
     return partial.groupBy(*keys).agg(*finals)
 
 
@@ -66,7 +69,19 @@ def salted_join(
     Build-side blowup is the price — prefer broadcast when the build
     side fits, and AQE skew-splitting when skew is moderate; this is
     the remaining case (large build side + extreme probe skew).
+
+    Only probe-preserving join types are allowed: the build side is
+    exploded ×``n_salts``, so right/full outer joins would emit each
+    unmatched build row ``n_salts`` times.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "semi", "left_anti", "leftanti", "anti"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join supports probe-preserving joins only "
+            f"({sorted(allowed)}), not {how!r}: the exploded build side "
+            f"would duplicate unmatched build rows"
+        )
     p = probe.withColumn("_salt", (F.rand(seed=42) * n_salts).cast("int"))
     b = build.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))

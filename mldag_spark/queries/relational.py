@@ -979,11 +979,11 @@ def agg_salted_returnflag_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         l,
         keys=["l_returnflag"],
         aggs={
-            "total_price_raw": F.sum(
-                F.col("l_extendedprice").cast("decimal(18,6)")
+            "total_price_raw": (
+                "sum", F.col("l_extendedprice").cast("decimal(18,6)")
             ),
-            "n_lines": F.count(F.lit(1)),
-            "max_qty_raw": F.max("l_quantity"),
+            "n_lines": ("count", F.lit(1)),
+            "max_qty_raw": ("max", "l_quantity"),
         },
         n_salts=16,
     )

@@ -532,13 +532,22 @@ def window_range_30d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     DOUBLE: sliding-frame sums are order-of-evaluation-dependent in
     the last float bit (Spark recomputes, DuckDB uses segment trees),
     and decimal arithmetic is exact on both engines. Partitioning is
-    by customer, so the window never concentrates on one task; frame
-    offsets are relative, so the session-timezone shift of
-    unix_timestamp cancels between row and peers."""
+    by customer, so the window never concentrates on one task. The
+    sort key is an epoch computed from the NTZ timestamp's own fields
+    (unix_date + time-of-day), independent of
+    ``spark.sql.session.timeZone`` — unlike unix_timestamp, whose
+    NTZ→instant conversion shifts by 3600 s across DST transitions and
+    can flip inclusion of exactly-30-day-old rows vs DuckDB's epoch()."""
     o = load(spark, sf_dir, "orders")
+    epoch = (
+        F.unix_date(F.col("o_orderdate").cast("date")).cast("long") * 86400
+        + F.hour("o_orderdate") * 3600
+        + F.minute("o_orderdate") * 60
+        + F.second("o_orderdate")
+    )
     w = (
         Window.partitionBy("o_custkey")
-        .orderBy(F.unix_timestamp("o_orderdate"))
+        .orderBy(epoch)
         .rangeBetween(-2592000, 0)
     )
     return o.select(

@@ -66,6 +66,7 @@ def main() -> int:
         SparkSession.builder.master(f"local[{args.cpus}]")
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         # default driver heap on purpose — see bench.py note on the
         # large-heap JVM freeze on this host

@@ -158,7 +158,8 @@ def test_salted_aggregate_and_join_exact(spark):
         r["k"]: (r["total"], r["n"], r["mx"])
         for r in salted_aggregate(
             df, ["k"],
-            {"total": F.sum("v"), "n": F.count(F.lit(1)), "mx": F.max("v")},
+            {"total": ("sum", "v"), "n": ("count", F.lit(1)),
+             "mx": ("max", "v")},
             n_salts=7,
         ).collect()
     }
@@ -221,3 +222,96 @@ def test_dsum_partition_invariant(spark):
     r1, r13 = run(1), run(13)
     assert r1["s"] == r13["s"]
     assert r1["a"] == r13["a"]
+
+
+def test_simhash_pairs_pigeonhole_recall(spark):
+    """Banding into max_hamming+1 bands guarantees (pigeonhole) that
+    every pair within the hamming bound is emitted — including pairs
+    whose differing bits straddle the old 2-half split."""
+    from mldag_spark.operators.dedup import (
+        simhash_pairs,
+        simhash_values,
+    )
+
+    rows = [
+        (i, [f"tok{j}" for j in range(20)] + [f"x{i % 7}", f"y{i % 5}"])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "tokens"])
+    max_h = 2
+    sh = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash_values(df, "doc_id", "tokens").collect()
+    }
+    want = set()
+    ids = sorted(sh)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if bin(sh[a] ^ sh[b]).count("1") <= max_h:
+                want.add((a, b))
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in simhash_pairs(
+            df, "doc_id", "tokens", max_hamming=max_h
+        ).collect()
+    }
+    assert got == want  # exact recall within the bound, no extras
+
+
+def test_arrow_topk_matches_exact_under_ties(spark):
+    """Duplicate vectors create exact cosine ties; the Arrow kernel's
+    in-batch top-k must break them like the final window
+    (cos DESC, neighbor_id ASC) so both engines agree."""
+    from mldag_spark.operators.similarity import (
+        brute_force_topk,
+        brute_force_topk_arrow,
+    )
+
+    rows = [(i, [1.0, 2.0]) for i in range(30)] + [
+        (100 + i, [float(i + 1), 1.0]) for i in range(10)
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    corpus = corpus.repartition(8)  # force many small Arrow batches
+    q = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (104, [5.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    exact = sorted(
+        map(tuple, brute_force_topk(corpus, q, k=5).collect())
+    )
+    arrow = sorted(
+        map(tuple, brute_force_topk_arrow(corpus, q, k=5).collect())
+    )
+    assert arrow == exact
+
+
+def test_salted_join_rejects_build_preserving_how(spark):
+    import pytest
+
+    from mldag_spark.operators.skew import salted_join
+
+    df = spark.createDataFrame([("a", 1)], ["k", "v"])
+    dim = spark.createDataFrame([("a", "A")], ["k", "label"])
+    for how in ("right", "full", "outer", "full_outer"):
+        with pytest.raises(ValueError, match="probe-preserving"):
+            salted_join(df, dim, key="k", how=how)
+
+
+def test_salted_aggregate_explicit_specs(spark):
+    """Aliased/derived aggregate expressions work (no expression-head
+    sniffing) and non-algebraic aggregates are rejected up front."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mldag_spark.operators.skew import salted_aggregate
+
+    df = spark.createDataFrame([("a", i) for i in range(10)], ["k", "v"])
+    out = salted_aggregate(
+        df, ["k"],
+        {"doubled": ("sum", (F.col("v") * 2).alias("anything"))},
+        n_salts=4,
+    ).collect()
+    assert out[0]["doubled"] == 90
+
+    with pytest.raises(ValueError, match="non-algebraic"):
+        salted_aggregate(df, ["k"], {"m": ("avg", "v")})

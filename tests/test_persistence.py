@@ -90,3 +90,32 @@ def test_dependency_roundtrip(tmp_path):
     back = load_dag(str(tmp_path / "dag"))
     deps = back.node_dict["b"].dependencies
     assert "after_a" in deps and deps["after_a"].name == "a"
+
+
+def optional_scale(df, factor=3):
+    return df.withColumn("q3", F.col("l_quantity") * factor)
+
+
+def test_roundtrip_preserves_input_default_and_kind(tmp_path, spark, sf_dir):
+    """A loaded DAG must keep optional inputs optional: to_dict/from_dict
+    re-derive each MLDagInput's default and kind from the live slot
+    definition, so dag.transform(df) (without the optional arg) still
+    works after a save/load cycle."""
+    import inspect
+
+    dag = m.MLDag()
+    node = dag["df"] >> m.as_node(optional_scale)
+    dag.set_input(node, slot="factor", name="factor")
+    node["result"] >> dag["out"]
+
+    save_dag(dag, str(tmp_path / "dag"))
+    back = load_dag(str(tmp_path / "dag"))
+
+    by_name = {i.name: i for i in back.inputs}
+    assert by_name["factor"].default == 3
+    assert by_name["factor"].kind == inspect.Parameter.POSITIONAL_OR_KEYWORD
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(5)
+    want = dag.transform(li).outputs["out"].collect()
+    got = back.transform(li).outputs["out"].collect()  # default applies
+    assert got == want

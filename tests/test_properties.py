@@ -54,7 +54,7 @@ def test_salted_aggregate_always_exact(spark, data, n_salts):
     got = {
         r["k"]: (r["total"], r["n"])
         for r in salted_aggregate(
-            df, ["k"], {"total": F.sum("v"), "n": F.count(F.lit(1))},
+            df, ["k"], {"total": ("sum", "v"), "n": ("count", F.lit(1))},
             n_salts=n_salts,
         ).collect()
     }
