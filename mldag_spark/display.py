@@ -1,12 +1,27 @@
 """DAG rendering.
 
-The reference ships a ~370-line graphviz renderer with HTML-table nodes,
-port rows and nested clusters (``/root/reference/mldag/display.py``).
-Graphviz is optional here: :func:`render` returns a ``graphviz.Digraph``
-when the library is importable, and :func:`to_dot` always works,
-emitting DOT source as a plain string (same visual structure: one record
-node per DAG node with input/output port rows, solid dataflow edges
-labeled with slot names, dashed order-only dependency edges).
+The reference ships a graphviz renderer with port rows, nested
+subgraph clusters for DAG-in-DAG nodes up to a ``max_mldag_depth``,
+and named YAML styles (``/root/reference/mldag/display.py:240-248``,
+``/root/reference/mldag/style/__init__.py:1-25``). This module
+re-expresses that behavior: :func:`to_dot` always works, emitting DOT
+source as a plain string; :func:`render` wraps it in a
+``graphviz.Source`` when the library is importable.
+
+Structure parity:
+
+- one record node per DAG node with input/output port rows;
+- solid dataflow edges labeled with slot names, dashed order-only
+  dependency edges;
+- an ``MLDagNode`` whose depth is within ``max_mldag_depth`` renders
+  as a *subgraph cluster* labeled ``«MLDagNode» name`` containing its
+  inner DAG (recursively); edges to/from it are routed to the inner
+  node bound to the corresponding public port. Beyond the depth limit
+  it collapses to an opaque record node.
+- named styles (:data:`STYLES`, :func:`use`, :func:`get`,
+  :func:`current`, :data:`available`) with per-depth cycling subgraph
+  palettes, mirroring the reference's ``style.use("dark_background")``
+  surface without a YAML dependency.
 
 The *physical* view — which the reference cannot have — is
 :func:`explain`: per DAG output, the Catalyst plan of the DataFrame it
@@ -18,54 +33,221 @@ from __future__ import annotations
 from typing import Optional
 
 from mldag_spark.core.dag import MLDag, MLDagRun
-from mldag_spark.core.node import NodeBase
+from mldag_spark.core.node import MLDagNode, NodeBase
+
+# ---------------------------------------------------------------------------
+# named styles (reference behavior: style.use(name) switches the active
+# palette; subgraph styles cycle by nesting depth)
+# ---------------------------------------------------------------------------
+
+STYLES: dict[str, dict] = {
+    "default": {
+        "graph": {"bgcolor": "#ffffff", "fontname": "Helvetica",
+                  "fontsize": "10", "labeljust": "l"},
+        "node": {"fillcolor": "#cfe3f7", "color": "#8fb8e0",
+                 "fontcolor": "#000000", "style": "filled"},
+        "mldag_node": {"fillcolor": "#cfe3f7", "color": "#5b7fa6",
+                       "fontcolor": "#000000", "style": "filled,bold"},
+        "edge": {"color": "#00000088", "fontcolor": "#333333",
+                 "arrowsize": "0.7"},
+        "dependency": {"color": "#00000055", "style": "dashed",
+                       "arrowhead": "open", "arrowsize": "0.7"},
+        "io": {"shape": "ellipse", "style": "dashed,filled",
+               "fillcolor": "#fde8d4", "color": "#e0b48f"},
+        "subgraph": [
+            {"style": "filled", "fillcolor": "#f3e9dc", "color": "#d9c7ab",
+             "fontcolor": "#7a5230"},
+            {"style": "filled", "fillcolor": "#e7efe2", "color": "#b9ccab",
+             "fontcolor": "#3e5a2f"},
+        ],
+    },
+    "dark_background": {
+        "graph": {"bgcolor": "#161616", "fontname": "Helvetica",
+                  "fontsize": "10", "labeljust": "l"},
+        "node": {"fillcolor": "#2e3750", "color": "#7d88a6",
+                 "fontcolor": "#ffffff", "style": "filled"},
+        "mldag_node": {"fillcolor": "#2e3750", "color": "#aab6d4",
+                       "fontcolor": "#ffffff", "style": "filled,bold"},
+        "edge": {"color": "#ffffff88", "fontcolor": "#dddddd",
+                 "arrowsize": "0.7"},
+        "dependency": {"color": "#ffffff55", "style": "dashed",
+                       "arrowhead": "open", "arrowsize": "0.7"},
+        "io": {"shape": "ellipse", "style": "dashed,filled",
+               "fillcolor": "#1e4f48", "color": "#3b7d72"},
+        "subgraph": [
+            {"style": "filled", "fillcolor": "#24322f", "color": "#3b7d72",
+             "fontcolor": "#c4d0ee"},
+            {"style": "filled", "fillcolor": "#2b2b3b", "color": "#757b92",
+             "fontcolor": "#c4d0ee"},
+        ],
+    },
+}
+
+available = sorted(STYLES)
+_ACTIVE = "default"
+
+
+def get(name: str) -> dict:
+    """Style dict by name (raises ``KeyError`` for unknown styles)."""
+    return STYLES[name]
+
+
+def use(name: str) -> None:
+    """Switch the active style (``display.use('dark_background')``)."""
+    global _ACTIVE
+    if name not in STYLES:
+        raise KeyError(f"unknown style {name!r}; available: {available}")
+    _ACTIVE = name
+
+
+def current() -> dict:
+    return STYLES[_ACTIVE]
+
+
+def _attrs(d: dict) -> str:
+    return ", ".join(f'{k}="{v}"' for k, v in d.items())
+
+
+# ---------------------------------------------------------------------------
+# DOT emission
+# ---------------------------------------------------------------------------
 
 
 def _ports(names: list[str], prefix: str) -> str:
     return "|".join(f"<{prefix}_{n}> {n}" for n in names)
 
 
-def to_dot(dag: MLDag, name: str = "mldag") -> str:
-    """DOT source for the DAG: record-shaped nodes with port rows."""
-    lines = [f'digraph "{name}" {{', "  rankdir=LR;", '  node [shape=record];']
-    for node in dag.node_dict.values():
-        ins = _ports([s.name for s in node.inputs], "in")
-        outs = _ports([s.name for s in node.outputs], "out")
-        label = f"{{ {{{ins}}} | {node.name} | {{{outs}}} }}"
-        lines.append(f'  "{node.name}" [label="{label}"];')
-    for e in dag.edges:
-        up = getattr(e.upstream, "name", None)
-        down = getattr(e.downstream, "name", None)
-        us = getattr(e, "upstream_slot", None)
-        ds = getattr(e, "downstream_slot", None)
-        if us and ds:
-            lines.append(
-                f'  "{up}":out_{us} -> "{down}":in_{ds} [label="{us}→{ds}"];'
+def to_dot(
+    dag: MLDag,
+    name: str = "mldag",
+    max_mldag_depth: int = -1,
+    style: Optional[str] = None,
+) -> str:
+    """DOT source for the DAG: record-shaped nodes with port rows;
+    nested DAGs become subgraph clusters down to ``max_mldag_depth``
+    (``-1`` = unlimited, ``0`` = fully collapsed — reference default
+    surface)."""
+    st = STYLES[style] if style else current()
+
+    def expanded(node: NodeBase, depth: int) -> bool:
+        return isinstance(node, MLDagNode) and (
+            max_mldag_depth < 0 or depth < max_mldag_depth
+        )
+
+    def resolve_in(node: NodeBase, slot: str, path: str, depth: int) -> str:
+        """Edge head: descend into expanded nested DAGs to the inner
+        node actually bound to the public input port."""
+        if expanded(node, depth):
+            inner = next(
+                (i for i in node.mldag.inputs if i.name == slot), None
             )
-        else:
-            lines.append(f'  "{up}" -> "{down}";')
-    for node in dag.node_dict.values():
-        for dep in node.dependencies.values():
-            lines.append(
-                f'  "{dep.name}" -> "{node.name}" [style=dashed, color=gray];'
+            if inner is not None:
+                return resolve_in(
+                    inner.node, inner.slot, f"{path}{node.name}/", depth + 1
+                )
+        return f'"{path}{node.name}":in_{slot}'
+
+    def resolve_out(node: NodeBase, slot: str, path: str, depth: int) -> str:
+        if expanded(node, depth):
+            inner = next(
+                (o for o in node.mldag.outputs if o.name == slot), None
             )
+            if inner is not None:
+                return resolve_out(
+                    inner.node, inner.slot, f"{path}{node.name}/", depth + 1
+                )
+        return f'"{path}{node.name}":out_{slot}'
+
+    def resolve_anchor(node: NodeBase, path: str, depth: int) -> str:
+        """Unported edge endpoint (dependencies): any inner node."""
+        if expanded(node, depth):
+            inner = next(iter(node.mldag.node_dict.values()), None)
+            if inner is not None:
+                return resolve_anchor(inner, f"{path}{node.name}/", depth + 1)
+        return f'"{path}{node.name}"'
+
+    lines = [
+        f'digraph "{name}" {{',
+        "  rankdir=LR;",
+        "  compound=true;",
+        f"  graph [{_attrs(st['graph'])}];",
+        '  node [shape=record];',
+    ]
+
+    def emit(d: MLDag, path: str, depth: int, indent: str) -> None:
+        for node in d.node_dict.values():
+            nid = f"{path}{node.name}"
+            if expanded(node, depth):
+                sub_style = st["subgraph"][depth % len(st["subgraph"])]
+                cluster = nid.replace("/", "__")
+                lines.append(f'{indent}subgraph "cluster_{cluster}" {{')
+                lines.append(
+                    f'{indent}  graph [{_attrs(sub_style)}, '
+                    f'label="«{type(node).__name__}» {node.name}"];'
+                )
+                emit(node.mldag, f"{nid}/", depth + 1, indent + "  ")
+                lines.append(f"{indent}}}")
+            else:
+                node_style = (
+                    st["mldag_node"]
+                    if isinstance(node, MLDagNode)
+                    else st["node"]
+                )
+                ins = _ports([s.name for s in node.inputs], "in")
+                outs = _ports([s.name for s in node.outputs], "out")
+                label = f"{{ {{{ins}}} | {node.name} | {{{outs}}} }}"
+                lines.append(
+                    f'{indent}"{nid}" [label="{label}", '
+                    f"{_attrs(node_style)}];"
+                )
+        for e in d.edges:
+            us = getattr(e, "upstream_slot", None)
+            ds = getattr(e, "downstream_slot", None)
+            if us and ds:
+                src = resolve_out(e.upstream, us, path, depth)
+                dst = resolve_in(e.downstream, ds, path, depth)
+                lines.append(
+                    f'{indent}{src} -> {dst} '
+                    f'[label="{us}→{ds}", {_attrs(st["edge"])}];'
+                )
+            else:
+                src = resolve_anchor(e.upstream, path, depth)
+                dst = resolve_anchor(e.downstream, path, depth)
+                lines.append(f"{indent}{src} -> {dst} [{_attrs(st['edge'])}];")
+        for node in d.node_dict.values():
+            for dep in node.dependencies.values():
+                src = resolve_anchor(dep, path, depth)
+                dst = resolve_anchor(node, path, depth)
+                lines.append(
+                    f"{indent}{src} -> {dst} [{_attrs(st['dependency'])}];"
+                )
+
+    emit(dag, "", 0, "  ")
+
     for i in dag.inputs:
         lines.append(
-            f'  "in_{i.name}" [shape=ellipse, style=dashed, label="{i.name}"];'
+            f'  "in_{i.name}" [{_attrs(st["io"])}, label="{i.name}"];'
         )
-        lines.append(f'  "in_{i.name}" -> "{i.node.name}":in_{i.slot};')
+        lines.append(f'  "in_{i.name}" -> {resolve_in(i.node, i.slot, "", 0)};')
     for o in dag.outputs:
         lines.append(
-            f'  "out_{o.name}" [shape=ellipse, style=dashed, label="{o.name}"];'
+            f'  "out_{o.name}" [{_attrs(st["io"])}, label="{o.name}"];'
         )
-        lines.append(f'  "{o.node.name}":out_{o.slot} -> "out_{o.name}";')
+        lines.append(
+            f'  {resolve_out(o.node, o.slot, "", 0)} -> "out_{o.name}";'
+        )
     lines.append("}")
     return "\n".join(lines)
 
 
-def render(dag: MLDag, name: str = "mldag"):
+def render(
+    dag: MLDag,
+    name: str = "mldag",
+    max_mldag_depth: int = -1,
+    style: Optional[str] = None,
+):
     """A ``graphviz.Source`` when graphviz is installed, else DOT text."""
-    dot = to_dot(dag, name=name)
+    dot = to_dot(dag, name=name, max_mldag_depth=max_mldag_depth, style=style)
     try:
         import graphviz  # type: ignore
 

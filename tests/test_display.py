@@ -31,3 +31,66 @@ def test_explain_shows_physical_plan(spark, sf_dir):
     assert "DAG output: counts" in text
     assert "HashAggregate" in text or "Aggregate" in text
     assert "Scan parquet" in text or "FileScan" in text
+
+
+def double_col(df):
+    return df.withColumn("n2", F.col("n") * 2)
+
+
+def _nested_dag():
+    inner = m.MLDag()
+    i1 = inner["df"] >> m.as_node(region_count)
+    i2 = m.as_node(double_col)
+    i1 >> i2
+    i2["result"] >> inner["doubled"]
+
+    outer = m.MLDag()
+    nested = m.MLDagNode(mldag=inner, name="inner_dag")
+    o1 = outer["df"] >> nested
+    tail = m.as_node(double_col, name="tail")
+    o1 >> tail
+    tail["result"] >> outer["out"]
+    return outer
+
+
+def test_nested_dag_renders_as_cluster():
+    """Golden shape for dag-in-dag rendering (the structure the
+    reference pins for nested display): the MLDagNode becomes a
+    labeled subgraph cluster containing the inner DAG's nodes, and
+    edges route to the inner node bound to the public port."""
+    dot = to_dot(_nested_dag())
+    assert 'subgraph "cluster_inner_dag"' in dot
+    assert "«MLDagNode» inner_dag" in dot
+    # inner nodes are path-qualified inside the cluster
+    assert '"inner_dag/region_count"' in dot
+    assert '"inner_dag/double_col"' in dot
+    # no opaque record node for the expanded MLDagNode
+    assert '"inner_dag" [label=' not in dot
+    # the outer edge into the nested dag lands on the inner input node
+    assert '"inner_dag/region_count":in_df' in dot
+    # the nested dag's output port feeds the downstream node
+    assert '"inner_dag/double_col":out_result -> "tail":in_df' in dot
+
+
+def test_nested_dag_depth_limit_collapses():
+    dot = to_dot(_nested_dag(), max_mldag_depth=0)
+    assert "subgraph" not in dot
+    assert '"inner_dag" [label=' in dot      # opaque record node
+    assert '"inner_dag/region_count"' not in dot
+
+
+def test_named_styles():
+    import pytest
+
+    from mldag_spark import display
+
+    assert set(display.available) >= {"default", "dark_background"}
+    dot_dark = to_dot(_nested_dag(), style="dark_background")
+    assert "#161616" in dot_dark             # dark background applied
+    display.use("dark_background")
+    try:
+        assert to_dot(_nested_dag()).count("#161616") == 1
+    finally:
+        display.use("default")
+    with pytest.raises(KeyError):
+        display.use("no_such_style")
