@@ -395,22 +395,64 @@ class MLDag(Graph):
         params.sort(key=lambda p: (_KIND_ORDER[p.kind],))
         return inspect.Signature(params)
 
+    _DOC_HEADERS = {
+        # verb-specific summary lines, same wording the reference pins
+        # in its docstring test (tests/test_mldag_doc.py:40-95)
+        "fit": (
+            "Main method for fitting mldag.\n"
+            "Sequentially calls fit and transform in width-first order"
+        ),
+        "transform": (
+            "Method for transforming based on previously fitted parameters"
+        ),
+        "fit_transform": (
+            "Fits the mldag, then transforms with the freshly fitted "
+            "parameters in one pass"
+        ),
+    }
+
+    def _param_type_name(self, name: str) -> Optional[str]:
+        """Infer a display type for a DAG input from the downstream
+        node's transform annotations (reference behavior: the param
+        type is pulled from the bound node — ``mldagbase.py:1783-1795``)."""
+        for i in self.inputs:
+            if i.name != name:
+                continue
+            fn = getattr(i.node, "func", None) or getattr(
+                i.node, "transform", None
+            )
+            try:
+                ann = inspect.signature(fn).parameters[i.slot].annotation
+            except (TypeError, ValueError, KeyError):
+                continue
+            if ann is inspect.Parameter.empty:
+                continue
+            return getattr(ann, "__name__", str(ann))
+        return None
+
     def _render_docstring(self, verb: str) -> str:
-        lines = [f"{verb.capitalize()} the DAG.", "", "Parameters", "----------"]
+        lines = [self._DOC_HEADERS[verb], "", "Parameters", "----------"]
         for p in self._signature.parameters.values():
             if p.name == "run_id":
-                lines.append("run_id : str, optional\n    Identifier for this run.")
+                lines.append("run_id : str, optional\n    mldag run identifier")
+                lines.append("")
                 continue
-            targets = [
-                f"{i.node.name}[{i.slot}]" for i in self.inputs if i.name == p.name
-            ]
+            targets = [i.node.name for i in self.inputs if i.name == p.name]
+            type_name = self._param_type_name(p.name)
             opt = ", optional" if p.default is not _EMPTY else ""
-            lines.append(f"{p.name}{opt}\n    Feeds {', '.join(targets)}.")
-        if verb == "transform" and self.outputs:
-            lines += ["", "Returns", "-------"]
-            for o in self.outputs:
-                lines.append(f"{o.name}\n    From {o.node.name}[{o.slot}].")
-        return "\n".join(lines)
+            head = (
+                f"{p.name} : {type_name}{opt}" if type_name
+                else f"{p.name}{opt}"
+            )
+            lines.append(
+                f"{head}\n    Downstream node - {', '.join(targets)}"
+            )
+            lines.append("")
+        lines += ["Returns", "-------"]
+        lines.append(
+            "run : MLDagRun\n    computed mldag run containing all node outputs"
+        )
+        return "\n".join(lines).strip()
 
     def _update_signatures(self) -> None:
         self._signature = self._build_signature()

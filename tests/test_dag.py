@@ -487,3 +487,48 @@ def test_to_dot_renders():
     a["result"] >> dag["out"]
     dot = to_dot(dag)
     assert '"a"' in dot and "digraph" in dot
+
+
+def test_fit_transform_docstring_synthesis():
+    """Golden numpydoc synthesis (reference pins this shape in its
+    tests/test_mldag_doc.py:40-95): verb-specific summary, per-param
+    type inferred from the downstream callable's annotations,
+    'Downstream node - <name>' descriptions, run_id, and the
+    MLDagRun returns block."""
+    import textwrap
+
+    from pyspark.sql import DataFrame
+
+    def scale(df: DataFrame, factor: int = 2):
+        return df
+
+    dag = MLDag()
+    node = dag["df"] >> as_node(scale)
+    dag.set_input(node, slot="factor", name="factor")
+
+    expected_fit = textwrap.dedent("""\
+        Main method for fitting mldag.
+        Sequentially calls fit and transform in width-first order
+
+        Parameters
+        ----------
+        df : DataFrame
+            Downstream node - scale
+
+        factor : int, optional
+            Downstream node - scale
+
+        run_id : str, optional
+            mldag run identifier
+
+        Returns
+        -------
+        run : MLDagRun
+            computed mldag run containing all node outputs""")
+    assert dag.fit.__doc__ == expected_fit
+
+    assert dag.transform.__doc__.startswith(
+        "Method for transforming based on previously fitted parameters"
+    )
+    assert "factor : int, optional" in dag.transform.__doc__
+    assert "run : MLDagRun" in dag.transform.__doc__
