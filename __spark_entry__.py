@@ -46,6 +46,7 @@ _GATE_ORDER = [
     "text_language_id",
     "text_fingerprint",
     "text_top_terms",
+    "text_repetition_stats",
     # Deduplication
     "dedup_exact",
     "dedup_ngram_jaccard",
@@ -76,7 +77,6 @@ _GATE_ORDER = [
     "events_grouped_zscore_arrow",
     # Relational: scans, filters, scalar functions
     "q1_pricing_summary",
-    "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q12_priority_shipments",
     "scalar_expressions",

@@ -541,3 +541,135 @@ def sample_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("split", "lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+@register(
+    "text_repetition_stats",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+                   AS toks
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, w, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(toks) AS w FROM t)
+        GROUP BY doc_id, w
+    ), top AS (
+        SELECT doc_id, MAX(c) AS mx, CAST(SUM(c) AS BIGINT) AS n
+        FROM tf GROUP BY doc_id
+    ), bg AS (
+        SELECT doc_id, toks[u] || ' ' || toks[u + 1] AS b
+        FROM (SELECT doc_id, toks,
+                     unnest(generate_series(1, len(toks) - 1)) AS u
+              FROM t)
+    ), bgs AS (
+        SELECT doc_id, COUNT(*) AS nb, COUNT(DISTINCT b) AS nd
+        FROM bg GROUP BY doc_id
+    )
+    SELECT top.doc_id,
+           top.n AS n_tokens,
+           ROUND(CAST(top.mx AS DOUBLE) / top.n, 4) AS top_tok_ratio,
+           ROUND(COALESCE(1 - CAST(bgs.nd AS DOUBLE) / bgs.nb, 0), 4)
+               AS dup_bigram_ratio
+    FROM top LEFT JOIN bgs ON top.doc_id = bgs.doc_id
+    """,
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals — the Gopher/C4-style
+    filters: top-token frequency ratio and duplicate-bigram ratio.
+
+    Shape: token frequencies via explode → groupBy(doc_id, w) (the
+    measured-fast pattern for heavy per-element work); bigrams built
+    JVM-side with ``arrays_zip(slice, slice)`` — no interpreted HOF
+    lambdas, no self-join — then one groupBy for distinct-vs-total.
+    Both aggregations shuffle on doc_id and join on tiny per-doc rows.
+    """
+    d = load(spark, sf_dir, "documents")
+    t = d.select("doc_id", tokenize(F.col("text")).alias("toks"))
+    tf = (
+        t.select("doc_id", F.explode("toks").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = tf.groupBy("doc_id").agg(
+        F.max("c").alias("mx"), F.sum("c").alias("n")
+    )
+    n = F.size("toks")
+    z = F.arrays_zip(
+        F.slice("toks", 1, n - 1), F.slice("toks", 2, n - 1)
+    )
+    bg = t.select("doc_id", F.explode(z).alias("z")).select(
+        "doc_id",
+        F.concat_ws(" ", F.col("z")["0"], F.col("z")["1"]).alias("b"),
+    )
+    bgs = bg.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("nb"), F.countDistinct("b").alias("nd")
+    )
+    return (
+        top.join(bgs, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n").alias("n_tokens"),
+            F.round(F.col("mx").cast("double") / F.col("n"), 4).alias(
+                "top_tok_ratio"
+            ),
+            F.round(
+                F.coalesce(
+                    F.lit(1) - F.col("nd").cast("double") / F.col("nb"),
+                    F.lit(0.0),
+                ),
+                4,
+            ).alias("dup_bigram_ratio"),
+        )
+    )
+
+
+@register(
+    "corpus_idf_top_terms",
+    oracle="""
+    WITH tok AS (
+        SELECT DISTINCT doc_id,
+               unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))
+                   AS w
+        FROM documents
+    ), dfs AS (
+        SELECT w, COUNT(*) AS df FROM tok GROUP BY w
+    )
+    SELECT w AS term, df,
+           ROUND(ln(CAST((SELECT COUNT(DISTINCT doc_id) FROM documents)
+                         AS DOUBLE) / df), 4) AS idf
+    FROM dfs
+    ORDER BY df DESC, term
+    LIMIT 50
+    """,
+)
+def corpus_idf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level document frequency + IDF for the 50 most common
+    terms — the inverted-index statistic behind TF-IDF weighting and
+    stopword discovery on a new corpus.
+
+    Shape: per-doc dedup happens **inside the row** via
+    ``array_distinct`` (codegen, no (doc_id, w) pre-shuffle), so the
+    only shuffle is the term-level groupBy; the corpus size joins in
+    as a broadcast 1-row aggregate, and top-50 is a JVM
+    TakeOrdered, not a full sort."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(tokenize(F.col("text")))).alias("w"),
+    )
+    dfs = tok.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    total = d.agg(F.countDistinct("doc_id").alias("n_docs"))
+    return (
+        dfs.crossJoin(F.broadcast(total))
+        .select(
+            F.col("w").alias("term"),
+            "df",
+            F.round(
+                F.log(F.col("n_docs").cast("double") / F.col("df")), 4
+            ).alias("idf"),
+        )
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(50)
+    )

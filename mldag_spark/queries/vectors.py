@@ -186,3 +186,51 @@ def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vr") == 1)
         .select("query_id", F.col("label").alias("predicted_label"), "n_votes")
     )
+
+
+@register(
+    "embedding_norm_by_label",
+    oracle="""
+    WITH n AS (
+        SELECT vec_id, label,
+               ROUND(sqrt(list_sum(list_transform(embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS nrm
+        FROM embeddings
+    )
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           ROUND(CAST(SUM(CAST(nrm AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*), 4) AS avg_norm,
+           ROUND(MIN(nrm), 4) AS min_norm,
+           ROUND(MAX(nrm), 4) AS max_norm
+    FROM n GROUP BY label
+    """,
+)
+def embedding_norm_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-health stats: per-label L2-norm count/avg/min/max —
+    the sanity scan run before indexing a new embedding batch
+    (catches unnormalized or collapsed vectors).
+
+    Shape: per-vector sum-of-squares via explode → groupBy(vec_id)
+    (codegen conditional-free aggregation; no interpreted
+    ``aggregate`` fold per row), norms rounded to 6 before the label
+    rollup, and the avg computed as an exact decimal sum over the
+    rounded norms so float addition order cannot flip the 4-dp
+    result between engines."""
+    emb = load(spark, sf_dir, "embeddings")
+    x = F.col("x").cast("double")
+    norms = (
+        emb.select("vec_id", "label", F.explode("embedding").alias("x"))
+        .groupBy("vec_id", "label")
+        .agg(F.round(F.sqrt(F.sum(x * x)), 6).alias("nrm"))
+    )
+    return norms.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(
+            F.sum(F.col("nrm").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("avg_norm"),
+        F.round(F.min("nrm"), 4).alias("min_norm"),
+        F.round(F.max("nrm"), 4).alias("max_norm"),
+    )
