@@ -61,3 +61,43 @@ def test_source_sink_nodes_in_dag(tmp_path, spark, sf_dir):
     assert run.outputs["path"] == out_path
     back = spark.read.parquet(out_path)
     assert back.count() == 5
+
+
+def test_bucketed_join_is_exchange_free(tmp_path, spark, sf_dir):
+    """write_bucketed_table pre-shuffles on the join key, so a
+    bucket-aligned join of two such tables must plan WITHOUT a shuffle
+    (no Exchange on either side) — the co-location strategy the module
+    docstring promises for repeatedly-joined 100 TB fact tables."""
+    from mldag_spark.sources import write_bucketed_table
+
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS bktest LOCATION '{tmp_path}/bk'"
+    )
+    # sf0.001 tables are broadcast-sized; disable auto-broadcast so the
+    # planner actually faces the shuffle-vs-bucket decision under test
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        write_bucketed_table(
+            orders, "bktest.orders_bk", ["o_orderkey"], n_buckets=4
+        )
+        write_bucketed_table(
+            lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+            "bktest.lineitem_bk",
+            ["o_orderkey"],
+            n_buckets=4,
+        )
+        joined = spark.table("bktest.orders_bk").join(
+            spark.table("bktest.lineitem_bk"), "o_orderkey"
+        )
+        plan = joined._sc._jvm.PythonSQLUtils.explainString(
+            joined._jdf.queryExecution(), "formatted"
+        )
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "Exchange" not in plan       # bucket co-location held
+        assert joined.count() == lineitem.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.sql("DROP DATABASE IF EXISTS bktest CASCADE")
