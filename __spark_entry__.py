@@ -63,7 +63,6 @@ _GATE_ORDER = [
     "stream_hourly_rollup",
     "stream_sessionization",
     "stream_user_totals",
-    "stream_sliding_counts",
     "stream_dedup_keys",
     "stream_stream_join",
     # Multimodal
@@ -95,6 +94,7 @@ _GATE_ORDER = [
     "agg_grouping_sets_flag_status",
     "agg_pivot_event_values",
     "agg_price_percentiles",
+    "agg_approx_distinct_counts",
     "agg_salted_returnflag_totals",
     # Set ops + sort/limit
     "setop_except_all_multiset",

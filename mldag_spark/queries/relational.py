@@ -570,14 +570,53 @@ def agg_exact_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_distinct_counts")  # no oracle: HLL estimate is engine-specific
+@register(
+    "agg_approx_distinct_counts",
+    # The HLL estimate itself is engine-specific, so the gate checks
+    # the oracle-able INVARIANT instead: the exact per-group counts
+    # plus a boolean asserting the sketch landed within its configured
+    # relative error (rsd=0.01 → 5% gives generous slack).
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts_exact,
+           COUNT(DISTINCT l_suppkey) AS n_supps_exact,
+           TRUE AS approx_within_5pct
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
 def agg_approx_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog sketch distinct count — the 100 TB path: one pass,
-    no shuffle of distinct values, fixed memory per group."""
+    no shuffle of distinct values, fixed memory per group.
+
+    Output carries exact counts (hash-comparable) and a boolean
+    invariant over the sketch (|approx-exact|/exact <= 5%), so the
+    driver gate verifies the approximate aggregate without depending
+    on the engine-specific estimate value."""
     l = load(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", 0.01).alias("n_parts_approx"),
-        F.approx_count_distinct("l_suppkey", 0.01).alias("n_supps_approx"),
+    agg = l.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts_exact"),
+        F.countDistinct("l_suppkey").alias("n_supps_exact"),
+        F.approx_count_distinct("l_partkey", 0.01).alias("_pa"),
+        F.approx_count_distinct("l_suppkey", 0.01).alias("_sa"),
+    )
+    within = (
+        (
+            F.abs(F.col("_pa") - F.col("n_parts_exact"))
+            / F.col("n_parts_exact")
+            <= 0.05
+        )
+        & (
+            F.abs(F.col("_sa") - F.col("n_supps_exact"))
+            / F.col("n_supps_exact")
+            <= 0.05
+        )
+    )
+    return agg.select(
+        "l_returnflag",
+        "n_parts_exact",
+        "n_supps_exact",
+        within.alias("approx_within_5pct"),
     )
 
 
