@@ -40,11 +40,11 @@ _GATE_ORDER = [
     # DAG engine (fit/transform through the scheduler)
     "dag_pipeline_priority_revenue",
     "dag_ml_standard_scaler",
+    "dag_text_clean_corpus",
     # Text analysis
     "text_token_stats",
     "text_quality_score",
     "text_language_id",
-    "text_fingerprint",
     "text_top_terms",
     "text_repetition_stats",
     # Deduplication

@@ -131,3 +131,75 @@ def dag_ml_standard_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     run = dag.fit_transform(sf_dir)
     return run.outputs["scaled_stats"]
+
+
+@register(
+    "dag_text_clean_corpus",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+                   AS toks,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+        FROM documents
+    ), q AS (
+        SELECT * FROM t
+        WHERE len(toks) BETWEEN 5 AND 1000
+          AND CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) > 0.3
+    ), keep AS (
+        SELECT fp, MIN(doc_id) AS keep_id FROM q GROUP BY fp
+    )
+    SELECT lang, COUNT(*) AS n_docs
+    FROM q JOIN keep ON q.doc_id = keep.keep_id
+    GROUP BY lang
+    """,
+)
+def dag_text_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM-corpus cleaning pipeline run THROUGH the DAG engine:
+    source → quality filter → exact dedup (keep lowest doc_id per
+    fingerprint) → per-language rollup, wired as four piped nodes.
+
+    Same design claim as ``dag_pipeline_priority_revenue``: every node
+    passes a lazy DataFrame, so Catalyst fuses the whole pipeline into
+    one plan — the filter reaches the scan, the dedup window is the
+    only wide shuffle, and the rollup is map-side partial."""
+    from pyspark.sql.window import Window
+
+    from mldag_spark.functions import fingerprint, tokenize
+
+    dag = m.MLDag()
+
+    def load_docs(sf_dir):
+        return load(spark, sf_dir, "documents")
+
+    def quality_filter(docs):
+        toks = tokenize(F.col("text"))
+        n = F.size(toks)
+        distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n
+        return docs.select(
+            "doc_id", "lang", fingerprint(F.col("text")).alias("fp"),
+            n.alias("n"), distinct_ratio.alias("dr"),
+        ).filter(F.col("n").between(5, 1000) & (F.col("dr") > 0.3))
+
+    def dedup_keep_first(docs):
+        w = Window.partitionBy("fp").orderBy("doc_id")
+        return (
+            docs.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    def lang_rollup(docs):
+        return docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+
+    src = dag["sf_dir"] >> m.as_node(load_docs, name="docs_src")
+    cleaned = (
+        src
+        >> m.as_node(quality_filter, name="quality_filter")
+        >> m.as_node(dedup_keep_first, name="dedup_keep_first")
+        >> m.as_node(lang_rollup, name="lang_rollup")
+    )
+    cleaned["result"] >> dag["clean_counts"]
+
+    run = dag.transform(sf_dir)
+    return run.outputs["clean_counts"]
