@@ -81,3 +81,29 @@ def test_no_cartesian_products_anywhere(spark, registry):
     ):
         plan = _plan(registry[name](spark, SF_DIR))
         assert "CartesianProduct" not in plan, name
+
+
+def test_new_text_queries_prune_scans(spark, registry):
+    # text_repetition_stats reads only (doc_id, text); corpus_idf reads
+    # only text/doc_id — a scan pulling lang/source/n_chars for these
+    # 2-column queries would be a pruning regression
+    for name, max_cols in (
+        ("text_repetition_stats", 2),
+        ("corpus_idf_top_terms", 2),
+        ("embedding_norm_by_label", 3),
+    ):
+        plan = _plan(registry[name](spark, SF_DIR))
+        for line in plan.splitlines():
+            if "ReadSchema" in line:
+                assert line.count(",") <= max_cols, (name, line)
+        assert "EvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_corpus_idf_uses_broadcast_scalar_and_takeordered(spark, registry):
+    # corpus size must join as a broadcast 1-row aggregate, and top-50
+    # must plan as TakeOrdered (per-partition partial top-k), not a
+    # global Sort of every term
+    plan = _plan(registry["corpus_idf_top_terms"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
