@@ -673,3 +673,88 @@ def corpus_idf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("df"), F.asc("term"))
         .limit(50)
     )
+
+
+@register(
+    "contamination_check",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                 % 100 AS bucket,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+                   AS toks
+        FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id, bucket,
+               array_to_string(toks[u:u+4], ' ') AS s
+        FROM (SELECT doc_id, bucket, toks,
+                     unnest(generate_series(1, len(toks) - 4)) AS u
+              FROM t)
+    ), pairs AS (
+        SELECT te.doc_id AS test_doc, tr.doc_id AS train_doc,
+               COUNT(*) AS shared
+        FROM (SELECT * FROM sh WHERE bucket >= 90) te
+        JOIN (SELECT * FROM sh WHERE bucket < 80) tr USING (s)
+        GROUP BY te.doc_id, tr.doc_id
+    )
+    SELECT test_doc AS doc_id,
+           COUNT(*) AS n_train_matches,
+           CAST(MAX(shared) AS BIGINT) AS max_shared
+    FROM pairs
+    WHERE shared >= 3
+    GROUP BY test_doc
+    """,
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination scan: for every test-split document,
+    count train-split documents sharing >= 3 distinct 5-gram shingles
+    (the n-gram-overlap decontamination pass run before evaluating on
+    held-out data).
+
+    Shape: shingles via posexplode + window-lead (codegen, one shuffle
+    on doc_id — same layout as ``shingle_sets``), then an inverted-
+    index equality join on the shingle string between the two split
+    projections — never test×train pairs. Scale note: like
+    ``dedup_ngram_jaccard``, join fan-out grows with shingle document
+    frequency; at 100 TB run the same check over MinHash signatures
+    first and verify only candidates."""
+    from pyspark.sql.window import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    toks = d.select("doc_id", bucket.alias("bucket"),
+                    F.posexplode(tokenize(F.col("text"))).alias("_pos", "_t"))
+    w = W.partitionBy("doc_id").orderBy("_pos")
+    leads = [F.col("_t")] + [F.lead("_t", i).over(w) for i in range(1, 5)]
+    sh = (
+        toks.select(
+            "doc_id", "bucket", F.concat_ws(" ", *leads).alias("s"),
+            leads[-1].alias("_last"),
+        )
+        .filter(F.col("_last").isNotNull())  # complete 5-grams only
+        .select("doc_id", "bucket", "s")
+        .distinct()
+    )
+    test = sh.filter(F.col("bucket") >= 90).select(
+        F.col("doc_id").alias("test_doc"), "s"
+    )
+    train = sh.filter(F.col("bucket") < 80).select(
+        F.col("doc_id").alias("train_doc"), "s"
+    )
+    pairs = (
+        test.join(train, "s")
+        .groupBy("test_doc", "train_doc")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= 3)
+    )
+    return pairs.groupBy("test_doc").agg(
+        F.count(F.lit(1)).alias("n_train_matches"),
+        F.max("shared").alias("max_shared"),
+    ).select(
+        F.col("test_doc").alias("doc_id"), "n_train_matches", "max_shared"
+    )
