@@ -617,3 +617,88 @@ def agg_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("o_totalprice"), 2).alias("hi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# aggregate: re-aggregable HLL sketches (partial sketches unioned up a
+# hierarchy — the layout for incremental/rollup distinct counting)
+# ---------------------------------------------------------------------------
+@register(
+    "agg_hll_partitioned_union",
+    # The sketch estimate is engine-specific; the gate checks the
+    # oracle-able invariant: exact counts plus a boolean asserting the
+    # unioned estimate landed within 5% (default lgConfigK=12 HLL has
+    # ~1.6% standard error).
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts_exact,
+           TRUE AS union_within_5pct
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_hll_partitioned_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregable distinct counting: build an HLL sketch per
+    (returnflag, linestatus) cell, union the binary sketches up to the
+    returnflag level, estimate there.
+
+    This is the 100 TB pattern approx_count_distinct can't express:
+    partial sketches persist per partition/day and re-aggregate to any
+    rollup level without rescanning raw data — mergeability is the
+    whole point of the sketch. The gate asserts the union's estimate
+    stays within 5% of exact."""
+    l = load(spark, sf_dir, "lineitem")
+    cells = l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.hll_sketch_agg("l_partkey").alias("sk")
+    )
+    unioned = cells.groupBy("l_returnflag").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    exact = l.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts_exact")
+    )
+    return exact.join(unioned, "l_returnflag").select(
+        "l_returnflag",
+        "n_parts_exact",
+        (
+            F.abs(F.col("est") - F.col("n_parts_exact"))
+            / F.col("n_parts_exact")
+            <= 0.05
+        ).alias("union_within_5pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# aggregate: approximate percentile with a rank-band invariant
+# ---------------------------------------------------------------------------
+@register(
+    "agg_approx_percentile_invariant",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(MEDIAN(l_extendedprice), 4) AS p50_exact,
+           TRUE AS approx_in_rank_band
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_approx_percentile_invariant(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """approx_percentile (Greenwald-Khanna, accuracy=10000 → rank
+    error <= n/10000) gated by its own contract: the sketch's median
+    must lie between the exact 0.49 and 0.51 quantiles. The exact
+    median hash-matches the oracle; the band check verifies the
+    sketch — no dependence on the engine-specific estimate value."""
+    l = load(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias(
+            "p50_exact"
+        ),
+        (
+            F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000))
+            .between(
+                F.percentile("l_extendedprice", F.lit(0.49)),
+                F.percentile("l_extendedprice", F.lit(0.51)),
+            )
+        ).alias("approx_in_rank_band"),
+    )
