@@ -376,3 +376,80 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@register(
+    "events_asof_tolerance_order",
+    oracle="""
+    WITH matched AS (
+        SELECT e.event_id, e.user_id, e.ts,
+               MAX(o.o_orderdate) AS asof_date
+        FROM events e
+        LEFT JOIN orders o
+          ON o.o_custkey = e.user_id
+         AND o.o_orderdate <= e.ts
+         AND o.o_orderdate > e.ts - INTERVAL 30 DAY
+        GROUP BY e.event_id, e.user_id, e.ts
+    )
+    SELECT m.event_id, m.user_id, m.asof_date,
+           MAX(o.o_orderkey) AS asof_orderkey
+    FROM matched m
+    LEFT JOIN orders o
+      ON o.o_custkey = m.user_id AND o.o_orderdate = m.asof_date
+    GROUP BY m.event_id, m.user_id, m.asof_date
+    """,
+)
+def events_asof_tolerance_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a lookback tolerance: the latest order of the
+    same user at-or-before the event time, but only within the last 30
+    days — matches older than the tolerance become NULL (the pandas
+    ``merge_asof(tolerance=...)`` semantics).
+
+    Same single-shuffle union+window formulation as
+    ``events_asof_latest_order`` — the tolerance is a post-carry
+    filter on the carried order date, NOT a wider join condition, so
+    the plan (and its scale profile) is identical to the untoleranced
+    as-of."""
+    e = load(spark, sf_dir, "events").select(
+        F.col("user_id").alias("key"),
+        F.col("ts").alias("t"),
+        "event_id",
+        F.lit(None).cast("long").alias("orderkey"),
+        F.lit(None).cast("timestamp").alias("orderdate"),
+        F.lit(1).alias("is_event"),
+    )
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("key"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_orderdate").alias("orderdate"),
+        F.lit(0).alias("is_event"),
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy("t", "is_event", "orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = o.unionByName(e).select(
+        "key",
+        "event_id",
+        "is_event",
+        F.col("t").alias("event_ts"),
+        F.last("orderkey", ignorenulls=True).over(w).alias("asof_orderkey"),
+        F.last("orderdate", ignorenulls=True).over(w).alias("asof_date"),
+    )
+    # µs-precision tolerance check (cast("long") truncates to seconds)
+    within = (
+        F.unix_micros(F.col("asof_date"))
+        > F.unix_micros(F.col("event_ts")) - F.lit(30 * 86400 * 1_000_000)
+    )
+    return (
+        carried.filter(F.col("is_event") == 1)
+        .select(
+            "event_id",
+            F.col("key").alias("user_id"),
+            F.when(within, F.col("asof_date")).alias("asof_date"),
+            F.when(within, F.col("asof_orderkey")).alias("asof_orderkey"),
+        )
+    )
