@@ -41,6 +41,7 @@ _GATE_ORDER = [
     "dag_pipeline_priority_revenue",
     "dag_ml_standard_scaler",
     "dag_text_clean_corpus",
+    "dag_sql_priority_topk",
     # Text analysis
     "text_token_stats",
     "text_quality_score",
@@ -52,7 +53,6 @@ _GATE_ORDER = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_components",
-    "dedup_keep_representatives",
     "sample_deterministic_split",
     # Similarity search / embeddings
     "ann_cosine_topk",

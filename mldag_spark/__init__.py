@@ -51,6 +51,7 @@ from mldag_spark.core.node import (
     NodeSlot,
     TransformNode,
     as_node,
+    sql_node,
     as_transform,
 )
 from mldag_spark.exceptions import (
@@ -75,6 +76,7 @@ __all__ = [
     "Graph", "Vertex", "Edge",
     "NodeBase", "FunctionNode", "EstimatorNode", "MLDagNode", "TransformNode",
     "DummyNode", "NodeConnection", "NodeSlot", "as_node", "as_transform",
+    "sql_node",
     "returns", "set_function_return", "InputSlot", "OutputSlot",
     "MLDagError", "GraphError", "SlotError", "NodeExecutionError",
     "save_dag", "load_dag",

@@ -456,6 +456,46 @@ def as_node(obj: Any, name: Optional[str] = None) -> NodeBase:
     raise MLDagError(f"cannot convert {obj!r} to a node")
 
 
+def sql_node(
+    query: str,
+    views: list[str],
+    name: Optional[str] = None,
+) -> FunctionNode:
+    """Node executing an ANSI-SQL statement over its input DataFrames.
+
+    ``views`` declares the node's input slots: each incoming DataFrame
+    registers as a temp view under the matching name before the query
+    runs, so upstream nodes pipe straight into ``FROM <view>`` clauses:
+
+        j = sql_node("SELECT * FROM o JOIN l ON o_orderkey = l_orderkey",
+                     views=["o", "l"])
+
+    ``spark.sql`` returns a lazy DataFrame like every other node, so
+    Catalyst still fuses the SQL fragment with the surrounding DAG
+    plan — mixing SQL nodes and DataFrame nodes costs nothing.
+    (Temp views are session-scoped: concurrent DAGs in one session
+    should use distinct view names.)
+    """
+
+    sig = inspect.Signature(
+        [
+            inspect.Parameter(v, inspect.Parameter.POSITIONAL_OR_KEYWORD)
+            for v in views
+        ]
+    )
+
+    def _impl(*args, **kwargs):
+        bound = sig.bind(*args, **kwargs)
+        dfs = [bound.arguments[v] for v in views]
+        for vname, df in zip(views, dfs):
+            df.createOrReplaceTempView(vname)
+        return dfs[0].sparkSession.sql(query)
+
+    _impl.__signature__ = sig
+    _impl.__name__ = name or "sql"
+    return FunctionNode(func=_impl, name=_impl.__name__)
+
+
 def as_transform(obj: Any, name: Optional[str] = None) -> TransformNode:
     """Factory for :class:`TransformNode`. Accepts a node or a node
     name. (The reference's version is broken as shipped — it passes the

@@ -203,3 +203,48 @@ def dag_text_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     run = dag.transform(sf_dir)
     return run.outputs["clean_counts"]
+
+
+_SQL_TOPK = """
+    SELECT o_orderpriority,
+           CAST(ROUND(SUM(CAST((l_extendedprice * (1 - l_discount))
+                               AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+    FROM dag_sql_orders JOIN dag_sql_lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    ORDER BY revenue DESC, o_orderpriority
+    LIMIT 3
+"""
+
+
+@register(
+    "dag_sql_priority_topk",
+    oracle=_SQL_TOPK.replace("dag_sql_orders", "orders").replace(
+        "dag_sql_lineitem", "lineitem"
+    ),
+)
+def dag_sql_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI SQL executed THROUGH the DAG: two source nodes pipe into a
+    ``sql_node`` whose statement is (modulo view names) the DuckDB
+    oracle itself — the most direct possible statement of SQL parity.
+    ``spark.sql`` yields a lazy DataFrame, so Catalyst fuses the SQL
+    fragment with the DAG plan exactly like the DataFrame nodes."""
+    dag = m.MLDag()
+
+    def load_orders(sf_dir):
+        return load(spark, sf_dir, "orders")
+
+    def load_lineitem(sf_dir):
+        return load(spark, sf_dir, "lineitem")
+
+    o_node = dag["sf_dir"] >> m.as_node(load_orders, name="orders_src")
+    l_node = dag["sf_dir"] >> m.as_node(load_lineitem, name="lineitem_src")
+    q = m.sql_node(
+        _SQL_TOPK, views=["dag_sql_orders", "dag_sql_lineitem"], name="topk_sql"
+    )
+    o_node["result"] >> q["dag_sql_orders"]
+    l_node["result"] >> q["dag_sql_lineitem"]
+    q["result"] >> dag["topk"]
+
+    run = dag.transform(sf_dir)
+    return run.outputs["topk"]

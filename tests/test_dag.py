@@ -532,3 +532,42 @@ def test_fit_transform_docstring_synthesis():
     )
     assert "factor : int, optional" in dag.transform.__doc__
     assert "run : MLDagRun" in dag.transform.__doc__
+
+
+def test_sql_node_slots_and_mixing(spark, sf_dir):
+    """sql_node declares one input slot per view name, registers the
+    incoming DataFrames as temp views, and its lazy spark.sql result
+    pipes into downstream DataFrame nodes like any other output."""
+    from pyspark.sql import functions as F
+
+    from mldag_spark import sql_node
+
+    q = sql_node(
+        "SELECT r_regionkey, upper(r_name) AS rname FROM t_region",
+        views=["t_region"],
+    )
+    assert [s.name for s in q.inputs] == ["t_region"]
+
+    dag = MLDag()
+    dag["df"] >> q
+    tail = as_node(
+        lambda df: df.filter(F.col("r_regionkey") >= 0).orderBy("rname"),
+        name="tail",
+    )
+    q >> tail
+    tail["result"] >> dag["out"]
+
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    rows = dag.transform(region).outputs["out"].collect()
+    assert len(rows) == region.count()
+    assert all(r["rname"] == r["rname"].upper() for r in rows)
+
+
+def test_sql_node_input_count_mismatch():
+    from mldag_spark import sql_node
+
+    q = sql_node("SELECT 1", views=["a", "b"])
+    import pytest
+
+    with pytest.raises(TypeError):
+        q.transform()  # missing both inputs
