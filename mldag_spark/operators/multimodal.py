@@ -175,3 +175,35 @@ def media_stats(media: DataFrame) -> DataFrame:
         davg("width", 2).alias("avg_width"),
         davg("height", 2).alias("avg_height"),
     )
+
+
+def chunk_payloads(media: DataFrame, chunk_bytes: int = 256) -> DataFrame:
+    """Shard binary payloads into fixed-size chunks via ``mapInPandas``
+    — the blob-splitting primitive for payloads too large to process
+    (or shuffle) whole. Emits one row per chunk with a stable
+    ``(media_id, chunk_idx)`` key and the chunk's bytes; partitioning
+    follows the scan, so no shuffle happens until a consumer asks for
+    one. Chunk boundaries are byte offsets (codec-agnostic); real
+    media would chunk on container frames — same plumbing, different
+    offsets."""
+    import pandas as pd
+
+    if chunk_bytes <= 0:
+        raise ValueError("chunk_bytes must be positive")
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids, idxs, chunks = [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(p) if p is not None else b""
+                for i in range(0, max(len(data), 1), chunk_bytes):
+                    ids.append(mid)
+                    idxs.append(i // chunk_bytes)
+                    chunks.append(data[i : i + chunk_bytes])
+            yield pd.DataFrame(
+                {"media_id": ids, "chunk_idx": idxs, "chunk": chunks}
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        kernel, schema="media_id long, chunk_idx int, chunk binary"
+    )

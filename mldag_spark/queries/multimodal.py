@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from mldag_spark.operators.multimodal import (
+    chunk_payloads,
     extract_features,
     frame_sample_plan,
     media_stats,
@@ -75,4 +76,38 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle checks the relational envelope (ids, mime, byte counts)."""
     return extract_features(_media(spark, sf_dir), dim=8).select(
         "media_id", "mime", "n_bytes"
+    )
+
+
+@register(
+    "multimodal_payload_chunks",
+    oracle="""
+    WITH chunks AS (
+        SELECT doc_id AS media_id,
+               unnest(generate_series(
+                   0,
+                   CAST(greatest(octet_length(encode(text)) - 1, 0) AS BIGINT)
+                     // 256
+               )) AS chunk_idx,
+               octet_length(encode(text)) AS n_bytes
+        FROM documents
+    )
+    SELECT media_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           CAST(CASE WHEN (chunk_idx + 1) * 256 <= n_bytes THEN 256
+                     WHEN n_bytes = 0 THEN 0
+                     ELSE n_bytes - chunk_idx * 256 END AS INT)
+               AS chunk_len
+    FROM chunks
+    """,
+)
+def multimodal_payload_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size payload sharding (256-byte chunks) through the Arrow
+    kernel; the gate verifies per-chunk ids/indices/lengths against
+    arithmetic the oracle derives from payload sizes — the UDF's
+    actual output, not a row count."""
+    from pyspark.sql import functions as F
+
+    chunks = chunk_payloads(_media(spark, sf_dir), chunk_bytes=256)
+    return chunks.select(
+        "media_id", "chunk_idx", F.octet_length("chunk").alias("chunk_len")
     )

@@ -88,3 +88,40 @@ def test_minhash_lsh_no_false_positives(spark, sets):
         true_j = len(a & b) / len(a | b)
         assert true_j >= 0.6
         assert abs(r["jaccard"] - round(true_j, 4)) < 1e-9
+
+
+@given(n_parts=st.integers(1, 12))
+@_settings
+def test_deterministic_split_partition_invariant(spark, n_parts):
+    """The md5-bucket split assignment must be identical at any
+    partitioning — the reproducibility contract that rand()-based
+    sampling cannot give."""
+    from mldag_spark.queries import REGISTRY
+
+    base = REGISTRY["sample_deterministic_split"](
+        spark, "/root/testdata/sf0.001"
+    )
+    got = {
+        (r["split"], r["lang"]): r["n_docs"] for r in base.collect()
+    }
+    # recompute after forcing a different physical layout
+    from pyspark.sql import functions as F
+
+    from mldag_spark.queries.tables import load
+
+    d = load(spark, "/root/testdata/sf0.001", "documents").repartition(n_parts)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    re = {
+        (r["split"], r["lang"]): r["n_docs"]
+        for r in d.select(split.alias("split"), "lang")
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .collect()
+    }
+    assert re == got
