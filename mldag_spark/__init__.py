@@ -51,6 +51,8 @@ from mldag_spark.core.node import (
     NodeSlot,
     TransformNode,
     as_node,
+    cache_node,
+    checkpoint_node,
     sql_node,
     as_transform,
 )
@@ -76,7 +78,7 @@ __all__ = [
     "Graph", "Vertex", "Edge",
     "NodeBase", "FunctionNode", "EstimatorNode", "MLDagNode", "TransformNode",
     "DummyNode", "NodeConnection", "NodeSlot", "as_node", "as_transform",
-    "sql_node",
+    "sql_node", "cache_node", "checkpoint_node",
     "returns", "set_function_return", "InputSlot", "OutputSlot",
     "MLDagError", "GraphError", "SlotError", "NodeExecutionError",
     "save_dag", "load_dag",

@@ -496,6 +496,44 @@ def sql_node(
     return FunctionNode(func=_impl, name=_impl.__name__)
 
 
+def cache_node(
+    name: Optional[str] = None, storage_level: str = "MEMORY_AND_DISK"
+) -> FunctionNode:
+    """Identity node that persists the passing DataFrame.
+
+    Spark recomputes a DataFrame's lineage for every downstream
+    consumer; placing a cache node at a DAG fan-out point makes the
+    shared prefix compute once. ``storage_level`` names any
+    ``pyspark.StorageLevel`` constant (``MEMORY_AND_DISK`` spills
+    rather than evicting under pressure — the safe default at scale).
+    """
+
+    def _impl(df):
+        from pyspark import StorageLevel
+
+        return df.persist(getattr(StorageLevel, storage_level))
+
+    _impl.__name__ = name or "cache"
+    return FunctionNode(func=_impl, name=_impl.__name__)
+
+
+def checkpoint_node(
+    name: Optional[str] = None, eager: bool = True
+) -> FunctionNode:
+    """Identity node that truncates plan lineage via
+    ``localCheckpoint`` — for iterative DAGs whose plans otherwise grow
+    with every round (the same reason ``connected_components`` in
+    operators/dedup.py checkpoints between Large-Star/Small-Star
+    rounds). Eager by default: the cut happens at wiring time, not at
+    first downstream action."""
+
+    def _impl(df):
+        return df.localCheckpoint(eager=eager)
+
+    _impl.__name__ = name or "checkpoint"
+    return FunctionNode(func=_impl, name=_impl.__name__)
+
+
 def as_transform(obj: Any, name: Optional[str] = None) -> TransformNode:
     """Factory for :class:`TransformNode`. Accepts a node or a node
     name. (The reference's version is broken as shipped — it passes the

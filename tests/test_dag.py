@@ -571,3 +571,31 @@ def test_sql_node_input_count_mismatch():
 
     with pytest.raises(TypeError):
         q.transform()  # missing both inputs
+
+
+def test_cache_and_checkpoint_nodes(spark, sf_dir):
+    from mldag_spark import cache_node, checkpoint_node
+
+    dag = MLDag()
+    src = dag["df"] >> as_node(lambda df: df.select("r_regionkey"), name="proj")
+    c = cache_node()
+    src >> c
+    c["result"] >> dag["cached"]
+
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    out = dag.transform(region).outputs["cached"]
+    assert out.storageLevel.useMemory or out.storageLevel.useDisk
+    out.unpersist()
+
+    dag2 = MLDag()
+    src2 = dag2["df"] >> as_node(lambda df: df.select("r_regionkey"), name="proj")
+    ck = checkpoint_node()
+    src2 >> ck
+    ck["result"] >> dag2["cut"]
+    cut = dag2.transform(region).outputs["cut"]
+    assert cut.count() == region.count()
+    # lineage truncated: the checkpointed plan no longer scans parquet
+    plan = cut._sc._jvm.PythonSQLUtils.explainString(
+        cut._jdf.queryExecution(), "simple"
+    )
+    assert "Scan parquet" not in plan and "FileScan" not in plan
