@@ -220,3 +220,48 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_view_click_pairs")
     )
+
+
+@register(
+    "stream_static_enrich",
+    oracle="""
+    SELECT n_name,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST((value) AS DECIMAL(18,6))), 2) AS DOUBLE)
+               AS total_value
+    FROM events
+    JOIN customer ON c_custkey = user_id
+    JOIN nation ON n_nationkey = c_nationkey
+    GROUP BY n_name
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the event stream joins two STATIC
+    dimension tables (customer → nation) before a streaming aggregate —
+    the standard streaming-ETL enrichment shape. Stream-static joins
+    are stateless (each micro-batch joins against the current static
+    snapshot; Spark broadcasts the dim side), so unlike stream-stream
+    joins they need no watermark state. Complete-mode output must equal
+    the batch join+rollup, which is the oracle."""
+    from mldag_spark.queries.tables import load
+
+    ev = S.events_stream(spark, sf_dir)
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    nat = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name"
+    )
+    enriched = ev.join(F.broadcast(cust), "user_id").join(
+        F.broadcast(nat), "c_nationkey"
+    )
+    agg = enriched.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")), 2
+        ).cast("double").alias("total_value"),
+    )
+    res = S.run_to_memory(
+        agg, _unique("stream_enrich"), output_mode="complete"
+    )
+    return res.select("n_name", "n_events", "total_value")
