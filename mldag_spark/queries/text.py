@@ -758,3 +758,41 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("test_doc").alias("doc_id"), "n_train_matches", "max_shared"
     )
+
+
+@register(
+    "pack_token_budget_batches",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))
+                   AS n_tokens
+        FROM documents
+    ), c AS (
+        SELECT doc_id, n_tokens,
+               CAST(SUM(n_tokens) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS global_cum
+        FROM t
+    )
+    SELECT doc_id, n_tokens, global_cum,
+           CAST((global_cum - n_tokens) // 4096 AS INT) AS batch_id
+    FROM c
+    """,
+)
+def pack_token_budget_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing (4096-token batches in doc_id order)
+    via the distributed prefix-sum in ``operators.packing`` — the
+    oracle is the single-window SQL cumsum, proving the two-phase
+    partition-offset formulation computes the identical global running
+    total without ever collapsing the data into one task."""
+    from mldag_spark.operators.packing import token_budget_batches
+
+    d = load(spark, sf_dir, "documents")
+    counts = d.select(
+        "doc_id", F.size(tokenize(F.col("text"))).alias("n_tokens")
+    )
+    return token_budget_batches(
+        counts, "doc_id", "n_tokens", max_tokens=4096
+    ).withColumn("global_cum", F.col("global_cum").cast("long"))

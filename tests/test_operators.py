@@ -315,3 +315,50 @@ def test_salted_aggregate_explicit_specs(spark):
 
     with pytest.raises(ValueError, match="non-algebraic"):
         salted_aggregate(df, ["k"], {"m": ("avg", "v")})
+
+
+def test_token_budget_batches_partition_invariant(spark):
+    """The distributed prefix-sum must produce identical global cumsums
+    and batch ids at ANY partition count — a prefix sum over a total
+    order cannot depend on where range boundaries fall."""
+    from mldag_spark.operators.packing import token_budget_batches
+
+    rows = [(i, (i * 37) % 900 + 10) for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+
+    def run(n_parts):
+        return sorted(
+            (r["doc_id"], r["global_cum"], r["batch_id"])
+            for r in token_budget_batches(
+                df, "doc_id", "n_tokens", max_tokens=2048,
+                num_partitions=n_parts,
+            ).collect()
+        )
+
+    base = run(1)
+    # matches the sequential definition
+    cum = 0
+    for (doc_id, global_cum, batch_id), (_, n) in zip(base, rows):
+        cum += n
+        assert global_cum == cum
+        assert batch_id == (global_cum - n) // 2048
+    for n_parts in (2, 7, 32):
+        assert run(n_parts) == base
+
+
+def test_token_budget_batches_no_global_window(spark):
+    """The plan must never contain a single-partition global sort —
+    the exact failure mode the two-phase formulation exists to avoid.
+    (Exchange SinglePartition appears only under the tiny |partitions|-
+    row offsets aggregate, never over the full data.)"""
+    from mldag_spark.operators.packing import token_budget_batches
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 50 + 1).alias("n")
+    )
+    out = token_budget_batches(df, "doc_id", "n", max_tokens=512)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "rangepartitioning" in plan.lower()
+    assert out.count() == 1000
