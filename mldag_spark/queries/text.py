@@ -796,3 +796,36 @@ def pack_token_budget_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_budget_batches(
         counts, "doc_id", "n_tokens", max_tokens=4096
     ).withColumn("global_cum", F.col("global_cum").cast("long"))
+
+
+@register(
+    "sample_balanced_per_lang",
+    oracle="""
+    WITH ranked AS (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rk
+        FROM documents
+    )
+    SELECT doc_id, lang FROM ranked WHERE rk <= 40
+    """,
+)
+def sample_balanced_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced subset: exactly min(40, |lang|) documents per language,
+    chosen by content-free hash order — the deterministic equivalent of
+    per-stratum random sampling for building balanced training mixes.
+    Hash order (not doc_id order) avoids correlating the sample with
+    ingestion order; determinism makes the mix reproducible across
+    runs, engines, and cluster sizes. One shuffle on lang; the rank
+    window partitions by a real key so work distributes."""
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 40)
+        .select("doc_id", "lang")
+    )

@@ -234,3 +234,49 @@ def embedding_norm_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("nrm"), 4).alias("min_norm"),
         F.round(F.max("nrm"), 4).alias("max_norm"),
     )
+
+
+@register(
+    "embedding_int8_quantization",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id, label,
+               list_max(list_transform(embedding,
+                        x -> abs(CAST(x AS DOUBLE)))) AS scale
+        FROM embeddings
+    )
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           ROUND(CAST(SUM(CAST(ROUND(scale, 6) AS DECIMAL(18,6)))
+                      AS DOUBLE) / COUNT(*), 4) AS avg_scale,
+           CAST(SUM(CASE WHEN scale > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_quantizable
+    FROM q GROUP BY label
+    """,
+)
+def embedding_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization prep: per-vector scale = max |x|
+    (quantized value = round(x/scale*127); reconstruction error is
+    bounded by scale/254). The 4× storage cut is what makes
+    billion-vector ANN indexes fit in memory; this query audits the
+    scales per label. JVM-side: explode → groupBy max(abs) — no
+    interpreted array folds — then an exact decimal average of
+    6-dp-rounded scales so float summation order cannot flip the gate.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    scales = (
+        emb.select("vec_id", "label", F.explode("embedding").alias("x"))
+        .groupBy("vec_id", "label")
+        .agg(F.max(F.abs(F.col("x").cast("double"))).alias("scale"))
+    )
+    return scales.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(
+            F.sum(F.round("scale", 6).cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("avg_scale"),
+        F.sum(F.when(F.col("scale") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_quantizable"),
+    )
