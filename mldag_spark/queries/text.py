@@ -829,3 +829,51 @@ def sample_balanced_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 40)
         .select("doc_id", "lang")
     )
+
+
+@register(
+    "text_unigram_logprob",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))
+                   AS w
+        FROM documents
+    ), cf AS (
+        SELECT w, COUNT(*) AS c FROM tok GROUP BY w
+    ), tot AS (
+        SELECT COUNT(*) AS t FROM tok
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           ROUND(AVG(ln(CAST(c AS DOUBLE) / t)), 4) AS avg_logprob
+    FROM tok JOIN cf USING (w), tot
+    GROUP BY doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring: mean log-probability of each
+    document's tokens under the corpus unigram distribution — the
+    cheap stand-in for the perplexity filters used to rank pre-training
+    data (low avg_logprob = rare-token-heavy = candidate junk).
+
+    Two passes over the token explode: corpus frequencies (one term
+    shuffle), then a frequency join back to the token stream and a
+    per-doc aggregate. The corpus total joins as a broadcast 1-row
+    aggregate. All codegen; scoring against a FIXED reference corpus
+    at 100 TB replaces the first pass with a broadcast lookup table."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokenize(F.col("text"))).alias("w"))
+    cf = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    tot = tok.agg(F.count(F.lit(1)).alias("t"))
+    return (
+        tok.join(cf, "w")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.avg(F.log(F.col("c").cast("double") / F.col("t"))), 4
+            ).alias("avg_logprob"),
+        )
+    )

@@ -280,3 +280,68 @@ def embedding_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_quantizable"),
     )
+
+
+@register(
+    "embedding_centroid_distances",
+    oracle="""
+    WITH pos AS (
+        SELECT vec_id, label, u AS pos, CAST(embedding[u] AS DOUBLE) AS x
+        FROM (SELECT vec_id, label, embedding,
+                     unnest(generate_series(1, len(embedding))) AS u
+              FROM embeddings)
+    ), cent AS (
+        SELECT label, pos, ROUND(AVG(x), 6) AS c
+        FROM pos GROUP BY label, pos
+    ), dist AS (
+        SELECT p.vec_id, p.label,
+               ROUND(sqrt(SUM((p.x - c.c) * (p.x - c.c))), 6) AS d
+        FROM pos p JOIN cent c ON p.label = c.label AND p.pos = c.pos
+        GROUP BY p.vec_id, p.label
+    )
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           ROUND(CAST(SUM(CAST(d AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*), 4) AS avg_dist,
+           ROUND(MAX(d), 4) AS max_dist
+    FROM dist GROUP BY label
+    """,
+)
+def embedding_centroid_distances(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-label centroid-distance audit — the outlier scan run on a
+    new embedding batch (a max_dist far above avg_dist flags mislabeled
+    or corrupted vectors).
+
+    Centroids via posexplode → groupBy(label, pos) — the distributed
+    formulation of per-dimension means (never a collect of vectors to
+    the driver); distances re-join the exploded stream on (label, pos)
+    and aggregate per vector. Centroids and distances round to 6
+    before the final exact decimal average, so float summation order
+    cannot flip the 4-dp gate."""
+    emb = load(spark, sf_dir, "embeddings")
+    pos = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "x")
+    ).withColumn("x", F.col("x").cast("double"))
+    cent = pos.groupBy("label", "pos").agg(
+        F.round(F.avg("x"), 6).alias("c")
+    )
+    dist = (
+        pos.join(cent, ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.round(
+                F.sqrt(F.sum((F.col("x") - F.col("c")) ** 2)), 6
+            ).alias("d")
+        )
+    )
+    return dist.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(
+            F.sum(F.col("d").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("avg_dist"),
+        F.round(F.max("d"), 4).alias("max_dist"),
+    )
