@@ -1,9 +1,13 @@
 """Reusable JVM-side column expressions.
 
-Everything here is built from ``pyspark.sql.functions`` primitives so
-it stays inside whole-stage codegen — no Python/Pandas UDFs in these
-hot paths. (UDF-based variants for genuinely non-expressible logic
-live in ``mldag_spark.operators``.)
+Everything here is built from ``pyspark.sql.functions`` primitives —
+no Python/Pandas UDFs, no serialization boundary. Precision caveat:
+the vector folds (``dot``/``l2_norm``) and ``shingles`` are
+higher-order functions, which the JVM evaluates *interpreted* (outside
+whole-stage codegen). They are the correctness-baseline/ad-hoc forms;
+the scale paths are the Arrow matmul kernels
+(``operators.similarity``) and ``shingle_sets``/explode→groupBy
+formulations, per the measurements in ``queries/text.py``.
 """
 
 from __future__ import annotations

@@ -79,17 +79,20 @@ def minhash_lsh_pairs(
     # the hash tree into every slice on both join sides.
     sig = minhash_signatures(df, id_col, set_col, num_hashes)
 
-    # one row per (doc, band): bucket = hash of the band's slice
-    band_idx = F.array(*[F.lit(j) for j in range(bands)])
+    # one row per (doc, band): bucket = hash of the band's slice. Band
+    # indices are compile-time constants, so the struct array is built
+    # statically (codegen) instead of an interpreted F.transform lambda.
     banded = sig.select(
         F.col(id_col),
         F.explode(
-            F.transform(
-                band_idx,
-                lambda j: F.struct(
-                    j.alias("band"),
-                    F.hash(F.slice("mh", j * r + 1, r)).alias("bucket"),
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.hash(F.slice("mh", j * r + 1, r)).alias("bucket"),
+                    )
+                    for j in range(bands)
+                ]
             )
         ).alias("b"),
     ).select(id_col, "b.band", "b.bucket")
