@@ -453,3 +453,72 @@ def events_asof_tolerance_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(within, F.col("asof_orderkey")).alias("asof_orderkey"),
         )
     )
+
+
+def _ewma_taps(col: str, w, alpha: float = 0.5, taps: int = 8):
+    """Finite-tap EWMA: sum_{j=0..taps-1} a*(1-a)^j * lag(x, j), with
+    the tail mass renormalized away by dividing by the sum of weights
+    actually present (handles the first rows of each partition)."""
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for j in range(taps):
+        wgt = alpha * (1 - alpha) ** j
+        x = F.lag(col, j).over(w) if j else F.col(col)
+        num = num + F.when(x.isNotNull(), F.lit(wgt) * x).otherwise(0.0)
+        den = den + F.when(x.isNotNull(), F.lit(wgt)).otherwise(0.0)
+    return num / den
+
+
+@register(
+    "events_ewma_value",
+    oracle="""
+    WITH lagged AS (
+        SELECT event_id, user_id, value,
+               LAG(value, 1) OVER w AS l1, LAG(value, 2) OVER w AS l2,
+               LAG(value, 3) OVER w AS l3, LAG(value, 4) OVER w AS l4,
+               LAG(value, 5) OVER w AS l5, LAG(value, 6) OVER w AS l6,
+               LAG(value, 7) OVER w AS l7
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_id, user_id,
+           ROUND((
+               0.5 * value
+             + CASE WHEN l1 IS NULL THEN 0 ELSE 0.25 * l1 END
+             + CASE WHEN l2 IS NULL THEN 0 ELSE 0.125 * l2 END
+             + CASE WHEN l3 IS NULL THEN 0 ELSE 0.0625 * l3 END
+             + CASE WHEN l4 IS NULL THEN 0 ELSE 0.03125 * l4 END
+             + CASE WHEN l5 IS NULL THEN 0 ELSE 0.015625 * l5 END
+             + CASE WHEN l6 IS NULL THEN 0 ELSE 0.0078125 * l6 END
+             + CASE WHEN l7 IS NULL THEN 0 ELSE 0.00390625 * l7 END
+           ) / (
+               0.5
+             + CASE WHEN l1 IS NULL THEN 0 ELSE 0.25 END
+             + CASE WHEN l2 IS NULL THEN 0 ELSE 0.125 END
+             + CASE WHEN l3 IS NULL THEN 0 ELSE 0.0625 END
+             + CASE WHEN l4 IS NULL THEN 0 ELSE 0.03125 END
+             + CASE WHEN l5 IS NULL THEN 0 ELSE 0.015625 END
+             + CASE WHEN l6 IS NULL THEN 0 ELSE 0.0078125 END
+             + CASE WHEN l7 IS NULL THEN 0 ELSE 0.00390625 END
+           ), 4) AS ewma
+    FROM lagged
+    """,
+)
+def events_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average (alpha=0.5, 8 taps) of
+    each user's event values — the streaming-telemetry smoother.
+
+    The closed recursive EWMA is inherently sequential; the finite-tap
+    form is a fixed linear combination of lags, which IS expressible as
+    plain window functions: 8 codegen'd lag columns, one shuffle on
+    user_id, and a weight renormalization for partition-head rows.
+    Truncation error is (1-alpha)^taps < 0.4% of mass at these
+    parameters. Both engines evaluate the identical expression tree,
+    so the 4-dp round is exact."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(_ewma_taps("value", w, alpha=0.5, taps=8), 4).alias("ewma"),
+    )

@@ -877,3 +877,54 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logprob"),
         )
     )
+
+
+# Per-source sampling weights for the deterministic data-mixing query
+# (identical literals in the SQL oracle).
+_MIX_WEIGHTS = {"src0": 100, "src1": 75, "src2": 50, "src3": 25}
+
+
+@register(
+    "sample_weighted_mix",
+    oracle="""
+    WITH tagged AS (
+        SELECT doc_id, source,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || source), 1, 8))::BIGINT
+                 % 100 AS bucket
+        FROM documents
+    )
+    SELECT source, COUNT(*) AS n_sampled
+    FROM tagged
+    WHERE bucket < CASE source
+                   WHEN 'src0' THEN 100 WHEN 'src1' THEN 75
+                   WHEN 'src2' THEN 50 WHEN 'src3' THEN 25
+                   ELSE 0 END
+    GROUP BY source
+    """,
+)
+def sample_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic data mixing: each source is down-sampled to its
+    configured weight (src0 100%, src1 75%, src2 50%, src3 25%) by a
+    content-free hash threshold — how a training mix re-weights
+    sources without rand() (reproducible across runs/engines/cluster
+    sizes, and a document's keep/drop decision never changes when
+    other sources are added). Pure per-row projection + tiny rollup."""
+    d = load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("doc_id").cast("string"), "source")),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long") % 100
+    )
+    threshold = F.lit(0)
+    for src, wgt in _MIX_WEIGHTS.items():
+        threshold = F.when(F.col("source") == src, wgt).otherwise(threshold)
+    return (
+        d.select("doc_id", "source", bucket.alias("bucket"))
+        .filter(F.col("bucket") < threshold)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )

@@ -101,3 +101,23 @@ def test_bucketed_join_is_exchange_free(tmp_path, spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
         spark.sql("DROP DATABASE IF EXISTS bktest CASCADE")
+
+
+def test_partitioned_write_prunes_partitions(tmp_path, spark, sf_dir):
+    """write_sink(partition_by=['lang']) must produce a layout where a
+    lang filter becomes a PartitionFilter (pruned at planning, no data
+    read from other partitions) rather than a post-scan filter."""
+    from mldag_spark.sources import write_sink
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = str(tmp_path / "docs_by_lang")
+    write_sink(docs, path, partition_by=["lang"])
+
+    back = spark.read.parquet(path).filter(F.col("lang") == "en")
+    plan = back._sc._jvm.PythonSQLUtils.explainString(
+        back._jdf.queryExecution(), "formatted"
+    )
+    part_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert part_lines and "lang" in part_lines[0], plan
+    n_en = docs.filter(F.col("lang") == "en").count()
+    assert back.count() == n_en
