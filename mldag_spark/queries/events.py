@@ -522,3 +522,56 @@ def events_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.round(_ewma_taps("value", w, alpha=0.5, taps=8), 4).alias("ewma"),
     )
+
+
+@register(
+    "events_anomaly_mad",
+    oracle="""
+    WITH med AS (
+        SELECT event_type, MEDIAN(value) AS med
+        FROM events GROUP BY event_type
+    ), dev AS (
+        SELECT e.event_type, e.value, m.med,
+               MEDIAN(ABS(e.value - m.med))
+                   OVER (PARTITION BY e.event_type) AS mad
+        FROM events e JOIN med m ON e.event_type = m.event_type
+    )
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN ABS(value - med) > 3 * 1.4826 * mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           ROUND(MAX(med), 4) AS med,
+           ROUND(MAX(mad), 4) AS mad
+    FROM dev
+    GROUP BY event_type
+    """,
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly counts per event type: |value - median| >
+    3 · 1.4826 · MAD. Unlike mean/stddev z-scores, the median/MAD
+    threshold is not inflated by the outliers it is trying to find —
+    the standard robust detector for telemetry.
+
+    Two grouped exact medians (value, then absolute deviation), each a
+    per-group aggregate on the same event_type partitioning; the
+    deviation median rides the window so no second join is needed."""
+    e = load(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = e.join(F.broadcast(med), "event_type").withColumn(
+        "mad",
+        F.expr(
+            "median(abs(value - med)) OVER (PARTITION BY event_type)"
+        ),
+    )
+    return dev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            F.when(
+                F.abs(F.col("value") - F.col("med"))
+                > 3 * 1.4826 * F.col("mad"),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("n_outliers"),
+        F.round(F.max("med"), 4).alias("med"),
+        F.round(F.max("mad"), 4).alias("mad"),
+    )
