@@ -928,3 +928,243 @@ def sample_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_sampled"))
     )
+
+
+@register(
+    "corpus_source_overlap",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, source,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+                   AS toks
+        FROM documents
+    ), sh AS (
+        SELECT DISTINCT source, shingle
+        FROM (
+            SELECT source,
+                   unnest(CASE WHEN len(toks) <= 3
+                               THEN [array_to_string(toks, ' ')]
+                               ELSE list_transform(range(1, len(toks) - 1),
+                                    i -> array_to_string(toks[i:i+2], ' '))
+                          END) AS shingle
+            FROM tok
+        )
+    ), sizes AS (
+        SELECT source, COUNT(*) AS n_sh FROM sh GROUP BY source
+    ), inter AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               COUNT(*) AS n_common
+        FROM sh a JOIN sh b
+          ON a.shingle = b.shingle AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT i.source_a, i.source_b, i.n_common,
+           ROUND(CAST(i.n_common AS DOUBLE)
+                 / (sa.n_sh + sb.n_sh - i.n_common), 4) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.source_a
+    JOIN sizes sb ON sb.source = i.source_b
+    ORDER BY source_a, source_b
+    """,
+)
+def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise 3-gram-shingle Jaccard between *sources* — the corpus
+    cross-contamination matrix that tells you which crawl slices are
+    near-copies of each other before you weight a training mix.
+
+    Plan shape (100 TB stance): (source, shingle) distinct is one hash
+    shuffle; the self-join keys on shingle (inverted index — only
+    shared shingles pair up) and the pair rollup keys on
+    (source_a, source_b), whose cardinality is bounded by
+    #sources² regardless of corpus size; per-source set sizes are a
+    #sources-row aggregate, broadcast back. No per-document pair
+    blow-up anywhere: documents disappear after the distinct."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.posexplode(tokenize(F.col("text"))).alias("_pos", "_t"),
+        F.col("doc_id"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("_pos")
+    leads = [F.col("_t")] + [F.lead("_t", i).over(w) for i in range(1, 3)]
+    n = F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+    sh = (
+        toks.select(
+            "source",
+            F.concat_ws(" ", *leads).alias("shingle"),
+            F.col("_pos"),
+            n.alias("_n"),
+        )
+        .filter(
+            (F.col("_pos") <= F.col("_n") - 3)
+            | ((F.col("_n") <= 3) & (F.col("_pos") == 0))
+        )
+        .select("source", "shingle")
+        .distinct()
+    )
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = F.broadcast(sizes.select(F.col("source").alias("source_a"), F.col("n_sh").alias("_na")))
+    sb = F.broadcast(sizes.select(F.col("source").alias("source_b"), F.col("n_sh").alias("_nb")))
+    return (
+        inter.join(sa, "source_a")
+        .join(sb, "source_b")
+        .select(
+            "source_a", "source_b", "n_common",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("_na") + F.col("_nb") - F.col("n_common")),
+                4,
+            ).alias("jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+@register(
+    "corpus_zipf_slope",
+    oracle="""
+    WITH tf AS (
+        SELECT source, w, COUNT(*) AS freq
+        FROM (
+            SELECT source,
+                   unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))
+                       AS w
+            FROM documents
+        )
+        GROUP BY source, w
+    ), ranked AS (
+        SELECT source, freq,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY freq DESC, w) AS rnk
+        FROM tf
+    )
+    SELECT source,
+           COUNT(*) AS n_terms,
+           ROUND(covar_pop(ln(rnk), ln(freq)) / var_pop(ln(rnk)), 4)
+               AS zipf_slope
+    FROM ranked
+    WHERE rnk <= 100
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def corpus_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency slope per source: OLS slope of ln(freq) on
+    ln(rank) over each source's 100 most frequent terms. Natural text
+    sits near -1; heavily templated/boilerplate slices drift away —
+    a cheap corpus-health screen for a training mix.
+
+    Plan: token explode → (source, term) count (one shuffle) →
+    per-source row_number window (shuffle on source) → two-moment
+    aggregate. The window input is already term-level aggregated, so
+    the window never sees raw token volume; slope uses
+    covar_pop/var_pop (single-pass, map-side partial)."""
+    d = load(spark, sf_dir, "documents")
+    tf = (
+        d.select("source", F.explode(tokenize(F.col("text"))).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    wnd = Window.partitionBy("source").orderBy(F.desc("freq"), F.asc("w"))
+    ranked = tf.select(
+        "source", "freq", F.row_number().over(wnd).alias("rnk")
+    ).filter(F.col("rnk") <= 100)
+    lnr, lnf = F.log(F.col("rnk").cast("double")), F.log(F.col("freq").cast("double"))
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.round(F.covar_pop(lnr, lnf) / F.var_pop(lnr), 4).alias("zipf_slope"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "corpus_pmi_pairs",
+    oracle="""
+    WITH tok AS (
+        SELECT DISTINCT doc_id,
+               unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))
+                   AS w
+        FROM documents
+    ), dfs AS (
+        SELECT w, COUNT(*) AS df FROM tok GROUP BY w
+    ), top AS (
+        SELECT w, df FROM dfs ORDER BY df DESC, w LIMIT 30
+    ), ft AS (
+        SELECT t.doc_id, t.w FROM tok t JOIN top ON top.w = t.w
+    ), pairs AS (
+        SELECT a.w AS term_a, b.w AS term_b, COUNT(*) AS n_docs_pair
+        FROM ft a JOIN ft b ON a.doc_id = b.doc_id AND a.w < b.w
+        GROUP BY 1, 2
+    )
+    SELECT p.term_a, p.term_b, p.n_docs_pair,
+           ROUND(ln(CAST(p.n_docs_pair AS DOUBLE)
+                    * (SELECT COUNT(DISTINCT doc_id) FROM documents)
+                    / (ta.df * tb.df)), 4) AS pmi
+    FROM pairs p
+    JOIN top ta ON ta.w = p.term_a
+    JOIN top tb ON tb.w = p.term_b
+    WHERE p.n_docs_pair >= 5
+    ORDER BY pmi DESC, term_a, term_b
+    LIMIT 50
+    """,
+)
+def corpus_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information of term co-occurrence (document
+    level) among the corpus's 30 highest-DF terms — surfaces phrase
+    structure vs independence in a slice (templated corpora show
+    extreme PMI mass).
+
+    Plan: per-doc distinct terms stay in-row (array_distinct before
+    explode); DF rollup is one term-keyed shuffle; the top-30 cap is
+    broadcast back as a semi-join filter, so the doc-level self-join
+    fans out at most C(30,2)=435 pairs per document regardless of
+    document length or corpus size; the pair rollup keys on a ≤435-row
+    space. N and per-term DFs join in as broadcasts."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(tokenize(F.col("text")))).alias("w")
+    )
+    dfs = tok.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    top = dfs.orderBy(F.desc("df"), F.asc("w")).limit(30)
+    ft = tok.join(F.broadcast(top.select("w")), "w")
+    a = ft.select(F.col("doc_id"), F.col("w").alias("term_a"))
+    b = ft.select(F.col("doc_id"), F.col("w").alias("term_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b")
+        .agg(F.count(F.lit(1)).alias("n_docs_pair"))
+        .filter(F.col("n_docs_pair") >= 5)
+    )
+    n_docs = d.agg(F.countDistinct("doc_id").alias("n_docs"))
+    ta = F.broadcast(top.select(F.col("w").alias("term_a"), F.col("df").alias("_dfa")))
+    tb = F.broadcast(top.select(F.col("w").alias("term_b"), F.col("df").alias("_dfb")))
+    return (
+        pairs.join(ta, "term_a")
+        .join(tb, "term_b")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term_a", "term_b", "n_docs_pair",
+            F.round(
+                F.log(
+                    F.col("n_docs_pair").cast("double") * F.col("n_docs")
+                    / (F.col("_dfa") * F.col("_dfb"))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "term_a", "term_b")
+        .limit(50)
+    )

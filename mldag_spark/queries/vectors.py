@@ -345,3 +345,43 @@ def embedding_centroid_distances(
         ).alias("avg_dist"),
         F.round(F.max("d"), 4).alias("max_dist"),
     )
+
+
+@register(
+    "embedding_dim_variance",
+    oracle="""
+    WITH e AS (
+        SELECT unnest(embedding) AS v,
+               generate_subscripts(embedding, 1) - 1 AS dim
+        FROM embeddings
+    )
+    SELECT CAST(dim AS INT) AS dim,
+           ROUND(AVG(CAST(v AS DOUBLE)), 6) AS mean_val,
+           ROUND(var_pop(CAST(v AS DOUBLE)), 6) AS var_val,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs
+    FROM e GROUP BY 1 ORDER BY 1
+    """,
+)
+def embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/variance of the embedding matrix — the
+    collapsed-dimension / anisotropy audit (dead dims show ~0
+    variance; a healthy encoder spreads variance). Sum over var_val
+    is the covariance trace used for PCA energy budgets.
+
+    Plan: posexplode is a flatMap (no shuffle); the only shuffle is
+    the 64-key groupBy with map-side partial moment aggregation, so
+    reduce-side traffic is #partitions × #dims rows regardless of
+    vector count. All codegen'd — no interpreted HOF folds, no UDFs."""
+    emb = load(spark, sf_dir, "embeddings")
+    pos = emb.select(F.posexplode("embedding").alias("dim", "v")).withColumn(
+        "v", F.col("v").cast("double")
+    )
+    return (
+        pos.groupBy("dim")
+        .agg(
+            F.round(F.avg("v"), 6).alias("mean_val"),
+            F.round(F.var_pop("v"), 6).alias("var_val"),
+            F.count(F.lit(1)).alias("n_vecs"),
+        )
+        .orderBy("dim")
+    )
