@@ -80,16 +80,16 @@ def shingles(tokens, k: int = 3) -> Column:
     )
 
 
-def shingle_sets(df, id_col: str, text_col: str, k: int = 3):
-    """(id, sh: array<string>) — DISTINCT k-word shingle sets per doc.
+def shingle_rows(df, id_col: str, text_col: str, k: int = 3):
+    """(id, shingle) rows — k-word shingles per doc, possibly with
+    duplicates (dedup happens in whatever aggregate consumes them).
 
-    Same semantics as ``array_distinct(shingles(tokenize(text), k))``
-    but formulated for scale: posexplode the tokens, window-``lead`` the
-    next k-1 tokens, ``collect_set`` back per id. Every expression is
-    codegen'd (no interpreted lambdas), and the window and the groupBy
-    share one hash partitioning on ``id`` — a single shuffle whose rows
-    are (id, token), after which all downstream work is parallel even
-    when the source parquet arrives as one partition.
+    Formulated for scale: posexplode the tokens, window-``lead`` the
+    next k-1 tokens. Every expression is codegen'd (no interpreted
+    lambdas), and the output is hash-partitioned by ``id`` (the
+    window's partitioning), so downstream per-id aggregates —
+    ``collect_set`` in :func:`shingle_sets`, the groupBy-min in
+    ``minhash_signatures_rows`` — add NO further exchange.
     """
     from pyspark.sql.window import Window
 
@@ -102,7 +102,7 @@ def shingle_sets(df, id_col: str, text_col: str, k: int = 3):
         F.lead("_t", i).over(w) for i in range(1, k)
     ]
     n = F.count(F.lit(1)).over(Window.partitionBy(id_col))
-    sh = toks.select(
+    return toks.select(
         F.col(id_col),
         # concat_ws skips NULL leads, so for docs shorter than k the
         # pos==0 row degrades to the full-text shingle — the same
@@ -110,8 +110,27 @@ def shingle_sets(df, id_col: str, text_col: str, k: int = 3):
         F.concat_ws(" ", *leads).alias("shingle"),
         F.col("_pos").alias("_pos"),
         n.alias("_n"),
-    ).filter((F.col("_pos") <= F.col("_n") - k) | ((F.col("_n") <= k) & (F.col("_pos") == 0)))
-    return sh.groupBy(id_col).agg(F.collect_set("shingle").alias("sh"))
+    ).filter(
+        (F.col("_pos") <= F.col("_n") - k)
+        | ((F.col("_n") <= k) & (F.col("_pos") == 0))
+    ).select(id_col, "shingle")
+
+
+def shingle_sets(df, id_col: str, text_col: str, k: int = 3):
+    """(id, sh: array<string>) — DISTINCT k-word shingle sets per doc.
+
+    Same semantics as ``array_distinct(shingles(tokenize(text), k))``
+    but built from :func:`shingle_rows`; the window there and the
+    ``collect_set`` here share one hash partitioning on ``id`` — a
+    single shuffle whose rows are (id, token), after which all
+    downstream work is parallel even when the source parquet arrives
+    as one partition.
+    """
+    return (
+        shingle_rows(df, id_col, text_col, k)
+        .groupBy(id_col)
+        .agg(F.collect_set("shingle").alias("sh"))
+    )
 
 
 def fingerprint(c) -> Column:

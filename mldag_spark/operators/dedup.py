@@ -40,11 +40,25 @@ def minhash_signatures(
     partial, so the shuffle carries only ``num_hashes`` longs per id.
     """
     ex = df.select(F.col(id_col), F.explode(set_col).alias("_elem"))
+    return minhash_signatures_rows(ex, id_col, "_elem", num_hashes)
+
+
+def minhash_signatures_rows(
+    rows: DataFrame, id_col: str, elem_col: str, num_hashes: int = 64
+) -> DataFrame:
+    """(id, mh) MinHash signatures from (id, element) ROWS.
+
+    min() is invariant under element multiplicity, so the rows need no
+    per-id dedup first — this skips the collect_set → re-explode round
+    trip entirely when the caller already has element rows (e.g.
+    ``functions.shingle_rows``), and when those rows are already
+    hash-partitioned by ``id`` the groupBy adds no exchange.
+    """
     mins = [
-        F.min(F.xxhash64("_elem", F.lit(i))).alias(f"_h{i}")
+        F.min(F.xxhash64(elem_col, F.lit(i))).alias(f"_h{i}")
         for i in range(num_hashes)
     ]
-    return ex.groupBy(id_col).agg(*mins).select(
+    return rows.groupBy(id_col).agg(*mins).select(
         id_col,
         F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("mh"),
     )
@@ -69,15 +83,54 @@ def minhash_lsh_pairs(
 
     Returns columns ``doc_a < doc_b`` and ``jaccard`` (rounded to 4).
     """
+    sets = df.select(F.col(id_col), F.col(set_col).alias("_sh"))
+    rows = df.select(F.col(id_col), F.explode(set_col).alias("_elem"))
+    return _lsh_pairs_impl(
+        rows, sets, id_col, "_elem", threshold, num_hashes, bands
+    )
+
+
+def minhash_lsh_pairs_rows(
+    rows: DataFrame,
+    id_col: str,
+    elem_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """:func:`minhash_lsh_pairs`, but from (id, element) ROWS — the
+    preferred entry when elements come out of an explode-shaped
+    producer (``functions.shingle_rows``): signatures aggregate the
+    rows directly (multiplicity-invariant min), and the verification
+    sets are a ``collect_set`` over the SAME partitioning, so neither
+    consumer pays a second exchange or an array re-explode.
+    """
+    sets = rows.groupBy(id_col).agg(
+        F.collect_set(elem_col).alias("_sh")
+    )
+    return _lsh_pairs_impl(
+        rows, sets, id_col, elem_col, threshold, num_hashes, bands
+    )
+
+
+def _lsh_pairs_impl(
+    rows: DataFrame,
+    sets: DataFrame,
+    id_col: str,
+    elem_col: str,
+    threshold: float,
+    num_hashes: int,
+    bands: int,
+) -> DataFrame:
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
 
-    # groupBy inside minhash_signatures doubles as a materialization
-    # barrier: the signature is computed once, and band slicing below
-    # references the aggregated `mh` attribute instead of re-inlining
-    # the hash tree into every slice on both join sides.
-    sig = minhash_signatures(df, id_col, set_col, num_hashes)
+    # groupBy inside minhash_signatures_rows doubles as a
+    # materialization barrier: the signature is computed once, and band
+    # slicing below references the aggregated `mh` attribute instead of
+    # re-inlining the hash tree into every slice on both join sides.
+    sig = minhash_signatures_rows(rows, id_col, elem_col, num_hashes)
 
     # one row per (doc, band): bucket = hash of the band's slice. Band
     # indices are compile-time constants, so the struct array is built
@@ -114,11 +167,11 @@ def minhash_lsh_pairs(
     )
 
     # exact verification on the candidate pairs only
-    sets_a = df.select(
-        F.col(id_col).alias("doc_a"), F.col(set_col).alias("sh_a")
+    sets_a = sets.select(
+        F.col(id_col).alias("doc_a"), F.col("_sh").alias("sh_a")
     )
-    sets_b = df.select(
-        F.col(id_col).alias("doc_b"), F.col(set_col).alias("sh_b")
+    sets_b = sets.select(
+        F.col(id_col).alias("doc_b"), F.col("_sh").alias("sh_b")
     )
     n_common = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = n_common.cast("double") / (

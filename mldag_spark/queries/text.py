@@ -348,11 +348,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverted-index plan, the LSH join fan-out is bounded by band
     buckets, not shingle document-frequency.
     """
-    from mldag_spark.operators.dedup import minhash_lsh_pairs
+    from mldag_spark.functions import shingle_rows
+    from mldag_spark.operators.dedup import minhash_lsh_pairs_rows
 
-    t = _shingle_sets(spark, sf_dir)
-    return minhash_lsh_pairs(
-        t, id_col="doc_id", set_col="sh", threshold=0.8,
+    d = load(spark, sf_dir, "documents")
+    rows = shingle_rows(d, "doc_id", "text", 3)
+    return minhash_lsh_pairs_rows(
+        rows, id_col="doc_id", elem_col="shingle", threshold=0.8,
         num_hashes=64, bands=16,
     )
 
