@@ -274,25 +274,23 @@ _JACCARD_ORACLE = """
 """
 
 
-def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from mldag_spark.functions import shingle_sets
-
-    d = load(spark, sf_dir, "documents")
-    return shingle_sets(d, "doc_id", "text", 3)
-
-
 @register("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs (jaccard >= 0.8).
 
-    Plan: explode distinct shingles → self-join on shingle (inverted
-    index; only docs sharing a shingle pair up) → count common per pair
-    → Jaccard from |A|+|B|-common. Shuffles on shingle then on pair —
-    both key-partitioned, no cartesian anywhere.
+    Plan: distinct (doc, shingle) rows → self-join on shingle
+    (inverted index; only docs sharing a shingle pair up) → count
+    common per pair → Jaccard from |A|+|B|-common. Shuffles on shingle
+    then on pair — both key-partitioned, no cartesian anywhere. The
+    distinct and the per-doc size rollup both run on the shingle-row
+    window's doc_id partitioning (doc_id ⊆ their grouping keys), so
+    neither adds an exchange — no collect_set array is ever built.
     """
-    t = _shingle_sets(spark, sf_dir)
-    sizes = t.select("doc_id", F.size("sh").alias("n_sh"))
-    ex = t.select("doc_id", F.explode("sh").alias("shingle"))
+    from mldag_spark.functions import shingle_rows
+
+    d = load(spark, sf_dir, "documents")
+    ex = shingle_rows(d, "doc_id", "text", 3).distinct()
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = ex.alias("a")
     b = ex.alias("b")
     pairs = (
