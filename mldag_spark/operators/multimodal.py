@@ -207,3 +207,63 @@ def chunk_payloads(media: DataFrame, chunk_bytes: int = 256) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(
         kernel, schema="media_id long, chunk_idx int, chunk binary"
     )
+
+
+def resize_media(
+    media: DataFrame,
+    max_px: int = 64,
+    deterministic_fake: bool = True,
+) -> DataFrame:
+    """Downscale images so the longest side is <= ``max_px`` via
+    ``mapInPandas`` — same Arrow plumbing as :func:`extract_features`:
+    payload bytes cross to Python once per columnar batch, the output
+    schema is the input MEDIA_SCHEMA (so resize composes with any
+    downstream media consumer), and rows already small enough pass
+    through untouched.
+
+    Dimension math is integer-exact (``new = old * max_px // longest``,
+    downscale only) so results are reproducible bit-for-bit across
+    engines and cluster sizes. The stub "resize" truncates the payload
+    to ``len * max_px² // longest²`` bytes — the real kernel would be
+    a PIL/libvips call with the same signature (raises
+    ``NotImplementedError`` when ``deterministic_fake=False``).
+    """
+    import pandas as pd
+
+    if max_px <= 0:
+        raise ValueError("max_px must be positive")
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "media_id", "mime", "payload", "width", "height", "duration_ms"
+            )}
+            for mid, mime, p, w, h, dur in zip(
+                pdf["media_id"], pdf["mime"], pdf["payload"],
+                pdf["width"], pdf["height"], pdf["duration_ms"],
+            ):
+                if not deterministic_fake:
+                    raise NotImplementedError(
+                        "real image resize requires PIL/libvips; "
+                        "not available in this environment"
+                    )
+                data = bytes(p) if p is not None else b""
+                longest = max(int(w), int(h))
+                if longest > max_px:
+                    nw = int(w) * max_px // longest
+                    nh = int(h) * max_px // longest
+                    nlen = len(data) * max_px * max_px // (longest * longest)
+                    data = data[:nlen]
+                else:
+                    nw, nh = int(w), int(h)
+                out["media_id"].append(mid)
+                out["mime"].append(mime)
+                out["payload"].append(data)
+                out["width"].append(nw)
+                out["height"].append(nh)
+                out["duration_ms"].append(dur)
+            yield pd.DataFrame(out)
+
+    return media.select(
+        "media_id", "mime", "payload", "width", "height", "duration_ms"
+    ).mapInPandas(kernel, schema=MEDIA_SCHEMA)

@@ -111,3 +111,44 @@ def multimodal_payload_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunks.select(
         "media_id", "chunk_idx", F.octet_length("chunk").alias("chunk_len")
     )
+
+
+@register(
+    "multimodal_resize_audit",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id AS media_id,
+               length(text) % 640 + 32 AS w,
+               length(text) % 480 + 32 AS h,
+               octet_length(encode(text)) AS n_bytes
+        FROM documents
+    )
+    SELECT media_id,
+           CAST(CASE WHEN greatest(w, h) > 64
+                     THEN w * 64 // greatest(w, h) ELSE w END AS INT)
+               AS width,
+           CAST(CASE WHEN greatest(w, h) > 64
+                     THEN h * 64 // greatest(w, h) ELSE h END AS INT)
+               AS height,
+           CAST(CASE WHEN greatest(w, h) > 64
+                     THEN n_bytes * 4096 // (greatest(w, h) * greatest(w, h))
+                     ELSE n_bytes END AS INT)
+               AS n_out_bytes
+    FROM m
+    """,
+)
+def multimodal_resize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize through the Arrow kernel (longest side -> 64 px,
+    downscale only): the gate verifies the kernel's per-row output —
+    new dimensions and payload byte count — against the oracle's
+    integer arithmetic, exercising the full mapInPandas round trip
+    with MEDIA_SCHEMA in AND out (resize composes with any media op)."""
+    from pyspark.sql import functions as F
+
+    from mldag_spark.operators.multimodal import resize_media
+
+    resized = resize_media(_media(spark, sf_dir), max_px=64)
+    return resized.select(
+        "media_id", "width", "height",
+        F.octet_length("payload").alias("n_out_bytes"),
+    )

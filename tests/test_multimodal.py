@@ -71,3 +71,35 @@ def test_media_stats_metadata_only(spark, media):
     stats = media_stats(media).collect()
     assert len(stats) == 1
     assert stats[0]["n_items"] == 50
+
+
+def test_resize_media_dims_and_truncation(spark, media):
+    from mldag_spark.operators.multimodal import resize_media
+
+    out = resize_media(media, max_px=64)
+    rows = {r["media_id"]: r for r in out.collect()}
+    for r in media.collect():
+        got = rows[r["media_id"]]
+        longest = max(r["width"], r["height"])
+        if longest > 64:
+            assert got["width"] == r["width"] * 64 // longest
+            assert got["height"] == r["height"] * 64 // longest
+            assert len(got["payload"]) == (
+                len(r["payload"]) * 4096 // (longest * longest)
+            )
+            # truncation, not mangling: output is a prefix of the input
+            assert bytes(r["payload"]).startswith(bytes(got["payload"]))
+        else:
+            assert (got["width"], got["height"]) == (r["width"], r["height"])
+            assert bytes(got["payload"]) == bytes(r["payload"])
+        assert max(got["width"], got["height"]) <= max(longest, 64)
+
+
+def test_resize_media_stub_raises_without_fake(spark, media):
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PythonException
+
+    from mldag_spark.operators.multimodal import resize_media
+
+    with pytest.raises((PythonException, Py4JJavaError)):
+        resize_media(media, max_px=64, deterministic_fake=False).collect()
