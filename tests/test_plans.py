@@ -107,3 +107,70 @@ def test_corpus_idf_uses_broadcast_scalar_and_takeordered(spark, registry):
     plan = _plan(registry["corpus_idf_top_terms"](spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+@contextlib.contextmanager
+def _no_aqe(spark):
+    # exchange reuse is only visible pre-execution in the static plan;
+    # under AQE the pre-run plan is a placeholder (isFinalPlan=false)
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
+
+
+def _executed(df) -> str:
+    # executedPlan exposes ReusedExchange nodes, which the formatted
+    # explain of the logical rewrite hides
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_ngram_jaccard_single_data_shuffle(spark, registry):
+    """The inverted-index dedup claims ONE data shuffle at small SF:
+    the shingle-row window's doc_id partitioning, which the distinct,
+    the per-doc size rollup, and the pair join's second branch all
+    reuse (ReusedExchange). If the distinct or sizes ever reintroduce
+    their own hashpartitioning Exchange, the 100 TB story regresses."""
+    with _no_aqe(spark):
+        plan = _executed(registry["dedup_ngram_jaccard"](spark, SF_DIR))
+    data_shuffles = [
+        l for l in plan.splitlines()
+        if "Exchange hashpartitioning" in l and "ReusedExchange" not in l
+    ]
+    assert len(data_shuffles) == 1, plan
+    assert "CartesianProduct" not in plan
+    # documents parquet is scanned once; the other branches reuse it
+    assert plan.count("FileScan parquet") == 1, plan
+
+
+def test_minhash_lsh_shares_shingle_partitioning(spark, registry):
+    """Signatures (groupBy-min) and verification sets (collect_set)
+    both aggregate the shingle-row output on doc_id — neither may add
+    a hashpartitioning Exchange beyond the window's own."""
+    with _no_aqe(spark):
+        plan = _executed(registry["dedup_minhash_lsh"](spark, SF_DIR))
+    data_shuffles = [
+        l for l in plan.splitlines()
+        if "Exchange hashpartitioning" in l and "ReusedExchange" not in l
+    ]
+    # window shuffle + (at most) the banding self-join's two sides
+    assert len(data_shuffles) <= 3, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_corpus_queries_prune_and_avoid_cartesian(spark, registry):
+    for name, max_cols in (
+        ("corpus_source_overlap", 3),
+        ("corpus_zipf_slope", 2),
+        ("corpus_pmi_pairs", 2),
+        ("embedding_dim_variance", 1),
+    ):
+        plan = _plan(registry[name](spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+        reads = [l for l in plan.splitlines() if "ReadSchema" in l]
+        assert reads, name
+        # every scan reads only the referenced columns
+        for read in reads:
+            assert read.count(":") - 1 <= max_cols, (name, read)
