@@ -235,3 +235,29 @@ def davg_sql(expr: str, scale: int = 4) -> str:
         f"ROUND(CAST(SUM(CAST(({expr}) AS DECIMAL(18,6))) AS DOUBLE)"
         f" / COUNT(*), {scale})"
     )
+
+
+# PII-shaped patterns written in the common Java-regex ∩ RE2 dialect
+# (no backrefs/lookaround), so Spark's regexp_replace and any
+# SQL-engine oracle agree match-for-match.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+1-555-[0-9]{4}",
+}
+
+
+def redact(c, patterns: dict[str, str] | None = None) -> Column:
+    """Replace every match of every pattern with ``[<NAME>]`` — chained
+    codegen'd ``regexp_replace`` calls, one pass per pattern, no UDF.
+    Order is the dict's insertion order (earlier patterns consume text
+    first, exactly like the sequential SQL form)."""
+    out = c
+    for name, pat in (patterns or PII_PATTERNS).items():
+        out = F.regexp_replace(out, pat, f"[{name.upper()}]")
+    return out
+
+
+def pattern_count(c, pattern: str) -> Column:
+    """Number of non-overlapping matches of ``pattern`` (codegen'd
+    regexp_count; the oracle form is len(regexp_extract_all(...)))."""
+    return F.regexp_count(c, F.lit(pattern))

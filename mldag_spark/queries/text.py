@@ -1168,3 +1168,65 @@ def corpus_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), "term_a", "term_b")
         .limit(50)
     )
+
+
+@register(
+    "text_pii_redact",
+    oracle="""
+    WITH synth AS (
+        SELECT doc_id,
+               text || ' contact: ' || source || '@example.com or +1-555-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+        FROM documents
+    ), red AS (
+        SELECT doc_id, raw,
+               regexp_replace(
+                   regexp_replace(
+                       raw,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                       '[EMAIL]', 'g'),
+                   '\\+1-555-[0-9]{4}', '[PHONE]', 'g') AS redacted
+        FROM synth
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(raw,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+           len(regexp_extract_all(raw, '\\+1-555-[0-9]{4}')) AS n_phones,
+           length(redacted) AS redacted_chars,
+           len(regexp_extract_all(redacted,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+             + len(regexp_extract_all(redacted, '\\+1-555-[0-9]{4}'))
+               AS residual_matches
+    FROM red
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: count and redact email/phone-shaped spans (the
+    pre-training privacy filter). The corpus itself contains no PII, so
+    the gate synthesizes contact strings from existing columns — same
+    fixture pattern as the multimodal suite — and then verifies the
+    generic operators (``functions.redact`` / ``pattern_count``) found
+    and removed every span (``residual_matches`` must be 0 per row).
+
+    All codegen'd regexp_replace/regexp_count chains — a pure per-row
+    projection, no shuffle at all; patterns live in the Java∩RE2
+    dialect so the same literal runs on both engines."""
+    from mldag_spark.functions import PII_PATTERNS, pattern_count, redact
+
+    d = load(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"), F.lit(" contact: "), F.col("source"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    red = redact(raw, PII_PATTERNS)
+    return d.select(
+        "doc_id",
+        pattern_count(raw, PII_PATTERNS["email"]).alias("n_emails"),
+        pattern_count(raw, PII_PATTERNS["phone"]).alias("n_phones"),
+        F.length(red).alias("redacted_chars"),
+        (
+            pattern_count(red, PII_PATTERNS["email"])
+            + pattern_count(red, PII_PATTERNS["phone"])
+        ).alias("residual_matches"),
+    )
