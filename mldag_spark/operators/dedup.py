@@ -113,15 +113,20 @@ def minhash_lsh_pairs_rows(
     )
 
 
-def _lsh_pairs_impl(
+def minhash_band_index(
     rows: DataFrame,
-    sets: DataFrame,
     id_col: str,
     elem_col: str,
-    threshold: float,
-    num_hashes: int,
-    bands: int,
+    num_hashes: int = 64,
+    bands: int = 16,
 ) -> DataFrame:
+    """(id, band, bucket) — the LSH band index of a corpus, i.e. the
+    thing a production pipeline PERSISTS (bucketed by (band, bucket))
+    so tomorrow's crawl batch joins against it without touching
+    yesterday's documents. One row per (doc, band); bucket = hash of
+    the band's signature slice. Band indices are compile-time
+    constants, so the struct array is built statically (codegen)
+    instead of an interpreted F.transform lambda."""
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
@@ -131,11 +136,7 @@ def _lsh_pairs_impl(
     # slicing below references the aggregated `mh` attribute instead of
     # re-inlining the hash tree into every slice on both join sides.
     sig = minhash_signatures_rows(rows, id_col, elem_col, num_hashes)
-
-    # one row per (doc, band): bucket = hash of the band's slice. Band
-    # indices are compile-time constants, so the struct array is built
-    # statically (codegen) instead of an interpreted F.transform lambda.
-    banded = sig.select(
+    return sig.select(
         F.col(id_col),
         F.explode(
             F.array(
@@ -149,6 +150,18 @@ def _lsh_pairs_impl(
             )
         ).alias("b"),
     ).select(id_col, "b.band", "b.bucket")
+
+
+def _lsh_pairs_impl(
+    rows: DataFrame,
+    sets: DataFrame,
+    id_col: str,
+    elem_col: str,
+    threshold: float,
+    num_hashes: int,
+    bands: int,
+) -> DataFrame:
+    banded = minhash_band_index(rows, id_col, elem_col, num_hashes, bands)
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -367,4 +380,59 @@ def simhash_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def incremental_lsh_pairs(
+    batch_rows: DataFrame,
+    index_rows: DataFrame,
+    id_col: str,
+    elem_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Near-dup pairs between a NEW batch and an EXISTING corpus —
+    the incremental-ingestion dedup: today's crawl is checked against
+    the historical index without re-pairing the historical corpus with
+    itself (no index×index candidates are ever generated).
+
+    Both sides arrive as (id, element) rows; in production the index
+    side's band table (:func:`minhash_band_index`) and shingle sets are
+    persisted bucketed-by-join-key, so the per-batch cost is
+    O(|batch|·bands) plus the bucket joins — independent of corpus
+    size except through bucket occupancy. Returns
+    (batch_id, index_id, jaccard) with exact verification, same
+    contract as :func:`minhash_lsh_pairs`.
+    """
+    bb = minhash_band_index(batch_rows, id_col, elem_col, num_hashes, bands)
+    ib = minhash_band_index(index_rows, id_col, elem_col, num_hashes, bands)
+    candidates = (
+        bb.alias("a")
+        .join(
+            ib.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("batch_id"),
+            F.col(f"b.{id_col}").alias("index_id"),
+        )
+        .distinct()
+    )
+    bsets = batch_rows.groupBy(id_col).agg(
+        F.collect_set(elem_col).alias("sh_a")
+    ).withColumnRenamed(id_col, "batch_id")
+    isets = index_rows.groupBy(id_col).agg(
+        F.collect_set(elem_col).alias("sh_b")
+    ).withColumnRenamed(id_col, "index_id")
+    n_common = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = n_common.cast("double") / (
+        F.size("sh_a") + F.size("sh_b") - n_common
+    )
+    return (
+        candidates.join(bsets, "batch_id")
+        .join(isets, "index_id")
+        .filter(jac >= threshold)
+        .select("batch_id", "index_id", F.round(jac, 4).alias("jaccard"))
     )

@@ -575,3 +575,42 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("med"), 4).alias("med"),
         F.round(F.max("mad"), 4).alias("mad"),
     )
+
+
+@register(
+    "events_json_typed_agg",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS n_parsed,
+           ROUND(AVG(CAST(props->>'$.k' AS INTEGER)), 4) AS avg_k,
+           CAST(MAX(CAST(props->>'$.k' AS INTEGER)) AS INT) AS max_k,
+           CAST(SUM(CASE WHEN CAST(props->>'$.k' AS INTEGER) IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_unparsed
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_json_typed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read JSON: parse ``props`` with an explicit
+    ``from_json`` schema (struct<k:int>) — the typed path that, unlike
+    per-field ``get_json_object`` string probing, parses each document
+    ONCE and feeds real column types to downstream aggregation, with
+    malformed documents surfacing as NULLs (counted, not dropped).
+    Pure JVM JsonToStructs + map-side-partial aggregate; one shuffle
+    on the group key."""
+    e = load(spark, sf_dir, "events")
+    parsed = e.select(
+        "event_type", F.from_json("props", "k int").alias("p")
+    )
+    k = F.col("p.k")
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count(k).alias("n_parsed"),
+            F.round(F.avg(k), 4).alias("avg_k"),
+            F.max(k).alias("max_k"),
+            F.sum(F.when(k.isNull(), 1).otherwise(0)).alias("n_unparsed"),
+        )
+        .orderBy("event_type")
+    )
