@@ -215,7 +215,16 @@ def dsum(c, scale: int = 2):
 def davg(c, scale: int = 4):
     """Order-independent ROUND(AVG(c), scale): exact decimal sum cast
     to double, divided by the group count (both engines perform the
-    identical IEEE division), then rounded."""
+    identical IEEE division), then rounded.
+
+    KNOWN TIE HAZARD (measured, sf0.1 events): when the exact quotient
+    lands on a half-up boundary at ``scale`` (e.g. 1512.12/32 =
+    47.25375 at scale 4), Spark rounds the double's SHORTEST-STRING
+    form (BigDecimal.valueOf → "47.25375" → .2538) while DuckDB rounds
+    the BINARY value (47.2537499…994 → .2537) — a one-ulp disagreement
+    no summation guard can fix. Gates whose groups can produce such
+    rational quotients should prefer :func:`dsum` (+ a count column)
+    and let consumers divide, as ``events_gapfill_hourly`` does."""
     return F.round(
         F.sum(_dec(c)).cast("double") / F.count(F.lit(1)), scale
     )

@@ -614,3 +614,78 @@ def events_json_typed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "events_gapfill_hourly",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, DATE_TRUNC('hour', ts) AS hour,
+               COUNT(*) AS n_events,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+                   AS total_value
+        FROM events GROUP BY 1, 2
+    ), bounds AS (
+        SELECT MIN(DATE_TRUNC('hour', ts)) AS h0,
+               MAX(DATE_TRUNC('hour', ts)) AS h1
+        FROM events
+    ), grid AS (
+        SELECT t.event_type, g.hour
+        FROM (SELECT DISTINCT event_type FROM events) t,
+             (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR))
+                  AS hour FROM bounds) g
+    )
+    SELECT g.event_type, g.hour,
+           CAST(COALESCE(h.n_events, 0) AS BIGINT) AS n_events,
+           last_value(h.total_value IGNORE NULLS) OVER (
+               PARTITION BY g.event_type ORDER BY g.hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS filled_value,
+           CAST(CASE WHEN h.n_events IS NULL THEN 1 ELSE 0 END AS INT)
+               AS is_gap
+    FROM grid g LEFT JOIN hourly h
+      ON h.event_type = g.event_type AND h.hour = g.hour
+    """,
+)
+def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization: materialize the complete hourly grid
+    per event type (sequence + explode over the global bounds — no
+    driver loop) and forward-fill gaps with the last observed hourly
+    average (``last(..., ignorenulls)`` over a running frame). The
+    resample-and-fill primitive every downstream window/forecast
+    consumer assumes.
+
+    Scale shape: the hourly rollup is the only data-volume shuffle;
+    the grid is #types × #hours rows built from a broadcast 1-row
+    bounds aggregate, the fill window partitions by event_type (small
+    fan-in, each partition one sorted run), and the grid join is
+    broadcast-able per AQE at realistic type cardinalities."""
+    e = load(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", "ts")
+    hourly = e.groupBy(
+        "event_type", hour.alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value", 2).alias("total_value"),
+    )
+    bounds = e.agg(
+        F.min(hour).alias("h0"), F.max(hour).alias("h1")
+    )
+    types = e.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour"),
+    )
+    joined = grid.join(hourly, ["event_type", "hour"], "left")
+    fill = Window.partitionBy("event_type").orderBy("hour").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return joined.select(
+        "event_type",
+        "hour",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.last("total_value", ignorenulls=True).over(fill).alias("filled_value"),
+        F.when(F.col("n_events").isNull(), 1).otherwise(0).cast("int").alias("is_gap"),
+    )
