@@ -702,3 +702,75 @@ def agg_approx_percentile_invariant(
             )
         ).alias("approx_in_rank_band"),
     )
+
+
+@register(
+    "dq_lineitem_expectations",
+    oracle="""
+    WITH agg AS (
+        SELECT
+            CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_orderkey,
+            CAST(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonpositive_quantity,
+            CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT) AS discount_out_of_range,
+            CAST(SUM(CASE WHEN l_shipdate < DATE '1992-01-01'
+                          OR l_shipdate > DATE '1998-12-31' THEN 1 ELSE 0 END) AS BIGINT) AS shipdate_out_of_range,
+            CAST(SUM(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END) AS BIGINT) AS negative_price,
+            CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM lineitem
+    )
+    SELECT rule, violations, n_rows,
+           CAST(CASE WHEN violations = 0 THEN 1 ELSE 0 END AS INT) AS passed
+    FROM (
+        SELECT 'null_orderkey' AS rule, null_orderkey AS violations, n_rows FROM agg
+        UNION ALL SELECT 'nonpositive_quantity', nonpositive_quantity, n_rows FROM agg
+        UNION ALL SELECT 'discount_out_of_range', discount_out_of_range, n_rows FROM agg
+        UNION ALL SELECT 'shipdate_out_of_range', shipdate_out_of_range, n_rows FROM agg
+        UNION ALL SELECT 'negative_price', negative_price, n_rows FROM agg
+    )
+    ORDER BY rule
+    """,
+)
+def dq_lineitem_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation suite over lineitem: declarative
+    rules (null keys, non-positive quantities, out-of-range discounts
+    and ship dates, negative prices) evaluated as ONE map-side
+    conditional-sum pass — a single scan and a 1-row shuffle no matter
+    how many rules are declared — then unpivoted to (rule, violations,
+    passed) rows, the contract layout a pipeline's quality gate
+    consumes. Adding a rule adds a codegen'd sum expression, not a
+    scan."""
+    li = load(spark, sf_dir, "lineitem")
+    rules = {
+        "null_orderkey": F.col("l_orderkey").isNull(),
+        "nonpositive_quantity": F.col("l_quantity") <= 0,
+        "discount_out_of_range": (F.col("l_discount") < 0)
+        | (F.col("l_discount") > 1),
+        "shipdate_out_of_range": (F.col("l_shipdate") < F.lit("1992-01-01"))
+        | (F.col("l_shipdate") > F.lit("1998-12-31")),
+        "negative_price": F.col("l_extendedprice") < 0,
+    }
+    agg = li.agg(
+        *[
+            F.sum(F.when(cond, 1).otherwise(0)).alias(name)
+            for name, cond in rules.items()
+        ],
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    stack = ", ".join(f"'{name}', {name}" for name in rules)
+    return (
+        agg.select(
+            F.expr(
+                f"stack({len(rules)}, {stack}) AS (rule, violations)"
+            ),
+            "n_rows",
+        )
+        .select(
+            "rule",
+            "violations",
+            "n_rows",
+            F.when(F.col("violations") == 0, 1).otherwise(0)
+            .cast("int")
+            .alias("passed"),
+        )
+        .orderBy("rule")
+    )

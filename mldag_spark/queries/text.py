@@ -1295,3 +1295,77 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch, index, id_col="doc_id", elem_col="shingle",
         threshold=0.8, num_hashes=64, bands=16,
     )
+
+
+@register(
+    "text_vocab_encode",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))
+                   AS w,
+               generate_subscripts(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '), 1) - 1
+                   AS pos
+        FROM documents
+    ), vocab AS (
+        SELECT w, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, w) AS id
+        FROM tok GROUP BY w
+        ORDER BY COUNT(*) DESC, w LIMIT 1000
+    ), head AS (
+        SELECT t.doc_id, t.pos, COALESCE(v.id, 0) AS id
+        FROM tok t LEFT JOIN vocab v ON v.w = t.w
+        WHERE t.pos < 16
+    )
+    SELECT doc_id,
+           array_to_string(list(id ORDER BY pos), ',') AS ids,
+           CAST(SUM(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           CAST(COUNT(*) AS BIGINT) AS n_encoded
+    FROM head GROUP BY doc_id
+    """,
+)
+def text_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-style vocabulary encoding: build a frequency-ranked
+    top-1000 vocab (id 1 = most frequent; deterministic ties by term),
+    then map each document's first 16 tokens to ids (0 = OOV) — the
+    text→ids step that precedes sequence packing in a training
+    pipeline.
+
+    Scale shape: vocab build is one term-keyed shuffle + a top-K; the
+    vocab joins back as a BROADCAST (bounded at K entries) so encoding
+    is a map-only pass over token rows; per-doc sequence assembly is
+    ``sort_array(collect_list(struct(pos,id)))`` — codegen'd, no
+    interpreted lambdas — and the id sequence ships as a CSV string so
+    the cross-engine gate compares exact token order. The prefix
+    filter (pos < 16) prunes token rows BEFORE the encode join, so
+    cost tracks documents, not document length."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.posexplode(tokenize(F.col("text"))).alias("pos", "w")
+    )
+    # top-K FIRST (TakeOrdered — distributed partial top-k per
+    # partition, never a global sort), THEN rank the K survivors with
+    # a single-partition window that only ever sees K rows. Ranking
+    # before limiting would pull every distinct term of the corpus
+    # into one window partition.
+    top = (
+        tok.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("w"))
+        .limit(1000)
+    )
+    vocab = top.select(
+        "w",
+        F.row_number()
+        .over(Window.orderBy(F.desc("freq"), F.asc("w")))
+        .alias("id"),
+    )
+    head = (
+        tok.filter(F.col("pos") < 16)
+        .join(F.broadcast(vocab), "w", "left")
+        .select("doc_id", "pos", F.coalesce("id", F.lit(0)).alias("id"))
+    )
+    seq = F.sort_array(F.collect_list(F.struct("pos", "id"))).getField("id")
+    return head.groupBy("doc_id").agg(
+        F.array_join(seq, ",").alias("ids"),
+        F.sum(F.when(F.col("id") == 0, 1).otherwise(0)).alias("n_oov"),
+        F.count(F.lit(1)).alias("n_encoded"),
+    )
