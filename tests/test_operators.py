@@ -362,3 +362,64 @@ def test_token_budget_batches_no_global_window(spark):
     )
     assert "rangepartitioning" in plan.lower()
     assert out.count() == 1000
+
+
+def test_incremental_lsh_pairs_batch_vs_index_only(spark):
+    from mldag_spark.operators.dedup import incremental_lsh_pairs
+
+    rows = [
+        # index side (even ids): 2 and 4 are near-dups of each other,
+        # but index×index pairs must NOT be emitted
+        (2, e) for e in ["a b c", "b c d", "c d e", "d e f"]
+    ] + [
+        (4, e) for e in ["a b c", "b c d", "c d e", "d e f"]
+    ] + [
+        # batch side (odd ids): 1 duplicates the index docs, 3 doesn't
+        (1, e) for e in ["a b c", "b c d", "c d e", "d e f"]
+    ] + [
+        (3, e) for e in ["p q r", "q r s"]
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "shingle"])
+    batch = df.filter(F.col("doc_id") % 2 == 1)
+    index = df.filter(F.col("doc_id") % 2 == 0)
+    got = {
+        (r["batch_id"], r["index_id"], r["jaccard"])
+        for r in incremental_lsh_pairs(
+            batch, index, "doc_id", "shingle", threshold=0.8,
+            num_hashes=32, bands=8,
+        ).collect()
+    }
+    assert got == {(1, 2, 1.0), (1, 4, 1.0)}
+
+
+def test_minhash_band_index_shape_and_determinism(spark, docs):
+    from mldag_spark.operators.dedup import minhash_band_index
+
+    rows = docs.select("doc_id", F.explode("sh").alias("e"))
+    idx = minhash_band_index(rows, "doc_id", "e", num_hashes=32, bands=8)
+    pdf = idx.toPandas()
+    assert set(pdf.columns) == {"doc_id", "band", "bucket"}
+    # one row per (doc, band); exact dups land in identical buckets
+    assert len(pdf) == 4 * 8
+    b1 = pdf[pdf.doc_id == 1].sort_values("band").bucket.tolist()
+    b2 = pdf[pdf.doc_id == 2].sort_values("band").bucket.tolist()
+    assert b1 == b2
+
+
+def test_redact_and_pattern_count(spark):
+    from mldag_spark.functions import PII_PATTERNS, pattern_count, redact
+
+    df = spark.createDataFrame(
+        [("mail me: bob@x.org and sue@y.io or call +1-555-1234",),
+         ("nothing here",)],
+        ["t"],
+    )
+    out = df.select(
+        redact(F.col("t")).alias("r"),
+        pattern_count(F.col("t"), PII_PATTERNS["email"]).alias("ne"),
+        pattern_count(F.col("t"), PII_PATTERNS["phone"]).alias("np"),
+    ).collect()
+    assert out[0]["r"] == "mail me: [EMAIL] and [EMAIL] or call [PHONE]"
+    assert (out[0]["ne"], out[0]["np"]) == (2, 1)
+    assert out[1]["r"] == "nothing here"
+    assert (out[1]["ne"], out[1]["np"]) == (0, 0)
