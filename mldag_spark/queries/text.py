@@ -1369,3 +1369,100 @@ def text_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("id") == 0, 1).otherwise(0)).alias("n_oov"),
         F.count(F.lit(1)).alias("n_encoded"),
     )
+
+
+@register(
+    "text_chunk_sequences",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+                   AS toks
+        FROM documents
+    ), s AS (
+        SELECT doc_id, toks,
+               unnest(range(0, greatest(len(toks), 1), 48)) AS start_pos
+        FROM t
+    )
+    SELECT doc_id,
+           start_pos // 48 AS chunk_id,
+           start_pos,
+           len(list_slice(toks, start_pos + 1, start_pos + 64)) AS n_chunk_tokens,
+           array_to_string(list_slice(toks, start_pos + 1, start_pos + 64), ' ')
+               AS chunk_text
+    FROM s
+    """,
+)
+def text_chunk_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window sequence chunking: split each document's token
+    stream into seq_len=64 chunks with stride 48 (16-token overlap) —
+    the documents→training-sequences step of a pretraining pipeline.
+
+    Scale shape: a pure narrow transformation — tokenize, generate the
+    chunk starts with ``sequence`` (bounded at n_tokens/stride entries
+    per row), ``posexplode``, ``slice``. No shuffle, no UDF; output
+    rows ~= input tokens x (seq_len/stride) / seq_len, so the fan-out
+    is a constant factor and the stage pipelines with the parquet scan
+    at any corpus size. Every chunk is recomputable from (doc_id,
+    start_pos), so the op is restart-safe without checkpointing.
+    """
+    seq_len, stride = 64, 48
+    d = load(spark, sf_dir, "documents")
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size("toks") - 1, F.lit(0)), F.lit(stride)
+    )
+    return (
+        d.select("doc_id", tokenize(F.col("text")).alias("toks"))
+        .select("doc_id", "toks", F.posexplode(starts).alias("chunk_id", "start_pos"))
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            "start_pos",
+            F.slice("toks", F.col("start_pos") + 1, seq_len).alias("chunk"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            "start_pos",
+            F.size("chunk").alias("n_chunk_tokens"),
+            F.array_join("chunk", " ").alias("chunk_text"),
+        )
+    )
+
+
+@register(
+    "sample_source_cap",
+    oracle="""
+    SELECT doc_id, source, src_rank
+    FROM (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY n_chars DESC, doc_id
+               ) AS src_rank
+        FROM documents
+    )
+    WHERE src_rank <= 15
+    """,
+)
+def sample_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source frequency capping: keep at most N=15 documents per
+    source, preferring longer documents (n_chars DESC, doc_id tiebreak)
+    — the domain/source-balancing step that stops a single crawl host
+    from dominating a training mix.
+
+    Scale shape: one shuffle on ``source`` + a rank-filter window.
+    Source cardinality is modest, so a heavy-hitter source makes one
+    hot window partition; the mitigation at 100 TB is a two-phase cap:
+    per-source counts first (map-side combinable), then an approximate
+    per-source n_chars threshold via percentile so only near-boundary
+    rows enter the exact window. That refinement changes no results,
+    so the single-window form is the reference semantics here.
+    """
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        d.withColumn("src_rank", F.row_number().over(w))
+        .filter(F.col("src_rank") <= 15)
+        .select("doc_id", "source", "src_rank")
+    )

@@ -174,3 +174,32 @@ def test_corpus_queries_prune_and_avoid_cartesian(spark, registry):
         # every scan reads only the referenced columns
         for read in reads:
             assert read.count(":") - 1 <= max_cols, (name, read)
+
+
+def test_chunk_sequences_is_narrow_no_shuffle(spark, registry):
+    # documents -> training sequences is a pure narrow transform:
+    # tokenize + posexplode(sequence) + slice. Any Exchange here would
+    # mean the chunker shuffles the whole corpus; any EvalPython would
+    # mean per-row Python in the hottest pipeline stage.
+    plan = _plan(registry["text_chunk_sequences"](spark, SF_DIR))
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan
+    for line in plan.splitlines():
+        if "ReadSchema" in line:
+            assert line.count(",") <= 1, line  # doc_id, text only
+
+
+def test_source_cap_single_shuffle_pruned_scan(spark, registry):
+    # per-source capping: exactly one Exchange (hashpartitioning on
+    # source) feeding the rank window; scan reads only the 3 needed
+    # columns
+    plan = _plan(registry["sample_source_cap"](spark, SF_DIR))
+    assert plan.count("+- Exchange") == 1, plan
+    assert "hashpartitioning(source" in plan
+    # bonus: Spark pushes a rank-limit below the shuffle, so each map
+    # task ships at most 15 rows per source — keep that pinned
+    assert plan.count("+- WindowGroupLimit") == 2, plan
+    assert "EvalPython" not in plan
+    for line in plan.splitlines():
+        if "ReadSchema" in line:
+            assert line.count(",") <= 2, line
