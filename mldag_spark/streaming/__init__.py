@@ -205,3 +205,74 @@ def write_stream(
         .outputMode(output_mode)
         .start()
     )
+
+
+def write_stream_upsert(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    keys: list[str],
+    partition_col: str,
+    order_col: str,
+):
+    """Keyed upsert sink via ``foreachBatch``: merge each micro-batch
+    into a partitioned parquet target with last-writer-wins per key.
+
+    The merge is idempotent by construction — replaying a micro-batch
+    after a crash recomputes the same per-key winners — so the
+    checkpointed ``foreachBatch`` gives effective exactly-once without
+    a transactional table format.
+
+    Scale shape: each batch only touches the partitions it contains.
+    The batch's distinct ``partition_col`` values (bounded — partition
+    columns are low-cardinality by design) select which existing
+    partitions to read back; the merge is one union + one rank window
+    keyed on ``keys``; the write is a *dynamic* partition overwrite, so
+    untouched partitions are never rewritten. Target-side reads prune
+    to the affected partitions via partition pruning on the parquet
+    layout. At 100 TB the same shape holds: work per batch is
+    O(batch + affected-partition data), never O(target).
+    """
+
+    def _merge(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        batch = batch.persist()
+        try:
+            affected = [r[0] for r in batch.select(partition_col).distinct().collect()]
+            if not affected:
+                return
+            from pyspark.errors import AnalysisException
+
+            try:
+                existing = spark.read.parquet(path).filter(
+                    F.col(partition_col).isin(affected)
+                )
+                # batch rows outrank equal-order existing rows
+                merged = batch.withColumn("_pri", F.lit(1)).unionByName(
+                    existing.withColumn("_pri", F.lit(0))
+                )
+            except AnalysisException:
+                merged = batch.withColumn("_pri", F.lit(1))  # first batch: no target yet
+            from pyspark.sql.window import Window
+
+            w = Window.partitionBy(*keys).orderBy(
+                F.desc(order_col), F.desc("_pri")
+            )
+            (
+                merged.withColumn("_rk", F.row_number().over(w))
+                .filter(F.col("_rk") == 1)
+                .drop("_rk", "_pri")
+                .write.mode("overwrite")
+                .partitionBy(partition_col)
+                .parquet(path)
+            )
+        finally:
+            batch.unpersist()
+
+    return (
+        df.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

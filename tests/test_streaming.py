@@ -105,3 +105,47 @@ def test_file_sink_roundtrip(tmp_path, spark, sf_dir):
     # append mode emits only watermark-closed windows; all but the last
     # hour of data must be present
     assert back.count() > 0
+
+
+def test_upsert_sink_last_writer_wins_and_idempotent(spark, sf_dir, tmp_path):
+    # drain the events stream into a keyed upsert target: latest event
+    # per (user_id, event_type), partitioned by event_type
+    target = str(tmp_path / "target")
+
+    def drain(ckpt: str):
+        q = S.write_stream_upsert(
+            S.events_stream(spark, sf_dir).select(
+                "user_id", "event_type", "ts", "value"
+            ),
+            target,
+            checkpoint=str(tmp_path / ckpt),
+            keys=["user_id", "event_type"],
+            partition_col="event_type",
+            order_col="ts",
+        )
+        q.awaitTermination()
+
+    drain("ckpt1")
+    got = spark.read.parquet(target)
+
+    batch = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "value"
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id", "event_type").orderBy(F.desc("ts"))
+    want = (
+        batch.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+    assert got.count() == want.count()
+    assert got.exceptAll(want.select(*got.columns)).count() == 0
+
+    # replaying the whole source into the same target (fresh checkpoint
+    # = every batch re-delivered) must be a no-op: last-writer-wins
+    # merge is idempotent
+    drain("ckpt2")
+    again = spark.read.parquet(target)
+    assert again.count() == want.count()
+    assert again.exceptAll(want.select(*again.columns)).count() == 0
