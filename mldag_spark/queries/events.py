@@ -689,3 +689,76 @@ def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("total_value", ignorenulls=True).over(fill).alias("filled_value"),
         F.when(F.col("n_events").isNull(), 1).otherwise(0).cast("int").alias("is_gap"),
     )
+
+
+@register(
+    "events_multilevel_rollup",
+    oracle="""
+    WITH m AS (
+        SELECT DATE_TRUNC('minute', ts) AS bucket, event_type,
+               COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,6))) AS v
+        FROM events GROUP BY 1, 2
+    ), h AS (
+        SELECT DATE_TRUNC('hour', bucket) AS bucket, event_type,
+               SUM(n) AS n, SUM(v) AS v
+        FROM m GROUP BY 1, 2
+    ), d AS (
+        SELECT CAST(DATE_TRUNC('day', bucket) AS TIMESTAMP) AS bucket,
+               event_type, SUM(n) AS n, SUM(v) AS v
+        FROM h GROUP BY 1, 2
+    )
+    SELECT 'minute' AS level, bucket, event_type,
+           CAST(n AS BIGINT) AS n_events,
+           CAST(ROUND(v, 2) AS DOUBLE) AS total_value
+    FROM m
+    UNION ALL
+    SELECT 'hour', bucket, event_type, CAST(n AS BIGINT),
+           CAST(ROUND(v, 2) AS DOUBLE)
+    FROM h
+    UNION ALL
+    SELECT 'day', bucket, event_type, CAST(n AS BIGINT),
+           CAST(ROUND(v, 2) AS DOUBLE)
+    FROM d
+    """,
+)
+def events_multilevel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: one fact scan feeds a
+    minute-grain rollup; hour and day grains re-aggregate the next
+    finer grain instead of rescanning the facts.
+
+    Scale shape: the 100 TB scan happens exactly once (the minute
+    agg, map-side partial + one shuffle); the hour level aggregates
+    ~1/60th of that output and the day level ~1/24th of the hour
+    level, so coarser grains are effectively free. Partial sums stay
+    exact DECIMAL through every level (order- and partition-
+    invariant); rounding to the published 2dp happens only at the
+    final projection. This is the same partial-aggregate contract a
+    streaming/incremental refresh needs: a new fact partition only
+    touches its own minute buckets and re-folds upward.
+    """
+    e = load(spark, sf_dir, "events")
+    minute = e.groupBy(
+        F.date_trunc("minute", "ts").alias("bucket"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("v"),
+    )
+    hour = minute.groupBy(
+        F.date_trunc("hour", "bucket").alias("bucket"), "event_type"
+    ).agg(F.sum("n").alias("n"), F.sum("v").alias("v"))
+    day = hour.groupBy(
+        F.date_trunc("day", "bucket").alias("bucket"), "event_type"
+    ).agg(F.sum("n").alias("n"), F.sum("v").alias("v"))
+
+    def fin(df: DataFrame, level: str) -> DataFrame:
+        return df.select(
+            F.lit(level).alias("level"),
+            "bucket",
+            "event_type",
+            F.col("n").cast("long").alias("n_events"),
+            F.round("v", 2).cast("double").alias("total_value"),
+        )
+
+    return fin(minute, "minute").unionByName(fin(hour, "hour")).unionByName(
+        fin(day, "day")
+    )

@@ -203,3 +203,13 @@ def test_source_cap_single_shuffle_pruned_scan(spark, registry):
     for line in plan.splitlines():
         if "ReadSchema" in line:
             assert line.count(",") <= 2, line
+
+
+def test_multilevel_rollup_scans_once_reuses_exchanges(spark, registry):
+    # hypertable rollup: the fact scan must happen exactly once; hour
+    # re-aggregates minute's shuffle output and day re-aggregates
+    # hour's — both visible as ReusedExchange in the static plan
+    with _no_aqe(spark):
+        plan = _executed(registry["events_multilevel_rollup"](spark, SF_DIR))
+    assert plan.count("FileScan parquet") == 1, plan
+    assert plan.count("ReusedExchange") >= 2, plan
