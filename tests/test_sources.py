@@ -121,3 +121,49 @@ def test_partitioned_write_prunes_partitions(tmp_path, spark, sf_dir):
     assert part_lines and "lang" in part_lines[0], plan
     n_en = docs.filter(F.col("lang") == "en").count()
     assert back.count() == n_en
+
+
+def test_sorted_layout_prunes_files_on_range_predicate(spark, sf_dir, tmp_path):
+    from mldag_spark.sources import write_sorted_layout
+    from mldag_spark.queries.tables import load
+
+    path = str(tmp_path / "orders_sorted")
+    write_sorted_layout(
+        load(spark, sf_dir, "orders"),
+        path,
+        range_cols=["o_orderdate"],
+        n_files=8,
+        sort_within=["o_orderdate", "o_orderkey"],
+    )
+    back = spark.read.parquet(path)
+    # same data round-trips
+    assert back.count() == load(spark, sf_dir, "orders").count()
+
+    # a narrow date predicate must NOT read every file: disjoint ranges
+    # + parquet min/max stats let the scan skip non-matching files
+    sel = back.filter(F.col("o_orderdate") == "1995-06-15")
+    metrics = sel._jdf.queryExecution().executedPlan().toString()
+    sel.count()
+    # pushed filter reaches the scan
+    assert "PushedFilters: [IsNotNull(o_orderdate), EqualTo(o_orderdate" in metrics
+    # and the matching rows live in exactly one range partition: the
+    # per-file row-group stats bound the scan output well below the table
+    import glob, pyarrow.parquet as pq
+
+    files = sorted(glob.glob(path + "/part-*.parquet"))
+    assert len(files) >= 4
+    import datetime
+
+    probe = datetime.datetime(1995, 6, 15)
+    overlapping = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        col_idx = [md.schema.column(i).name for i in range(md.num_columns)].index("o_orderdate")
+        stats = md.row_group(0).column(col_idx).statistics
+        lo, hi = stats.min, stats.max
+        if not isinstance(lo, datetime.datetime):
+            lo = datetime.datetime.combine(lo, datetime.time())
+            hi = datetime.datetime.combine(hi, datetime.time())
+        if lo <= probe <= hi:
+            overlapping += 1
+    assert overlapping <= 2, [f for f in files]
