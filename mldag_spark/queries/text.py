@@ -1466,3 +1466,56 @@ def sample_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("src_rank") <= 15)
         .select("doc_id", "source", "src_rank")
     )
+
+
+@register(
+    "sample_kfold_assignment",
+    oracle="""
+    WITH tagged AS (
+        SELECT doc_id, lang,
+               ('0x' || substr(md5('fold:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                 % 5 AS fold
+        FROM documents
+    )
+    SELECT fold, lang, COUNT(*) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc
+    FROM tagged
+    GROUP BY 1, 2
+    """,
+)
+def sample_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment (k=5): fold id
+    from a salted content-free key hash, so folds are disjoint, stable
+    across engines/cluster sizes, and independent of the train/val/
+    test split hash (different salt ⇒ uncorrelated buckets — reusing
+    the split hash would make fold 0 a subset of 'train' and leak the
+    holdout design).
+
+    Scale shape: fold assignment is a pure per-row projection (no
+    shuffle, no rand()); only the tiny (fold, lang) audit rollup
+    shuffles. Selecting fold i's train/eval sides downstream is a
+    filter, never a re-shuffle.
+    """
+    d = load(spark, sf_dir, "documents")
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("fold:"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 5
+    )
+    return (
+        d.select(fold.alias("fold"), "lang", "doc_id")
+        .groupBy("fold", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
