@@ -46,7 +46,7 @@ _GATE_ORDER = [
     "text_token_stats",
     "text_quality_score",
     "text_language_id",
-    "text_top_terms",
+    "text_chunk_sequences",
     "text_repetition_stats",
     # Deduplication
     "dedup_exact",
