@@ -125,3 +125,34 @@ def test_deterministic_split_partition_invariant(spark, n_parts):
         .collect()
     }
     assert re == got
+
+
+def test_gate_queries_shuffle_partition_invariant(spark):
+    """Money aggregates, sessionization, and the multilevel rollup
+    claim partition-invariant results (exact DECIMAL partials, content
+    hashes). Re-running at a very different shuffle-partition count
+    must produce byte-identical sorted rows."""
+    from mldag_spark.queries import REGISTRY
+
+    names = (
+        "q1_pricing_summary",
+        "events_sessionization",
+        "events_multilevel_rollup",
+        "sample_kfold_assignment",
+    )
+    sf = "/root/testdata/sf0.001"
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        results = {}
+        for n_parts in ("3", old):
+            spark.conf.set("spark.sql.shuffle.partitions", n_parts)
+            for name in names:
+                df = REGISTRY[name](spark, sf)
+                rows = sorted(
+                    tuple(r) for r in df.collect()
+                )
+                results.setdefault(name, []).append(rows)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    for name, (a, b) in results.items():
+        assert a == b, f"{name} differs across shuffle partition counts"
