@@ -762,3 +762,42 @@ def events_multilevel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fin(minute, "minute").unionByName(fin(hour, "hour")).unionByName(
         fin(day, "day")
     )
+
+
+@register(
+    "events_user_mode_arrow",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, event_type, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ), r AS (
+        SELECT user_id, event_type, n,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY n DESC, event_type
+               ) AS rk
+        FROM c
+    )
+    SELECT user_id, event_type AS mode_type, CAST(n AS BIGINT) AS mode_n
+    FROM r WHERE rk = 1
+    """,
+)
+def events_user_mode_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user modal event type via a true UDAF — a GROUPED_AGG
+    pandas UDF (Arrow-batched series → scalar), ties broken toward the
+    lexicographically smallest type so the result is deterministic.
+
+    Surface demo with an honest scale caveat: a grouped-agg pandas UDF
+    materializes each group on one executor, so it is only for
+    bounded groups (per-user event counts here) or genuinely
+    non-SQL-expressible reductions. The unbounded-group form of this
+    exact query is the oracle's own shape — count + rank window,
+    all JVM-side — which is what the engine uses when mode is needed
+    at corpus scale.
+    """
+    from mldag_spark.functions.udafs import mode_count, mode_str
+
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        mode_str("event_type").alias("mode_type"),
+        mode_count("event_type").alias("mode_n"),
+    )

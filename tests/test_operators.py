@@ -423,3 +423,31 @@ def test_redact_and_pattern_count(spark):
     assert (out[0]["ne"], out[0]["np"]) == (2, 1)
     assert out[1]["r"] == "nothing here"
     assert (out[1]["ne"], out[1]["np"]) == (0, 0)
+
+
+def test_udtf_split_words_matches_posexplode(spark):
+    from pyspark.sql import functions as F
+
+    from mldag_spark.functions.udafs import split_words_udtf
+
+    SplitWords = split_words_udtf()
+    spark.udtf.register("split_words", SplitWords)
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, ""), (3, "one"), (4, None)], ["id", "text"]
+    )
+    df.createOrReplaceTempView("t_udtf_docs")
+    got = spark.sql(
+        "SELECT id, s.pos, s.word FROM t_udtf_docs, "
+        "LATERAL split_words(text) s ORDER BY id, pos"
+    ).collect()
+    want = (
+        df.select(
+            "id", F.posexplode(F.split(F.coalesce("text", F.lit("")), " "))
+        )
+        .filter(F.col("col") != "")
+        .orderBy("id", "pos")
+        .collect()
+    )
+    assert [(r["id"], r["pos"], r["word"]) for r in got] == [
+        (r["id"], r["pos"], r["col"]) for r in want
+    ]
