@@ -801,3 +801,76 @@ def events_user_mode_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         mode_str("event_type").alias("mode_type"),
         mode_count("event_type").alias("mode_n"),
     )
+
+
+@register(
+    "events_cdc_snapshot_diff",
+    oracle="""
+    WITH a AS (
+        SELECT user_id, event_id FROM (
+            SELECT user_id, event_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id
+                       ORDER BY date_trunc('microseconds', ts) DESC,
+                                event_id DESC
+                   ) AS rk
+            FROM events
+            WHERE date_trunc('microseconds', ts) <= TIMESTAMP '2024-01-15 00:00:00'
+        ) WHERE rk = 1
+    ), b AS (
+        SELECT user_id, event_id FROM (
+            SELECT user_id, event_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id
+                       ORDER BY date_trunc('microseconds', ts) DESC,
+                                event_id DESC
+                   ) AS rk
+            FROM events
+            WHERE date_trunc('microseconds', ts) <= TIMESTAMP '2024-01-25 00:00:00'
+        ) WHERE rk = 1
+    )
+    SELECT b.user_id,
+           CASE WHEN a.event_id IS NULL THEN 'insert'
+                WHEN a.event_id <> b.event_id THEN 'update'
+                ELSE 'unchanged' END AS change,
+           a.event_id AS old_event,
+           b.event_id AS new_event
+    FROM b LEFT JOIN a ON a.user_id = b.user_id
+    """,
+)
+def events_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-diff / CDC classification: the per-user latest-event
+    state as of T1 vs as of T2, each key labeled insert (new at T2),
+    update (winner changed), or unchanged — the change-capture step
+    that turns an append-only log into an incremental downstream feed.
+
+    Scale shape: both as-of states come from ONE pass shape (filter +
+    rank window on user_id); the diff is a key-partitioned join that
+    reuses the same user_id partitioning, so the whole query is two
+    window shuffles + one co-partitioned join, no full-table rescan
+    per snapshot. The source is append-only, so deletes cannot occur;
+    an upstream with retractions would add a tombstone branch.
+    """
+    e = load(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+
+    def as_of(upper: str) -> DataFrame:
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+        return (
+            e.filter(F.col("ts") <= F.lit(upper).cast("timestamp"))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("user_id", "event_id")
+        )
+
+    a = as_of("2024-01-15 00:00:00").withColumnRenamed("event_id", "old_event")
+    b = as_of("2024-01-25 00:00:00").withColumnRenamed("event_id", "new_event")
+    change = (
+        F.when(F.col("old_event").isNull(), "insert")
+        .when(F.col("old_event") != F.col("new_event"), "update")
+        .otherwise("unchanged")
+    )
+    return b.join(a, "user_id", "left").select(
+        "user_id", change.alias("change"), "old_event", "new_event"
+    )

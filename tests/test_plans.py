@@ -213,3 +213,15 @@ def test_multilevel_rollup_scans_once_reuses_exchanges(spark, registry):
         plan = _executed(registry["events_multilevel_rollup"](spark, SF_DIR))
     assert plan.count("FileScan parquet") == 1, plan
     assert plan.count("ReusedExchange") >= 2, plan
+
+
+def test_cdc_diff_join_reuses_window_partitioning(spark, registry):
+    # both as-of states shuffle once on user_id for their rank window;
+    # the diff join must ride that partitioning, not add its own
+    with _no_aqe(spark):
+        plan = _executed(registry["events_cdc_snapshot_diff"](spark, SF_DIR))
+    shuffles = [
+        l for l in plan.splitlines()
+        if "Exchange hashpartitioning" in l and "ReusedExchange" not in l
+    ]
+    assert len(shuffles) == 2, plan
