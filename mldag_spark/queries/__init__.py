@@ -39,6 +39,7 @@ def _load_all() -> None:
     from mldag_spark.queries import (  # noqa: F401
         dag_pipeline,
         events,
+        graph,
         multimodal,
         relational,
         relational_ext,
