@@ -73,7 +73,7 @@ _GATE_ORDER = [
     "events_json_extract",
     "events_sessionization",
     "events_asof_latest_order",
-    "events_grouped_zscore_arrow",
+    "events_grouped_zscore",
     # Relational: scans, filters, scalar functions
     "q1_pricing_summary",
     "q5_local_supplier_volume",

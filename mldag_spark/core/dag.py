@@ -396,8 +396,11 @@ class MLDag(Graph):
         return inspect.Signature(params)
 
     _DOC_HEADERS = {
-        # verb-specific summary lines, same wording the reference pins
-        # in its docstring test (tests/test_mldag_doc.py:40-95)
+        # verb-specific summary lines matching the reference's wording
+        # (tests/test_mldag_doc.py:40-95). The surrounding layout is
+        # numpydoc-normalized, not byte-identical to the reference's
+        # goldens (SURVEY §7 sanctioned relaxation): the reference uses
+        # 18-dash section rules and a fit-specific run_id/Returns text.
         "fit": (
             "Main method for fitting mldag.\n"
             "Sequentially calls fit and transform in width-first order"

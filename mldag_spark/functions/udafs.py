@@ -13,7 +13,9 @@ from pyspark.sql.functions import pandas_udf
 def mode_str(s: pd.Series) -> str:
     """Deterministic mode of a string column: most frequent value,
     ties broken toward the lexicographically smallest."""
-    vc = s.value_counts()
+    vc = s.value_counts()  # drops nulls; an all-null group yields empty
+    if vc.empty:
+        return None
     top = vc[vc == vc.max()]
     return sorted(top.index)[0]
 
@@ -21,7 +23,8 @@ def mode_str(s: pd.Series) -> str:
 @pandas_udf("long")
 def mode_count(s: pd.Series) -> int:
     """Count of the modal value (pairs with :func:`mode_str`)."""
-    return int(s.value_counts().max())
+    vc = s.value_counts()
+    return 0 if vc.empty else int(vc.max())
 
 
 def split_words_udtf():

@@ -219,6 +219,11 @@ def connected_components(
     at durable storage and swap in ``checkpoint``); convergence is
     detected by the edge set's (count, hash-sum) signature reaching a
     fixed point.
+
+    Memory hygiene: no explicit ``persist`` anywhere; each round's
+    checkpoint replaces the previous binding, so the old round's blocks
+    lose their last reference and the context cleaner evicts them — the
+    working set is one edge snapshot, not ``max_iter`` of them.
     """
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -316,9 +321,9 @@ def simhash_values(
 
 
 def hamming_distance(a, b, bits: int = 16):
-    """Popcount of XOR via bin()-string trick (JVM-side, no UDF)."""
-    x = a.bitwiseXOR(b)
-    return F.length(F.regexp_replace(F.bin(x), "0", ""))
+    """Popcount of XOR via native ``bit_count`` — branch-free JVM
+    integer intrinsic, no string allocations per candidate pair."""
+    return F.bit_count(a.bitwiseXOR(b))
 
 
 def simhash_pairs(

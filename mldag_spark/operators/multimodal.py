@@ -247,15 +247,25 @@ def resize_media(
                         "real image resize requires PIL/libvips; "
                         "not available in this environment"
                     )
-                data = bytes(p) if p is not None else b""
-                longest = max(int(w), int(h))
-                if longest > max_px:
-                    nw = int(w) * max_px // longest
-                    nh = int(h) * max_px // longest
-                    nlen = len(data) * max_px * max_px // (longest * longest)
-                    data = data[:nlen]
+                # null payload stays null (not coerced to b''); null
+                # dimensions mean "nothing to resize" — pass through
+                data = bytes(p) if p is not None else None
+                if pd.isna(w) or pd.isna(h):
+                    nw = None if pd.isna(w) else int(w)
+                    nh = None if pd.isna(h) else int(h)
                 else:
-                    nw, nh = int(w), int(h)
+                    longest = max(int(w), int(h))
+                    if longest > max_px:
+                        nw = int(w) * max_px // longest
+                        nh = int(h) * max_px // longest
+                        if data is not None:
+                            nlen = (
+                                len(data) * max_px * max_px
+                                // (longest * longest)
+                            )
+                            data = data[:nlen]
+                    else:
+                        nw, nh = int(w), int(h)
                 out["media_id"].append(mid)
                 out["mime"].append(mime)
                 out["payload"].append(data)

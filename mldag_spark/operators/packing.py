@@ -60,6 +60,18 @@ def token_budget_batches(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     local = p.withColumn("_lcum", F.sum(count_col).over(w_local))
+    # Both downstream consumers (the offsets aggregate and the final
+    # join) key on `_pid`, which is only meaningful if they observe ONE
+    # physical range partitioning. Exchange reuse usually guarantees
+    # that, but a reused-exchange miss would re-run range-boundary
+    # sampling against independently sampled boundaries — so pin the
+    # partitioning: persist and materialize eagerly, making the cached
+    # blocks the single source both branches read. (persist rather than
+    # localCheckpoint keeps the lineage — and the rangepartitioning
+    # plan node — visible; a rare cache-loss recompute re-samples with
+    # the same RDD-id-derived seed, so boundaries are reproducible.)
+    local = local.persist()
+    local.count()
 
     # per-partition totals: |partitions| rows — a tiny single-partition
     # window here is fine and broadcast-joins back

@@ -208,6 +208,39 @@ def events_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_grouped_zscore",
+    oracle="""
+    SELECT event_id, event_type,
+           ROUND((value - AVG(value) OVER (PARTITION BY event_type))
+                 / STDDEV_SAMP(value) OVER (PARTITION BY event_type), 4)
+               AS zscore
+    FROM events
+    """,
+)
+def events_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score as a JVM window — the engine's production plan.
+
+    Scale story: the window's partition-by shuffle is the only exchange
+    and the aggregate state per group is two scalars (mean, stddev), so
+    a skewed ``event_type`` costs a skewed *sort*, not a whole-group
+    materialization in one Python worker. Contrast with the grouped-map
+    sibling ``events_grouped_zscore_arrow`` (kept to pin the Arrow
+    hook), which must hold each full group in pandas memory.
+    """
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    return e.select(
+        "event_id",
+        "event_type",
+        F.round(
+            (F.col("value") - F.avg("value").over(w))
+            / F.stddev_samp("value").over(w),
+            4,
+        ).alias("zscore"),
+    )
+
+
+@register(
     "events_grouped_zscore_arrow",
     oracle="""
     SELECT event_id, event_type,

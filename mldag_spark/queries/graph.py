@@ -82,23 +82,31 @@ def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     outw = sym.groupBy("src").agg(F.sum("w").alias("wout"))
     contrib_base = sym.join(outw, "src").persist()
     nodes = sym.select(F.col("src").alias("id")).distinct().persist()
-    n = nodes.count()
+    try:
+        n = nodes.count()
 
-    pr = nodes.withColumn("pr", F.lit(1.0 / n))
-    for i in range(3):
-        pr = (
-            contrib_base.join(pr, F.col("src") == F.col("id"))
-            .groupBy(F.col("dst").alias("nid"))
-            .agg(F.sum(F.col("pr") * F.col("w") / F.col("wout")).alias("s"))
-            .select(
-                F.col("nid").alias("id"),
-                (F.lit(0.15 / n) + F.lit(0.85) * F.col("s")).alias("pr"),
+        pr = nodes.withColumn("pr", F.lit(1.0 / n))
+        for i in range(3):
+            pr = (
+                contrib_base.join(pr, F.col("src") == F.col("id"))
+                .groupBy(F.col("dst").alias("nid"))
+                .agg(F.sum(F.col("pr") * F.col("w") / F.col("wout")).alias("s"))
+                .select(
+                    F.col("nid").alias("id"),
+                    (F.lit(0.15 / n) + F.lit(0.85) * F.col("s")).alias("pr"),
+                )
             )
+            if i and i % 2 == 0:
+                pr = pr.localCheckpoint(eager=False)
+        result = (
+            pr.select("id", F.round("pr", 6).alias("pagerank"))
+            .orderBy(F.desc("pagerank"), "id")
+            .limit(25)
         )
-        if i and i % 2 == 0:
-            pr = pr.localCheckpoint(eager=False)
-    return (
-        pr.select("id", F.round("pr", 6).alias("pagerank"))
-        .orderBy(F.desc("pagerank"), "id")
-        .limit(25)
-    )
+        # Materialize the 25-row answer while the static sides are still
+        # cached, so the persisted frames can be released before return
+        # instead of leaking into a long-lived session.
+        return result.localCheckpoint(eager=True)
+    finally:
+        contrib_base.unpersist()
+        nodes.unpersist()

@@ -236,7 +236,6 @@ def write_stream_upsert(
 
     def _merge(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         batch = batch.persist()
         try:
             affected = [r[0] for r in batch.select(partition_col).distinct().collect()]
@@ -259,11 +258,22 @@ def write_stream_upsert(
             w = Window.partitionBy(*keys).orderBy(
                 F.desc(order_col), F.desc("_pri")
             )
-            (
+            winners = (
                 merged.withColumn("_rk", F.row_number().over(w))
                 .filter(F.col("_rk") == 1)
                 .drop("_rk", "_pri")
-                .write.mode("overwrite")
+            )
+            # The merged frame reads the same parquet path it overwrites.
+            # localCheckpoint severs that read dependency before the write
+            # starts, so a task retry racing the overwrite commit cannot
+            # re-scan partially-deleted target files.
+            winners = winners.localCheckpoint(eager=True)
+            (
+                winners.write.mode("overwrite")
+                # per-write dynamic overwrite: only the partitions present
+                # in `winners` are replaced, and the shared session conf is
+                # left untouched for unrelated writers.
+                .option("partitionOverwriteMode", "dynamic")
                 .partitionBy(partition_col)
                 .parquet(path)
             )

@@ -56,7 +56,7 @@ def test_gate_window_covers_all_categories():
     assert any_with("setop_")         # set operations
     assert any_with(["sort_top15_orders"])  # sort/limit
     assert any_with(["scalar_expressions"])  # projection/scalar fns
-    assert any_with(["events_grouped_zscore_arrow"])  # Arrow UDF surface
+    assert any_with(["events_grouped_zscore"])  # grouped z-score (JVM window plan)
     assert any_with(["events_json_extract"])  # scalar fn breadth (json)
 
 
