@@ -83,10 +83,9 @@ def minhash_lsh_pairs(
 
     Returns columns ``doc_a < doc_b`` and ``jaccard`` (rounded to 4).
     """
-    sets = df.select(F.col(id_col), F.col(set_col).alias("_sh"))
     rows = df.select(F.col(id_col), F.explode(set_col).alias("_elem"))
     return _lsh_pairs_impl(
-        rows, sets, id_col, "_elem", threshold, num_hashes, bands
+        rows, id_col, "_elem", threshold, num_hashes, bands
     )
 
 
@@ -101,15 +100,11 @@ def minhash_lsh_pairs_rows(
     """:func:`minhash_lsh_pairs`, but from (id, element) ROWS — the
     preferred entry when elements come out of an explode-shaped
     producer (``functions.shingle_rows``): signatures aggregate the
-    rows directly (multiplicity-invariant min), and the verification
-    sets are a ``collect_set`` over the SAME partitioning, so neither
-    consumer pays a second exchange or an array re-explode.
+    rows directly (multiplicity-invariant min) and verification joins
+    the same rows, so no per-document array is ever materialized.
     """
-    sets = rows.groupBy(id_col).agg(
-        F.collect_set(elem_col).alias("_sh")
-    )
     return _lsh_pairs_impl(
-        rows, sets, id_col, elem_col, threshold, num_hashes, bands
+        rows, id_col, elem_col, threshold, num_hashes, bands
     )
 
 
@@ -154,7 +149,6 @@ def minhash_band_index(
 
 def _lsh_pairs_impl(
     rows: DataFrame,
-    sets: DataFrame,
     id_col: str,
     elem_col: str,
     threshold: float,
@@ -178,23 +172,59 @@ def _lsh_pairs_impl(
         )
         .distinct()
     )
+    return _verify_pairs_by_rows(
+        candidates, rows, id_col, elem_col, "doc_a", "doc_b", threshold
+    )
 
-    # exact verification on the candidate pairs only
-    sets_a = sets.select(
-        F.col(id_col).alias("doc_a"), F.col("_sh").alias("sh_a")
+
+def _verify_pairs_by_rows(
+    candidates: DataFrame,
+    rows: DataFrame,
+    id_col: str,
+    elem_col: str,
+    left: str,
+    right: str,
+    threshold: float,
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs from (id, element)
+    ROWS — no per-document array is ever built.
+
+    Why rows and not ``collect_set`` arrays (the r2 formulation): the
+    sf1.0 scale run caught TWO failure modes of the array plan with a
+    bounded heap. (1) Catalyst's size estimate for a collect_set output
+    ignores array payloads, so the planner happily BroadcastExchanges
+    the entire corpus' shingle data (driver OOM at sf1.0; fatal at
+    100 TB). (2) Even hinted to sort-merge, the ObjectHashAggregate
+    building every document's shingle array holds whole partitions of
+    arrays live in the heap (GC-thrash at sf1.0). Intersection COUNTS
+    need neither: join candidate pairs to the left doc's element rows,
+    match against the right doc's element rows on (id, element), and
+    count — every stage is a codegen'd hash join / sort spillable to
+    disk, memory bounded by a row, not a document. Shuffle volume is
+    O(candidate-restricted element rows), the same order as the
+    banding shuffle that produced the candidates.
+    """
+    ex = rows.select(F.col(id_col), F.col(elem_col).alias("_e")).distinct()
+    sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
+
+    ra = ex.select(F.col(id_col).alias(left), "_e")
+    rb = ex.select(F.col(id_col).alias(right), "_e")
+    common = (
+        candidates.join(ra, left)
+        .join(rb, [right, "_e"])
+        .groupBy(left, right)
+        .agg(F.count(F.lit(1)).alias("_nc"))
     )
-    sets_b = sets.select(
-        F.col(id_col).alias("doc_b"), F.col("_sh").alias("sh_b")
-    )
-    n_common = F.size(F.array_intersect("sh_a", "sh_b"))
-    jac = n_common.cast("double") / (
-        F.size("sh_a") + F.size("sh_b") - n_common
+    sa = sizes.select(F.col(id_col).alias(left), F.col("_n").alias("_na"))
+    sb = sizes.select(F.col(id_col).alias(right), F.col("_n").alias("_nb"))
+    jac = F.col("_nc").cast("double") / (
+        F.col("_na") + F.col("_nb") - F.col("_nc")
     )
     return (
-        candidates.join(sets_a, "doc_a")
-        .join(sets_b, "doc_b")
+        common.join(sa, left)
+        .join(sb, right)
         .filter(jac >= threshold)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .select(left, right, F.round(jac, 4).alias("jaccard"))
     )
 
 
@@ -425,12 +455,16 @@ def incremental_lsh_pairs(
         )
         .distinct()
     )
+    # merge hints for the same reason as _lsh_pairs_impl: collect_set
+    # output size is under-estimated by Catalyst, and broadcasting the
+    # historical index's shingle sets is exactly the thing this
+    # incremental path exists to avoid.
     bsets = batch_rows.groupBy(id_col).agg(
         F.collect_set(elem_col).alias("sh_a")
-    ).withColumnRenamed(id_col, "batch_id")
+    ).withColumnRenamed(id_col, "batch_id").hint("merge")
     isets = index_rows.groupBy(id_col).agg(
         F.collect_set(elem_col).alias("sh_b")
-    ).withColumnRenamed(id_col, "index_id")
+    ).withColumnRenamed(id_col, "index_id").hint("merge")
     n_common = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = n_common.cast("double") / (
         F.size("sh_a") + F.size("sh_b") - n_common

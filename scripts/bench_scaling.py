@@ -1,0 +1,130 @@
+#!/usr/bin/env python
+"""Measure per-query sf0.1 -> sf1.0 scaling ratios (VERDICT r2 ask #1).
+
+At sf0.1 most headline queries are fixed-overhead-bound (0.2-0.8s), so
+the driver bench cannot distinguish a scale-correct plan from a lucky
+one. This harness runs the headline set plus the heaviest LLM-pipeline
+kernels at sf0.1 AND the repo-generated sf1.0 (scripts/gen_scale.py,
+10x rows) in one Spark session and reports per-query wall-clock ratios.
+
+A near-linear plan should show ratio <= ~12x (10x data + a log factor
+on sorts); anything super-linear is a plan that lies. Results land in
+SCALING.json at the repo root; bench.py embeds them into its JSON line
+so the driver's BENCH_r{N}.json carries the scale datapoint.
+
+Usage: python scripts/bench_scaling.py [--repeats 2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+# headline set (bench.py) + the heaviest extended kernels the verdict
+# called out by name
+QUERIES = (
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_revenue_forecast",
+    "q10_returned_items",
+    "window_topk_orders_per_customer",
+    "agg_rollup_flag_status",
+    "events_sessionization",
+    "events_asof_latest_order",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "text_quality_score",
+    "ann_cosine_topk",
+    "text_vocab_encode",
+    "pack_token_budget_batches",
+)
+
+SF_SMALL = "/root/testdata/sf0.1"
+SF_BIG = os.path.join(REPO, ".testdata", "sf1.0")
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument("--out", default=os.path.join(REPO, "SCALING.json"))
+    a = ap.parse_args()
+
+    if not os.path.isdir(SF_BIG):
+        print(f"missing {SF_BIG}; run scripts/gen_scale.py first", file=sys.stderr)
+        return 1
+
+    from pyspark.sql import SparkSession
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("mldag_spark-scaling")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+
+    # warmup (codegen/JIT) at the smallest sf
+    for name in QUERIES:
+        try:
+            qs[name](spark, "/root/testdata/sf0.001").write.mode(
+                "overwrite"
+            ).format("noop").save()
+        except Exception:
+            pass
+
+    def timed(name: str, sf_dir: str) -> float:
+        best = float("inf")
+        for _ in range(a.repeats):
+            t0 = time.time()
+            qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+            best = min(best, time.time() - t0)
+        return round(best, 3)
+
+    result: dict[str, dict] = {}
+    for name in QUERIES:
+        try:
+            t_small = timed(name, SF_SMALL)
+            t_big = timed(name, SF_BIG)
+            ratio = round(t_big / t_small, 2) if t_small > 0 else None
+            result[name] = {
+                "sf0.1_sec": t_small,
+                "sf1.0_sec": t_big,
+                "ratio": ratio,
+            }
+            print(f"{name:38s} {t_small:7.3f}s -> {t_big:7.3f}s  x{ratio}")
+        except Exception as e:
+            result[name] = {"error": str(e)[:200]}
+            print(f"{name:38s} ERROR {e}", file=sys.stderr)
+
+    payload = {
+        "data_ratio": 10,
+        "near_linear_threshold": 12,
+        "repeats": a.repeats,
+        "loadavg_1m": round(os.getloadavg()[0], 2),
+        "queries": result,
+    }
+    with open(a.out, "w") as f:
+        json.dump(payload, f, indent=1)
+    print(f"wrote {a.out}")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
