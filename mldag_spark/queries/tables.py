@@ -35,16 +35,23 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; available: {TABLES}")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects; read it as raw nanos (long) and truncate to the
-        # engine's microsecond timestamp. `DIV` keeps the arithmetic in
-        # int64 — float division would lose precision above 2^53. Oracle
-        # SQL truncates the same way (date_trunc('microseconds', ts)).
+        # events.ts has shipped as both parquet TIMESTAMP(NANOS) (read as
+        # raw int64 nanos via the legacy flag, since the vectorized reader
+        # rejects nanos) and TIMESTAMP(MICROS)/NTZ. Dispatch on the dtype
+        # the reader actually produces — assuming one of them silently
+        # corrupts the other (a DIV 1000 on microseconds collapses all
+        # event time to ~1970).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return (
-            spark.read.parquet(f"{sf_dir}/{name}.parquet")
-            .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-        )
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        ts_type = df.schema["ts"].dataType.typeName()
+        if ts_type in ("long", "integer"):
+            # raw nanos → truncate to Spark's microsecond timestamps.
+            # `DIV` keeps the arithmetic in int64 — float division would
+            # lose precision above 2^53.
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        # timestamp / timestamp_ntz → normalize to TimestampType so every
+        # downstream consumer (and the oracle schema hash) sees one dtype.
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

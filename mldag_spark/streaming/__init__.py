@@ -24,41 +24,57 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import (
+    DataType,
     DoubleType,
     LongType,
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
 )
 
-EVENTS_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # raw nanos; converted on read
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+
+def _events_schema(ts_type: DataType) -> StructType:
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", ts_type),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+
+
+# default schema for the current testdata (parquet timestamp[us], no tz);
+# ``events_stream`` probes the footer and swaps in LongType for nanos data.
+EVENTS_SCHEMA = _events_schema(TimestampNTZType())
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ``events`` table as an unbounded source.
 
     Parquet file-stream with an explicit schema (streaming reads cannot
-    infer); ``ts`` arrives as raw nanos (see ``queries.tables.load``)
-    and is truncated to Spark's microsecond timestamps.
+    infer). ``ts`` has shipped as both TIMESTAMP(NANOS) and
+    TIMESTAMP(MICROS); a one-footer batch probe picks the matching
+    stream schema — forcing a LongType read over microsecond data would
+    silently collapse all event time (DIV 1000 of micros ≈ 1970), so
+    the dtype must come from the data, never be assumed.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    probed = spark.read.parquet(f"{sf_dir}/events.parquet").schema["ts"].dataType
     # file-stream sources take a directory; select just the events
     # table out of the shared sf_dir with a glob filter
-    return (
-        spark.readStream.schema(EVENTS_SCHEMA)
+    stream = (
+        spark.readStream.schema(_events_schema(probed))
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     )
+    if probed.typeName() in ("long", "integer"):
+        # raw nanos → truncate to microsecond timestamps in int64
+        return stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return stream.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def windowed_rollup(
