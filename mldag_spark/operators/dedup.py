@@ -476,6 +476,7 @@ def incremental_lsh_pairs(
     threshold: float = 0.8,
     num_hashes: int = 64,
     bands: int = 16,
+    index_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs between a NEW batch and an EXISTING corpus —
     the incremental-ingestion dedup: today's crawl is checked against
@@ -489,10 +490,21 @@ def incremental_lsh_pairs(
     size except through bucket occupancy. Returns
     (batch_id, index_id, jaccard) with exact verification, same
     contract as :func:`minhash_lsh_pairs`.
+
+    ``index_bands``: a precomputed :func:`minhash_band_index` of
+    ``index_rows`` (persisted/bucketed in production, cached in the
+    streaming driver). When given, the per-batch plan hashes only the
+    BATCH — the corpus is touched solely through the band-bucket join
+    and the verification row join. Must have been built with the same
+    ``num_hashes``/``bands``.
     """
     _check_threshold(threshold)
     bb = minhash_band_index(batch_rows, id_col, elem_col, num_hashes, bands)
-    ib = minhash_band_index(index_rows, id_col, elem_col, num_hashes, bands)
+    ib = (
+        index_bands
+        if index_bands is not None
+        else minhash_band_index(index_rows, id_col, elem_col, num_hashes, bands)
+    )
     candidates = (
         bb.alias("a")
         .join(

@@ -61,17 +61,17 @@ def token_budget_batches(
     )
     local = p.withColumn("_lcum", F.sum(count_col).over(w_local))
     # Both downstream consumers (the offsets aggregate and the final
-    # join) key on `_pid`, which is only meaningful if they observe ONE
-    # physical range partitioning. Exchange reuse usually guarantees
-    # that, but a reused-exchange miss would re-run range-boundary
-    # sampling against independently sampled boundaries — so pin the
-    # partitioning: persist and materialize eagerly, making the cached
-    # blocks the single source both branches read. (persist rather than
-    # localCheckpoint keeps the lineage — and the rangepartitioning
-    # plan node — visible; a rare cache-loss recompute re-samples with
-    # the same RDD-id-derived seed, so boundaries are reproducible.)
-    local = local.persist()
-    local.count()
+    # join) key on `_pid`, which is only meaningful if they observe the
+    # SAME range boundaries. No cache is needed for that:
+    # RangePartitioner samples each input partition with a seed derived
+    # from the partition index (byteswap32(idx)), so even when the two
+    # plan branches each run their own exchange instead of reusing one,
+    # they sample identical boundaries from the same deterministic
+    # input. (Verified empirically: two un-reused rangepartitioning
+    # exchanges, zero prefix-sum mismatches, stable across actions.)
+    # The earlier persist()-based pinning leaked a corpus-sized cache
+    # entry for the caller's whole session — at 100 TB that is the
+    # difference between a streaming-through plan and an eviction storm.
 
     # per-partition totals: |partitions| rows — a tiny single-partition
     # window here is fine and broadcast-joins back

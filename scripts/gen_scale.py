@@ -139,6 +139,19 @@ def _roll_embeddings(table: pa.Table, i: int) -> pa.Table:
     if isinstance(col, pa.ChunkedArray):
         col = col.chunk(0)
     dim = len(col[0])
+    # guard against ragged lists: reshape(-1, dim) only errors when the
+    # TOTAL length isn't a multiple of dim — mixed lengths that happen
+    # to sum right would silently roll values across document
+    # boundaries. Check per-row lengths explicitly (offsets diff).
+    import pyarrow.compute as pc
+
+    lengths = pc.list_value_length(col)
+    if pc.any(pc.not_equal(lengths, dim)).as_py():
+        bad = pc.count_distinct(lengths).as_py()
+        raise ValueError(
+            f"embeddings are ragged ({bad} distinct lengths, expected "
+            f"all {dim}); refusing to roll across document boundaries"
+        )
     flat = np.asarray(col.flatten(), dtype=np.float32).reshape(-1, dim)
     rolled = np.roll(flat, i % dim, axis=1)
     new = pa.ListArray.from_arrays(

@@ -364,6 +364,24 @@ def test_token_budget_batches_no_global_window(spark):
     assert out.count() == 1000
 
 
+def test_token_budget_batches_leaves_no_cache(spark):
+    """token_budget_batches must not leave a persisted copy of its
+    input behind (VERDICT r4 #7): a corpus-sized cache entry pinned for
+    the caller's whole session is an eviction storm at 100 TB. The
+    prefix-sum correctness across branches comes from deterministic
+    range sampling, not from caching."""
+    from mldag_spark.operators.packing import token_budget_batches
+
+    jsc = spark.sparkContext._jsc
+    before = jsc.getPersistentRDDs().size()
+    df = spark.range(5000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 50 + 1).alias("n")
+    )
+    out = token_budget_batches(df, "doc_id", "n", max_tokens=512)
+    assert out.count() == 5000
+    assert jsc.getPersistentRDDs().size() == before
+
+
 def test_incremental_lsh_pairs_batch_vs_index_only(spark):
     from mldag_spark.operators.dedup import incremental_lsh_pairs
 
