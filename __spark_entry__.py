@@ -40,7 +40,6 @@ _GATE_ORDER = [
     # DAG engine (fit/transform through the scheduler)
     "dag_pipeline_priority_revenue",
     "dag_ml_standard_scaler",
-    "dag_text_clean_corpus",
     "dag_sql_priority_topk",
     # Text analysis
     "text_token_stats",
@@ -56,7 +55,6 @@ _GATE_ORDER = [
     "sample_deterministic_split",
     # Similarity search / embeddings
     "ann_cosine_topk",
-    "ann_cosine_topk_arrow",
     "embedding_near_dup_blocked",
     "knn_label_vote",
     # Structured Streaming
@@ -65,6 +63,7 @@ _GATE_ORDER = [
     "stream_user_totals",
     "stream_dedup_keys",
     "stream_stream_join",
+    "stream_incremental_dedup",
     # Multimodal
     "multimodal_media_stats",
     "multimodal_frame_samples",
@@ -77,25 +76,27 @@ _GATE_ORDER = [
     # Relational: scans, filters, scalar functions
     "q1_pricing_summary",
     "q5_local_supplier_volume",
-    "q12_priority_shipments",
     "scalar_expressions",
     # Joins
     "join_semi_big_orders",
     "join_anti_customers_without_orders",
-    "join_outer_order_linecounts",
     "join_range_parts_in_price_band",
     "join_salted_nation_volume",
     # Windows
     "window_topk_orders_per_customer",
-    "window_ntile_price_deciles",
     "window_range_30d_spend",
     # Aggregations
     "agg_rollup_flag_status",
-    "agg_grouping_sets_flag_status",
     "agg_pivot_event_values",
     "agg_price_percentiles",
-    "agg_approx_distinct_counts",
     "agg_salted_returnflag_totals",
+    # Rotated in r5 (never previously gated)
+    "q9_product_profit",
+    "events_multilevel_rollup",
+    "events_funnel",
+    "graph_pagerank_bipartite",
+    "pack_token_budget_batches",
+    "text_vocab_encode",
     # Set ops + sort/limit
     "setop_except_all_multiset",
     "sort_top15_orders",

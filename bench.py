@@ -38,6 +38,106 @@ HEADLINE = (
 )
 
 
+
+def bench_layout(spark, sf_dir: str, repeats: int) -> dict:
+    """Storage-layout on/off pair (VERDICT r2-r4 ask): the same scan and
+    join measured over plain parquet vs the engine's layouts.
+
+    - scan: one-month l_shipdate band + 2-column projection. The sorted
+      layout (``write_sorted_layout``: range partition + within-file
+      sort) clusters each date into a few row groups, so parquet
+      min/max stats skip nearly the whole table; plain parquet has the
+      band smeared across every row group and must read them all.
+    - join: lineitem ⋈ orders on orderkey + aggregate, with broadcast
+      disabled so BOTH variants pay the sort-merge path honestly: the
+      bucketed tables (``write_bucketed_table``, same key + bucket
+      count both sides) join with ZERO Exchange nodes — at 100 TB the
+      difference between re-shuffling the fact table on every join and
+      never shuffling it. A plan test pins the no-Exchange property;
+      this measures its wall-clock worth.
+
+    Layout writes happen once per bench run and are reported separately
+    (write cost is amortized over every later query in production).
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mldag_spark.sources import write_bucketed_table, write_sorted_layout
+
+    work = tempfile.mkdtemp(prefix="bench_layout_")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+    t0 = time.time()
+    sorted_path = f"{work}/lineitem_sorted"
+    write_sorted_layout(
+        li, sorted_path, ["l_shipdate"], n_files=32,
+        sort_within=["l_shipdate", "l_orderkey"],
+    )
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS layout_bench LOCATION '{work}/wh'"
+    )
+    write_bucketed_table(
+        li, "layout_bench.lineitem_b", ["l_orderkey"], 32,
+        sort_cols=["l_orderkey"],
+    )
+    write_bucketed_table(
+        orders, "layout_bench.orders_b", ["o_orderkey"], 32,
+        sort_cols=["o_orderkey"],
+    )
+    write_sec = round(time.time() - t0, 3)
+
+    lo, hi = "1995-03-01", "1995-04-01"
+
+    def scan(df):
+        return (
+            df.filter(
+                (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+            )
+            .groupBy()
+            .agg(F.sum("l_extendedprice").alias("s"), F.count("*").alias("n"))
+        )
+
+    def join(l, o):
+        return (
+            l.join(o, l["l_orderkey"] == o["o_orderkey"])
+            .groupBy("o_orderstatus")
+            .agg(F.sum("l_extendedprice").alias("rev"))
+        )
+
+    li_sorted = spark.read.parquet(sorted_path)
+    li_b = spark.table("layout_bench.lineitem_b")
+    o_b = spark.table("layout_bench.orders_b")
+
+    def timed(mk) -> float:
+        best = float("inf")
+        for _ in range(max(repeats, 2)):
+            t = time.time()
+            mk().write.mode("overwrite").format("noop").save()
+            best = min(best, time.time() - t)
+        return round(best, 3)
+
+    out = {"layout_write_sec": write_sec}
+    out["scan_plain"] = timed(lambda: scan(li))
+    out["scan_sorted"] = timed(lambda: scan(li_sorted))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out["join_plain"] = timed(lambda: join(li, orders))
+        out["join_bucketed"] = timed(lambda: join(li_b, o_b))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    if out["scan_sorted"] > 0:
+        out["scan_speedup"] = round(out["scan_plain"] / out["scan_sorted"], 2)
+    if out["join_bucketed"] > 0:
+        out["join_speedup"] = round(out["join_plain"] / out["join_bucketed"], 2)
+    spark.sql("DROP DATABASE IF EXISTS layout_bench CASCADE")
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -103,6 +203,12 @@ def main() -> int:
         for name, ts in runs.items()
     }
     total = round(sum(t for t in times.values() if t >= 0), 3)
+    failed = sorted(name for name, t in times.items() if t < 0)
+    try:
+        layout = bench_layout(spark, sf_dir, repeats)
+    except Exception as e:  # layout pair must never kill the bench line
+        print(f"bench error in layout pair: {e}", file=sys.stderr)
+        layout = {"error": str(e)[:200]}
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -114,6 +220,11 @@ def main() -> int:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "repeats": repeats,
                 "runs": runs,
+                # -1.0 entries are EXCLUDED from the headline sum so the
+                # total stays comparable across rounds; failures are
+                # named here instead of silently shrinking the metric
+                "failed": failed,
+                "layout": layout,
                 "loadavg_1m": round(os.getloadavg()[0], 2),
             }
         )

@@ -265,3 +265,70 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg, _unique("stream_enrich"), output_mode="complete"
     )
     return res.select("n_name", "n_events", "total_value")
+
+
+@register(
+    "stream_incremental_dedup",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               list_distinct(
+                 CASE WHEN len(toks) <= 3
+                      THEN [array_to_string(toks, ' ')]
+                      ELSE list_transform(range(1, len(toks) - 1),
+                           i -> array_to_string(toks[i:i+2], ' '))
+                 END) AS sh
+        FROM (
+            SELECT doc_id,
+                   string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+                       AS toks
+            FROM documents
+        )
+    ), exploded AS (
+        SELECT doc_id, unnest(sh) AS shingle FROM t
+    ), pairs AS (
+        SELECT a.doc_id AS batch_id, b.doc_id AS index_id,
+               COUNT(*) AS n_common
+        FROM exploded a JOIN exploded b
+          ON a.shingle = b.shingle
+         AND a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+        GROUP BY 1, 2
+    )
+    SELECT p.batch_id, p.index_id,
+           ROUND(CAST(p.n_common AS DOUBLE)
+                 / (len(ta.sh) + len(tb.sh) - p.n_common), 4) AS jaccard
+    FROM pairs p
+    JOIN t ta ON ta.doc_id = p.batch_id
+    JOIN t tb ON tb.doc_id = p.index_id
+    WHERE CAST(p.n_common AS DOUBLE)
+          / (len(ta.sh) + len(tb.sh) - p.n_common) >= 0.8
+    """,
+)
+def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental-ingestion dedup (VERDICT r2/r4 ask):
+    odd doc_ids arrive as the streamed crawl, even doc_ids are the
+    persisted historical index; every micro-batch is checked against
+    the CACHED band index through ``foreachBatch`` →
+    ``incremental_lsh_pairs`` and matches land in a parquet sink.
+    Must equal the batch formulation (``dedup_incremental_batch``) —
+    streaming/batch parity for the dedup recurrence."""
+    import tempfile
+
+    from mldag_spark.functions import shingle_rows
+    from mldag_spark.queries.tables import load
+
+    d = load(spark, sf_dir, "documents")
+    index_rows = shingle_rows(
+        d.filter(F.col("doc_id") % 2 == 0), "doc_id", "text", 3
+    )
+    work = tempfile.mkdtemp(prefix="stream_incdedup_")
+    out_path = f"{work}/pairs"
+    S.incremental_dedup_stream(
+        S.documents_stream(spark, sf_dir).filter(F.col("doc_id") % 2 == 1),
+        index_rows,
+        out_path=out_path,
+        checkpoint=f"{work}/ckpt",
+        shingle_fn=lambda batch: shingle_rows(batch, "doc_id", "text", 3),
+        threshold=0.8,
+    )
+    return spark.read.parquet(out_path)

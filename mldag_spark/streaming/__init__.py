@@ -302,3 +302,108 @@ def write_stream_upsert(
         .trigger(availableNow=True)
         .start()
     )
+
+
+DOCUMENTS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ]
+)
+
+
+def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``documents`` table as an unbounded source — the arriving
+    crawl in the incremental-dedup recurrence."""
+    return (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def incremental_dedup_stream(
+    batch_stream: DataFrame,
+    index_rows: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    shingle_fn,
+    id_col: str = "doc_id",
+    elem_col: str = "shingle",
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+):
+    """Streaming incremental near-dup detection: every micro-batch of
+    arriving documents is checked against a FIXED historical corpus
+    index via ``operators.dedup.incremental_lsh_pairs`` and the matched
+    (batch_id, index_id, jaccard) pairs are appended to a parquet sink.
+
+    Scale shape (the production recurrence this mirrors): the corpus
+    band index is built ONCE and persisted — in production it lives
+    bucketed by (band, bucket) on disk (``sources.write_bucketed_table``)
+    so the per-batch bucket join is exchange-free on the index side;
+    here it is cached for the stream's lifetime. Per-batch work is
+    O(|batch|·bands) banding + bucket joins + row-level verification —
+    independent of corpus size except through bucket occupancy, and no
+    index×index candidates are ever generated. The parquet sink commits
+    per micro-batch through the checkpointed ``foreachBatch``, and the
+    pair computation is deterministic, so replay after a crash rewrites
+    the same rows.
+
+    ``shingle_fn``: batch DataFrame -> (id, element) rows (e.g.
+    ``functions.shingle_rows`` curried with the text column); kept as a
+    parameter so callers control tokenization.
+
+    Returns the terminated StreamingQuery; read ``out_path`` for the
+    accumulated pairs.
+    """
+    from mldag_spark.operators.dedup import (
+        incremental_lsh_pairs,
+        minhash_band_index,
+    )
+
+    spark = index_rows.sparkSession
+    index_bands = minhash_band_index(
+        index_rows, id_col, elem_col, num_hashes, bands
+    ).persist()
+    index_bands.count()
+
+    # seed the sink with an empty, correctly-typed frame so readers of
+    # out_path never race a not-yet-created directory (a batch with no
+    # near-dups writes nothing)
+    empty = spark.createDataFrame(
+        [], "batch_id bigint, index_id bigint, jaccard double"
+    )
+    empty.write.mode("overwrite").parquet(out_path)
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        rows = shingle_fn(batch)
+        pairs = incremental_lsh_pairs(
+            rows,
+            index_rows,
+            id_col=id_col,
+            elem_col=elem_col,
+            threshold=threshold,
+            num_hashes=num_hashes,
+            bands=bands,
+            index_bands=index_bands,
+        )
+        pairs.selectExpr(
+            "cast(batch_id as bigint) batch_id",
+            "cast(index_id as bigint) index_id",
+            "cast(jaccard as double) jaccard",
+        ).write.mode("append").parquet(out_path)
+
+    q = (
+        batch_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    index_bands.unpersist()
+    return q

@@ -246,3 +246,59 @@ def test_cdc_diff_join_reuses_window_partitioning(spark, registry):
         if "Exchange hashpartitioning" in l and "ReusedExchange" not in l
     ]
     assert len(shuffles) == 2, plan
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """write_bucketed_table's contract: two tables bucketed on the join
+    key with the same bucket count sort-merge-join with ZERO Exchange
+    nodes — the 100 TB co-location strategy (never re-shuffle the fact
+    table for a repeatedly-used key). bench.py measures the wall-clock
+    worth of this; the plan property is pinned here."""
+    from mldag_spark.sources import write_bucketed_table
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS plan_bucket LOCATION '{tmp_path}/wh'"
+    )
+    try:
+        write_bucketed_table(
+            li.select("l_orderkey", "l_extendedprice"),
+            "plan_bucket.li_b", ["l_orderkey"], 8, sort_cols=["l_orderkey"],
+        )
+        write_bucketed_table(
+            orders.select("o_orderkey", "o_orderstatus"),
+            "plan_bucket.o_b", ["o_orderkey"], 8, sort_cols=["o_orderkey"],
+        )
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            with _no_aqe(spark):
+                l, o = spark.table("plan_bucket.li_b"), spark.table("plan_bucket.o_b")
+                j = (
+                    l.join(o, l["l_orderkey"] == o["o_orderkey"])
+                    .groupBy("o_orderstatus")
+                    .agg(F.sum("l_extendedprice").alias("rev"))
+                )
+                plan = _executed(j)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        join_and_below = plan[plan.index("SortMergeJoin"):]
+        # the only allowed exchange is the single-aggregation shuffle
+        # ABOVE the join; below it, bucket pruning means zero exchanges
+        assert "Exchange" not in join_and_below, plan
+        assert "SortMergeJoin" in plan, plan
+        # result parity with the plain-parquet join
+        got = {r["o_orderstatus"]: round(r["rev"], 2) for r in j.collect()}
+        want = {
+            r["o_orderstatus"]: round(r["rev"], 2)
+            for r in (
+                li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+                .groupBy("o_orderstatus")
+                .agg(F.sum("l_extendedprice").alias("rev"))
+                .collect()
+            )
+        }
+        assert got == want
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS plan_bucket CASCADE")

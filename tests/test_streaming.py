@@ -149,3 +149,70 @@ def test_upsert_sink_last_writer_wins_and_idempotent(spark, sf_dir, tmp_path):
     again = spark.read.parquet(target)
     assert again.count() == want.count()
     assert again.exceptAll(want.select(*again.columns)).count() == 0
+
+
+def test_incremental_dedup_stream_matches_batch(spark, tmp_path):
+    """Streaming foreachBatch incremental dedup against a cached band
+    index must emit exactly the pairs the batch formulation finds, and
+    leave no persisted band index behind after the stream drains."""
+    import os
+
+    import pandas as pd
+
+    from mldag_spark import streaming as S
+    from mldag_spark.functions import shingle_rows
+    from mldag_spark.operators.dedup import incremental_lsh_pairs
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog",
+        3: "the quick brown fox jumps over the lazy cat",
+        5: "completely different text with no overlap here",
+        2: "the quick brown fox jumps over the lazy dog",
+        4: "another unrelated document body entirely",
+    }
+    src = str(tmp_path / "docs")
+    os.makedirs(src)
+    pd.DataFrame(
+        {
+            "doc_id": list(texts),
+            "text": list(texts.values()),
+            "lang": ["en"] * 5,
+            "source": ["t"] * 5,
+            "n_chars": [len(t) for t in texts.values()],
+        }
+    ).to_parquet(os.path.join(src, "documents.parquet"))
+
+    docs = spark.read.parquet(os.path.join(src, "documents.parquet"))
+    index_rows = shingle_rows(
+        docs.filter(F.col("doc_id") % 2 == 0), "doc_id", "text", 3
+    )
+    batch_rows = shingle_rows(
+        docs.filter(F.col("doc_id") % 2 == 1), "doc_id", "text", 3
+    )
+    want = sorted(
+        (r["batch_id"], r["index_id"], r["jaccard"])
+        for r in incremental_lsh_pairs(
+            batch_rows, index_rows, id_col="doc_id", elem_col="shingle",
+            threshold=0.5,
+        ).collect()
+    )
+    assert want, "fixture must contain at least one cross near-dup"
+
+    jsc = spark.sparkContext._jsc
+    cached_before = jsc.getPersistentRDDs().size()
+    out_path = str(tmp_path / "pairs")
+    S.incremental_dedup_stream(
+        S.documents_stream(spark, src).filter(F.col("doc_id") % 2 == 1),
+        index_rows,
+        out_path=out_path,
+        checkpoint=str(tmp_path / "ckpt"),
+        shingle_fn=lambda b: shingle_rows(b, "doc_id", "text", 3),
+        threshold=0.5,
+    )
+    got = sorted(
+        (r["batch_id"], r["index_id"], r["jaccard"])
+        for r in spark.read.parquet(out_path).collect()
+    )
+    assert got == want
+    # the cached band index is released once the stream drains
+    assert jsc.getPersistentRDDs().size() == cached_before
