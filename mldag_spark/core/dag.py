@@ -34,6 +34,7 @@ Spark-first departures from the reference:
 from __future__ import annotations
 
 import inspect
+import keyword
 import uuid
 from collections import defaultdict
 from dataclasses import dataclass, field
@@ -378,8 +379,16 @@ class MLDag(Graph):
             else:
                 merged[i.name] = i
         params = [
-            inspect.Parameter(i.name, i.kind, default=(
-                i.default if i.default is not _EMPTY else _EMPTY))
+            inspect.Parameter(
+                i.name,
+                # Python-keyword input names ('in', 'for', ...) are
+                # legal DAG ports in the reference
+                # (test_mldag_doc.py:246: p['in'] >> a); inspect only
+                # admits keyword names as POSITIONAL_ONLY, which still
+                # binds positionally and renders in docs
+                _POS_ONLY if keyword.iskeyword(i.name) else i.kind,
+                default=(i.default if i.default is not _EMPTY else _EMPTY),
+            )
             for i in merged.values()
         ]
         # bucket by kind; required-before-defaulted within positional
@@ -397,10 +406,11 @@ class MLDag(Graph):
 
     _DOC_HEADERS = {
         # verb-specific summary lines matching the reference's wording
-        # (tests/test_mldag_doc.py:40-95). The surrounding layout is
-        # numpydoc-normalized, not byte-identical to the reference's
-        # goldens (SURVEY §7 sanctioned relaxation): the reference uses
-        # 18-dash section rules and a fit-specific run_id/Returns text.
+        # (tests/test_mldag_doc.py:40-95). Since r5 the full layout is
+        # byte-identical to the reference's goldens: 18-dash section
+        # rules, the fit-specific `run_id : optional, str` inversion,
+        # and the shorter fit Returns text (pinned in
+        # tests/test_docstrings.py against every reference golden).
         "fit": (
             "Main method for fitting mldag.\n"
             "Sequentially calls fit and transform in width-first order"
@@ -416,14 +426,24 @@ class MLDag(Graph):
 
     def _param_type_name(self, name: str) -> Optional[str]:
         """Infer a display type for a DAG input from the downstream
-        node's transform annotations (reference behavior: the param
-        type is pulled from the bound node — ``mldagbase.py:1783-1795``)."""
+        node (reference behavior ``mldagbase.py:1783-1795``): the bound
+        slot's entry in the node callable's numpydoc Parameters section
+        wins (``test_mldag_doc.py:258-301`` pins `in_a : a_type` from a
+        docstring-only type), else the signature annotation
+        (``test_mldag_doc.py:12,46`` pins `i_X : str` from `X: str`)."""
+        from mldag_spark.core.introspect import docstring_param_types
+
         for i in self.inputs:
             if i.name != name:
                 continue
-            fn = getattr(i.node, "func", None) or getattr(
-                i.node, "transform", None
+            fn = (
+                getattr(i.node, "_introspect_ref", None)
+                or getattr(i.node, "func", None)
+                or getattr(i.node, "transform", None)
             )
+            doc_type = docstring_param_types(inspect.getdoc(fn)).get(i.slot)
+            if doc_type:
+                return doc_type
             try:
                 ann = inspect.signature(fn).parameters[i.slot].annotation
             except (TypeError, ValueError, KeyError):
@@ -433,28 +453,44 @@ class MLDag(Graph):
             return getattr(ann, "__name__", str(ann))
         return None
 
+    # the reference's 18-dash section rule (test_mldag_doc.py:51,57)
+    _DOC_RULE = "-" * 18
+
+    # verb-specific run_id and Returns blocks, byte-identical to the
+    # reference goldens (test_mldag_doc.py:46-55 fit — note the
+    # inverted `optional, str` — and :57-71 transform)
+    _DOC_RUN_ID = {
+        "fit": "run_id : optional, str\n    run identifier string",
+        "transform": "run_id : str, optional\n    mldag run identifier",
+        "fit_transform": "run_id : str, optional\n    mldag run identifier",
+    }
+    _DOC_RETURNS = {
+        "fit": "run : MLDagRun\n    computed mldag run",
+        "transform": (
+            "run : MLDagRun\n"
+            "    computed mldag run containing all node outputs"
+        ),
+        "fit_transform": (
+            "run : MLDagRun\n"
+            "    computed mldag run containing all node outputs"
+        ),
+    }
+
     def _render_docstring(self, verb: str) -> str:
-        lines = [self._DOC_HEADERS[verb], "", "Parameters", "----------"]
+        lines = [self._DOC_HEADERS[verb], "", "Parameters", self._DOC_RULE]
         for p in self._signature.parameters.values():
             if p.name == "run_id":
-                lines.append("run_id : str, optional\n    mldag run identifier")
+                lines.append(self._DOC_RUN_ID[verb])
                 lines.append("")
                 continue
             targets = [i.node.name for i in self.inputs if i.name == p.name]
             type_name = self._param_type_name(p.name)
-            opt = ", optional" if p.default is not _EMPTY else ""
-            head = (
-                f"{p.name} : {type_name}{opt}" if type_name
-                else f"{p.name}{opt}"
-            )
+            head = f"{p.name} : {type_name}" if type_name else p.name
             lines.append(
-                f"{head}\n    Downstream node - {', '.join(targets)}"
+                f"{head}\n    Downstream node - {', '.join(dict.fromkeys(targets))}"
             )
             lines.append("")
-        lines += ["Returns", "-------"]
-        lines.append(
-            "run : MLDagRun\n    computed mldag run containing all node outputs"
-        )
+        lines += ["Returns", self._DOC_RULE, self._DOC_RETURNS[verb]]
         return "\n".join(lines).strip()
 
     def _update_signatures(self) -> None:

@@ -24,13 +24,65 @@ from typing import Any, Callable, Optional
 RESULT_SLOT = "result"
 
 _RETURNS_ATTR = "_mldag_returns"
+_RETURNS_META_ATTR = "_mldag_returns_meta"
 
-# matches a numpydoc "Returns" header followed by underline
-_RETURNS_SECTION_RE = re.compile(
-    r"^\s*Returns\s*\n\s*-{3,}\s*\n(?P<body>.*?)(?:\n\s*\n|\n\s*\w[\w ]*\n\s*-{3,}|\Z)",
-    re.DOTALL | re.MULTILINE,
-)
-_RETURNS_LINE_RE = re.compile(r"^\s*(?P<name>[A-Za-z_]\w*)\s*(?::\s*(?P<type>.*))?$")
+_ENTRY_LINE_RE = re.compile(r"^(?P<name>[A-Za-z_]\w*)\s*(?::\s*(?P<type>.*\S))?\s*$")
+
+
+def parse_numpydoc_sections(doc: Optional[str]) -> dict[str, list[tuple[str, Optional[str]]]]:
+    """``{section: [(name, type-or-None), ...]}`` for every underlined
+    numpydoc section (``Parameters``, ``Returns``, ...).
+
+    A full line-based parse, not a regex over the body: entry bodies may
+    contain blank lines between items (the reference's own docstrings
+    do — ``/root/reference/tests/test_mldag_doc.py:20-27``), so a parse
+    that stops at the first blank line silently drops every entry after
+    it. Entries are the non-indented ``name [: type]`` lines of a
+    section; deeper-indented lines are descriptions and are skipped.
+    """
+    if not doc:
+        return {}
+    lines = inspect.cleandoc(doc).splitlines()
+    # header positions: a text line followed by a dashes-only underline
+    headers = [
+        i
+        for i in range(len(lines) - 1)
+        if lines[i].strip()
+        and not lines[i].startswith((" ", "\t"))
+        and len(lines[i + 1].strip()) >= 3
+        and set(lines[i + 1].strip()) == {"-"}
+    ]
+    sections: dict[str, list[tuple[str, Optional[str]]]] = {}
+    for pos, start in enumerate(headers):
+        end = headers[pos + 1] if pos + 1 < len(headers) else len(lines)
+        entries = []
+        for line in lines[start + 2 : end]:
+            if not line.strip() or line.startswith((" ", "\t")):
+                continue
+            m = _ENTRY_LINE_RE.match(line)
+            if m:
+                entries.append((m.group("name"), m.group("type")))
+        sections[lines[start].strip()] = entries
+    return sections
+
+
+def docstring_param_types(doc: Optional[str]) -> dict[str, str]:
+    """``{param: type}`` from a numpydoc Parameters section (typed
+    entries only)."""
+    return {
+        n: t
+        for n, t in parse_numpydoc_sections(doc).get("Parameters", [])
+        if t
+    }
+
+
+def docstring_output_types(doc: Optional[str]) -> dict[str, str]:
+    """``{output: type}`` from a numpydoc Returns section."""
+    return {
+        n: t
+        for n, t in parse_numpydoc_sections(doc).get("Returns", [])
+        if t
+    }
 
 
 @dataclass
@@ -81,19 +133,31 @@ def returns(names):
     Usage::
 
         @returns(['model', 'stats'])
+        @returns([('model', 'Model'), ('stats', 'dict', 'fit stats')])
         def train(df): ...
 
-    Accepts a list/tuple of names or a single string.
+    Accepts a single name, a list of names, or a list of
+    ``(name[, type[, description]])`` tuples (reference contract:
+    ``/root/reference/tests/test_mldag_doc.py:96,216`` decorate with
+    typed tuples).
     """
     if isinstance(names, str):
         names = [names]
-    names = list(names)
-    for n in names:
-        if not isinstance(n, str) or not n.isidentifier():
-            raise ValueError(f"output name must be an identifier, got {n!r}")
+    meta: list[tuple[str, Optional[str], Optional[str]]] = []
+    for item in names:
+        if isinstance(item, str):
+            item = (item,)
+        if not isinstance(item, (tuple, list)) or not item:
+            raise ValueError(f"output must be a name or tuple, got {item!r}")
+        padded = (tuple(item) + (None, None))[:3]
+        name, type_, desc = padded
+        if not isinstance(name, str) or not name.isidentifier():
+            raise ValueError(f"output name must be an identifier, got {name!r}")
+        meta.append((name, type_, desc))
 
     def deco(func):
-        setattr(func, _RETURNS_ATTR, names)
+        setattr(func, _RETURNS_ATTR, [m[0] for m in meta])
+        setattr(func, _RETURNS_META_ATTR, meta)
         return func
 
     return deco
@@ -126,20 +190,7 @@ def get_input_slots(func: Callable, skip_first: bool = False) -> list[InputSlot]
 
 
 def _outputs_from_docstring(doc: Optional[str]) -> Optional[list[str]]:
-    if not doc:
-        return None
-    m = _RETURNS_SECTION_RE.search(doc)
-    if not m:
-        return None
-    names = []
-    for line in m.group("body").splitlines():
-        if not line.strip():
-            continue
-        # continuation/description lines are indented deeper than the
-        # name lines; accept only `name : type` shaped lines
-        lm = _RETURNS_LINE_RE.match(line)
-        if lm and not line.startswith((" " * 8, "\t")):
-            names.append(lm.group("name"))
+    names = [n for n, _ in parse_numpydoc_sections(doc).get("Returns", [])]
     return names or None
 
 
@@ -164,15 +215,29 @@ def _outputs_from_annotation(func: Callable) -> Optional[list[str]]:
 
 
 def get_output_slots(func: Callable) -> list[OutputSlot]:
-    """Resolve output names via the 4-level precedence chain."""
-    declared = getattr(func, _RETURNS_ATTR, None)
-    if declared is None:
-        # decorated bound methods keep the attribute on __func__
-        declared = getattr(getattr(func, "__func__", None), _RETURNS_ATTR, None)
+    """Resolve output names via the 4-level precedence chain; display
+    types (``OutputSlot.annotation``) come from the typed ``@returns``
+    tuples or, failing that, the docstring Returns section — the same
+    sources the reference's doc synthesis reads."""
+    target = func if hasattr(func, _RETURNS_ATTR) else getattr(
+        func, "__func__", func
+    )  # decorated bound methods keep the attribute on __func__
+    declared = getattr(target, _RETURNS_ATTR, None)
+    meta = getattr(target, _RETURNS_META_ATTR, None)
+    doc_types = docstring_output_types(inspect.getdoc(func))
     names = (
         declared
         or _outputs_from_docstring(inspect.getdoc(func))
         or _outputs_from_annotation(func)
         or [RESULT_SLOT]
     )
-    return [OutputSlot(name=n) for n in names]
+    types = {m[0]: m[1] for m in meta or [] if m[1]}
+    descriptions = {m[0]: m[2] for m in meta or [] if m[2]}
+    return [
+        OutputSlot(
+            name=n,
+            annotation=types.get(n) or doc_types.get(n) or inspect.Parameter.empty,
+            description=descriptions.get(n, ""),
+        )
+        for n in names
+    ]

@@ -40,6 +40,8 @@ from mldag_spark.core.introspect import (
 )
 from mldag_spark.exceptions import GraphError, MLDagError, SlotError
 
+_EMPTY_ANN = inspect.Parameter.empty
+
 
 def snake_case(name: str) -> str:
     out = []
@@ -309,6 +311,9 @@ class EstimatorNode(NodeBase):
         if name is None:
             self.name = snake_case(type(estimator).__name__)
         ref = getattr(estimator, "transform", None) or getattr(estimator, "fit")
+        # doc/type introspection must see the WRAPPED method (its
+        # docstring types / annotations), not EstimatorNode.transform
+        self._introspect_ref = ref
         self._inputs = get_input_slots(ref)
         # pyspark.ml signatures carry an optional ``params`` argument —
         # keep only data-carrying required slots plus variadics
@@ -359,7 +364,72 @@ class MLDagNode(NodeBase):
         self._inputs = [
             InputSlot(name=i.name, default=i.default) for i in self.mldag.inputs
         ]
-        self._outputs = [OutputSlot(name=o.name) for o in self.mldag.outputs]
+        # carry output types onto this node's slots so a dag nested in
+        # ANOTHER dag propagates them a further level up
+        self._outputs = [
+            OutputSlot(
+                name=o.name,
+                annotation=self._output_type_name(o) or _EMPTY_ANN,
+            )
+            for o in self.mldag.outputs
+        ]
+        self._synthesize_docs()
+
+    def _output_type_name(self, out) -> str | None:
+        """Display type of a dag output = the type of its source node's
+        output slot (flows through arbitrary nesting: an inner
+        MLDagNode's slots were themselves resolved this way —
+        ``test_mldag_doc.py:96-158`` pins two-level propagation)."""
+        for slot in out.node.outputs:
+            if slot.name == out.slot and slot.annotation is not _EMPTY_ANN:
+                return str(slot.annotation)
+        return None
+
+    def _synthesize_docs(self) -> None:
+        """Instance-level ``fit``/``transform`` wrappers whose
+        ``__doc__`` is byte-identical to the reference goldens
+        (``/root/reference/tests/test_mldag_doc.py:77-95,146-158,
+        238-252,294-323``): dag inputs as Parameters (deduped, typed
+        from the bound node), dag outputs as Returns (typed from the
+        source node), no run_id block."""
+        rule = "-" * 18
+        param_lines: list[str] = []
+        for i in dict.fromkeys(x.name for x in self.mldag.inputs):
+            t = self.mldag._param_type_name(i)
+            head = f"{i} : {t}" if t else i
+            targets = dict.fromkeys(
+                x.node.name for x in self.mldag.inputs if x.name == i
+            )
+            param_lines.append(
+                f"{head}\n    Downstream node - {', '.join(targets)}"
+            )
+            param_lines.append("")
+        return_lines: list[str] = []
+        for o in self.mldag.outputs:
+            t = self._output_type_name(o)
+            head = f"{o.name} : {t}" if t else o.name
+            return_lines.append(f"{head}\n    Output of {o.node.name}")
+            return_lines.append("")
+        for verb in ("fit", "transform"):
+            from mldag_spark.core.dag import MLDag
+
+            body = "\n".join(
+                [MLDag._DOC_HEADERS[verb], "", "Parameters", rule]
+                + param_lines
+                + ["Returns", rule]
+                + return_lines
+            ).strip()
+            base = getattr(type(self), verb)
+
+            def make(base_method, doc):
+                def method(*args, **kwargs):
+                    return base_method(self, *args, **kwargs)
+
+                method.__doc__ = doc
+                method.__name__ = base_method.__name__
+                return method
+
+            setattr(self, verb, make(base, body))
 
     def fit(self, *args, **kwargs) -> "MLDagNode":
         self.mldag.fit(*args, **kwargs)

@@ -84,24 +84,35 @@ STYLES: dict[str, dict] = {
 }
 
 available = sorted(STYLES)
-_ACTIVE = "default"
 
 
 def get(name: str) -> dict:
-    """Style dict by name (raises ``KeyError`` for unknown styles)."""
-    return STYLES[name]
+    """Style dict by name (raises ``KeyError`` for unknown styles).
+
+    Delegates to :mod:`mldag_spark.style`, which parses the package's
+    ``<name>.yml`` resource (reference file contract,
+    ``mldag/style/__init__.py:14``); the dicts above are the
+    no-pyyaml fallback and the generator source for those files."""
+    from mldag_spark import style
+
+    if name not in STYLES and name not in style.available:
+        raise KeyError(f"unknown style {name!r}; available: {available}")
+    return style.get(name)
 
 
 def use(name: str) -> None:
     """Switch the active style (``display.use('dark_background')``)."""
-    global _ACTIVE
-    if name not in STYLES:
+    from mldag_spark import style
+
+    if name not in STYLES and name not in style.available:
         raise KeyError(f"unknown style {name!r}; available: {available}")
-    _ACTIVE = name
+    style.use(name)
 
 
 def current() -> dict:
-    return STYLES[_ACTIVE]
+    from mldag_spark import style
+
+    return style.current()
 
 
 def _attrs(d: dict) -> str:

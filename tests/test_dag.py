@@ -490,11 +490,11 @@ def test_to_dot_renders():
 
 
 def test_fit_transform_docstring_synthesis():
-    """Golden numpydoc synthesis (reference pins this shape in its
-    tests/test_mldag_doc.py:40-95): verb-specific summary, per-param
-    type inferred from the downstream callable's annotations,
-    'Downstream node - <name>' descriptions, run_id, and the
-    MLDagRun returns block."""
+    """Golden numpydoc synthesis, byte-identical to the reference's
+    layout (tests/test_mldag_doc.py:40-95; full golden matrix in
+    tests/test_docstrings.py): verb-specific summary, 18-dash rules,
+    per-param type from the downstream callable, 'Downstream node -
+    <name>' descriptions, verb-specific run_id and MLDagRun blocks."""
     import textwrap
 
     from pyspark.sql import DataFrame
@@ -511,27 +511,30 @@ def test_fit_transform_docstring_synthesis():
         Sequentially calls fit and transform in width-first order
 
         Parameters
-        ----------
+        ------------------
         df : DataFrame
             Downstream node - scale
 
-        factor : int, optional
+        factor : int
             Downstream node - scale
 
-        run_id : str, optional
-            mldag run identifier
+        run_id : optional, str
+            run identifier string
 
         Returns
-        -------
+        ------------------
         run : MLDagRun
-            computed mldag run containing all node outputs""")
+            computed mldag run""")
     assert dag.fit.__doc__ == expected_fit
 
     assert dag.transform.__doc__.startswith(
         "Method for transforming based on previously fitted parameters"
     )
-    assert "factor : int, optional" in dag.transform.__doc__
-    assert "run : MLDagRun" in dag.transform.__doc__
+    assert "run_id : str, optional" in dag.transform.__doc__
+    assert (
+        "run : MLDagRun\n    computed mldag run containing all node outputs"
+        in dag.transform.__doc__
+    )
 
 
 def test_sql_node_slots_and_mixing(spark, sf_dir):

@@ -94,3 +94,26 @@ def test_named_styles():
         display.use("default")
     with pytest.raises(KeyError):
         display.use("no_such_style")
+
+
+def test_style_yaml_loading_matches_embedded():
+    """The YAML style resources (reference file contract:
+    mldag/style/__init__.py:1-25) must parse to exactly the embedded
+    palettes, and use()/current() must share state with display."""
+    from mldag_spark import display, style
+
+    assert style.available == ["dark_background", "default"]
+    for name in style.available:
+        assert style.get(name) == display.STYLES[name]
+
+    style.use("dark_background")
+    try:
+        assert style.current() == display.STYLES["dark_background"]
+        assert display.current() == display.STYLES["dark_background"]
+    finally:
+        style.use(style.DEFAULT_STYLE)
+
+    import pytest
+
+    with pytest.raises(KeyError):
+        display.use("no_such_style")

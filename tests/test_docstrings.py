@@ -1,0 +1,348 @@
+"""Byte-exact docstring synthesis goldens.
+
+Every expected string below is copied verbatim from the reference's
+own pins (``/root/reference/tests/test_mldag_doc.py`` — line cites per
+test), closing the last relaxed-parity gap from SURVEY §7: 18-dash
+section rules, the fit-specific ``run_id : optional, str`` inversion,
+typed entries resolved docstring-first then annotation, and two-level
+type propagation through nested DAGs.
+"""
+
+from __future__ import annotations
+
+import textwrap
+from typing import Optional, Tuple
+
+import mldag_spark as m
+from mldag_spark.core.introspect import returns
+
+
+def test_doc1_dag_and_node_goldens():
+    """Reference test_doc1 (test_mldag_doc.py:9-95): types from the
+    wrapped function's annotation (X: str) and docstring Returns
+    section (integer : int / string : str type)."""
+
+    def foo(X: str, y: Optional[int] = None) -> Tuple[int, str]:
+        """
+        foo summary
+
+        Parameters
+        -----------
+        y : int
+            y description
+
+        Returns
+        -----------
+        integer : int
+            returns 1
+
+        string : str type
+            returns 'a'
+        """
+        return 1, "a"
+
+    p = m.MLDag()
+    a = m.as_node(foo)
+
+    p["i_X"] >> a["X"]
+    a["integer"] >> p["out_int"]
+    a["string"] >> p["out_str"]
+
+    p_node = m.as_node(p, "pipeline_node")
+
+    expected_p_fit_doc = textwrap.dedent("""
+    Main method for fitting mldag.
+    Sequentially calls fit and transform in width-first order
+
+    Parameters
+    ------------------
+    i_X : str
+        Downstream node - foo
+
+    run_id : optional, str
+        run identifier string
+
+    Returns
+    ------------------
+    run : MLDagRun
+        computed mldag run
+    """).strip()
+
+    expected_p_transform_doc = textwrap.dedent("""
+    Method for transforming based on previously fitted parameters
+
+    Parameters
+    ------------------
+    i_X : str
+        Downstream node - foo
+
+    run_id : str, optional
+        mldag run identifier
+
+    Returns
+    ------------------
+    run : MLDagRun
+        computed mldag run containing all node outputs
+    """).strip()
+
+    assert p.fit.__doc__ == expected_p_fit_doc
+    assert p.transform.__doc__ == expected_p_transform_doc
+
+    expected_p_node_transform_doc = textwrap.dedent("""
+    Method for transforming based on previously fitted parameters
+
+    Parameters
+    ------------------
+    i_X : str
+        Downstream node - foo
+
+    Returns
+    ------------------
+    out_int : int
+        Output of foo
+
+    out_str : str type
+        Output of foo
+    """).strip()
+
+    assert p_node.transform.__doc__ == expected_p_node_transform_doc
+
+
+def test_doc2_typed_returns_tuples():
+    """Reference test_doc2 (test_mldag_doc.py:96-158): typed
+    ``@returns`` tuples; the description element is NOT surfaced
+    ('Output of a' regardless)."""
+
+    @returns([("A", "int"), ("B", "str", "test description")])
+    def foo(X):
+        return 1, "a"
+
+    p = m.MLDag()
+    a = m.as_node(foo, name="a")
+
+    p["i_X"] >> a
+    a["A"] >> p["out_a"]
+    a["B"] >> p["out_b"]
+
+    p_node = m.as_node(p)
+
+    expected = textwrap.dedent("""
+    Method for transforming based on previously fitted parameters
+
+    Parameters
+    ------------------
+    i_X
+        Downstream node - a
+
+    Returns
+    ------------------
+    out_a : int
+        Output of a
+
+    out_b : str
+        Output of a
+    """).strip()
+
+    assert p_node.transform.__doc__ == expected
+
+
+def test_doc3_nested_type_propagation():
+    """Reference test_doc3 (test_mldag_doc.py:159-214): output types
+    flow through TWO nesting levels (foo -> p1 -> p2)."""
+
+    @returns([("A", "int"), ("B", "str", "test description")])
+    def foo(X):
+        return 1, "a"
+
+    p1 = m.MLDag()
+    a = m.as_node(foo, name="a")
+    p1["_in_X"] >> a
+    a["A"] >> p1["_out_a"]
+    a["B"] >> p1["_out_b"]
+
+    p1_node = m.as_node(p1, name="p1")
+
+    p2 = m.MLDag()
+    p2["in_X"] >> p1_node["_in_X"]
+    p1_node["_out_a"] >> p2["out_a"]
+    p1_node["_out_b"] >> p2["out_b"]
+    p2_node = m.as_node(p2, name="p2")
+
+    expected = textwrap.dedent("""
+    Method for transforming based on previously fitted parameters
+
+    Parameters
+    ------------------
+    in_X
+        Downstream node - p1
+
+    Returns
+    ------------------
+    out_a : int
+        Output of p1
+
+    out_b : str
+        Output of p1
+    """).strip()
+
+    assert p2_node.transform.__doc__ == expected
+
+
+def test_doc4_undocumented_nodes_have_no_doc():
+    """Reference test_doc4 (test_mldag_doc.py:215-236): plain
+    function/estimator nodes never synthesize docs."""
+
+    def foo(X):
+        return 1
+
+    a = m.as_node(foo, name="a")
+    assert a.transform.__doc__ is None
+
+    class A:
+        def fit(self, X):
+            return 1
+
+        def transform(self, X):
+            return 1
+
+    a = m.as_node(A(), name="a")
+    assert a.fit.__doc__ is None
+    assert a.transform.__doc__ is None
+
+
+def test_doc5_docstring_param_types_on_methods():
+    """Reference test_doc5 (test_mldag_doc.py:238-252): the param type
+    comes from the transform METHOD's docstring Parameters section;
+    untyped docstring Returns entries stay untyped."""
+
+    class A:
+        def fit(self, X):
+            """
+
+            Parameters
+            ----------
+            X : some other type
+
+            Returns
+            -------
+            something
+            """
+            return 1
+
+        @returns(["A", "B"])
+        def transform(self, X):
+            """
+            Description
+
+            Parameters
+            ----------
+            X : some_type
+
+            Returns
+            -------
+            A
+                some a
+            B
+                some b
+            """
+            return 1
+
+    p = m.MLDag()
+    a = m.as_node(A(), name="a")
+
+    p["in"] >> a
+    a["A"] >> p["out_a"]
+    a["B"] >> p["out_b"]
+
+    p_node = m.as_node(p)
+
+    expected = textwrap.dedent("""
+    Method for transforming based on previously fitted parameters
+
+    Parameters
+    ------------------
+    in : some_type
+        Downstream node - a
+
+    Returns
+    ------------------
+    out_a
+        Output of a
+
+    out_b
+        Output of a
+    """).strip()
+
+    assert p_node.transform.__doc__ == expected
+
+
+def test_doc6_variadics_dedupe_and_docstring_types():
+    """Reference test_doc6 (test_mldag_doc.py:254-323): repeated
+    connections dedupe to one Parameters entry; docstring types resolve
+    BY SLOT NAME (so `kwargs` in the docstring does not type the
+    `var_key` slot); insertion order preserved."""
+
+    def foo(a, a_default=None, *var_pos, b, b_default=None, **var_key):
+        """
+        Parameters
+        -------------
+        a : a_type
+            a description
+        b_default : b_type
+
+        kwargs
+            kwargs description
+
+        Returns
+        -------------
+        some_result : int
+            1
+        """
+        return 1
+
+    p = m.MLDag()
+    a = m.as_node(foo, name="a")
+
+    p["in_a"] >> a["a"]
+    p["in_a_default"] >> a["a_default"]
+    p["args"] >> a["var_pos"]
+    p["args"] >> a["var_pos"]
+    p["in_b"] >> a["b"]
+    p["in_b_default"] >> a["b_default"]
+    p["kwargs"] >> a["var_key"]
+    p["kwargs"] >> a["var_key"]
+
+    a["some_result"] >> p["out"]
+
+    p_node = m.as_node(p)
+
+    expected = textwrap.dedent("""
+    Method for transforming based on previously fitted parameters
+
+    Parameters
+    ------------------
+    in_a : a_type
+        Downstream node - a
+
+    in_a_default
+        Downstream node - a
+
+    args
+        Downstream node - a
+
+    in_b
+        Downstream node - a
+
+    in_b_default : b_type
+        Downstream node - a
+
+    kwargs
+        Downstream node - a
+
+    Returns
+    ------------------
+    out : int
+        Output of a
+    """).strip()
+
+    assert p_node.transform.__doc__ == expected
