@@ -300,17 +300,32 @@ def connected_components(
     detected by the edge set's (count, hash-sum) signature reaching a
     fixed point.
 
-    Memory hygiene: no explicit ``persist`` anywhere; each round's
-    checkpoint replaces the previous binding, so the old round's blocks
-    lose their last reference and the context cleaner evicts them — the
-    working set is one edge snapshot, not ``max_iter`` of them.
+    Memory hygiene (hardened in r5 after an sf1.0 OOM in a 2g
+    harness): checkpoint blocks go to DISK_ONLY — an iterative
+    algorithm's snapshots are read exactly once per round, so buying
+    heap with them is all cost — and the previous round's blocks are
+    unpersisted EXPLICITLY as soon as the new round materializes.
+    Relying on the async context cleaner (the old formulation) leaves
+    up to ``max_iter`` edge snapshots racing the collector for heap;
+    the working set must be one snapshot by construction.
     """
-    e = (
+    from pyspark import StorageLevel
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        return df.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+
+    def _release(df: DataFrame) -> None:
+        # a localCheckpointed df's plan is a LogicalRDD over the
+        # checkpointed internal RDD; unpersisting that RDD frees the
+        # blocks (safe once the NEXT round is materialized — local
+        # checkpoints are declared non-fault-tolerant anyway)
+        df._jdf.queryExecution().toRdd().unpersist(False)
+
+    e = _ckpt(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
         .distinct()
-        .localCheckpoint()
     )
 
     def signature(df: DataFrame):
@@ -356,7 +371,9 @@ def connected_components(
 
     sig = signature(e)
     for _ in range(max_iter):
-        e = small_star(large_star(e)).localCheckpoint()
+        prev = e
+        e = _ckpt(small_star(large_star(e)))
+        _release(prev)
         new_sig = signature(e)
         if new_sig == sig:
             break

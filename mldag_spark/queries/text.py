@@ -285,6 +285,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct and the per-doc size rollup both run on the shingle-row
     window's doc_id partitioning (doc_id ⊆ their grouping keys), so
     neither adds an exchange — no collect_set array is ever built.
+
+    Every join carries a ``merge`` hint — the same law as the LSH
+    pipeline (``operators/dedup.py:_verify_pairs_by_rows``): the
+    element rows and per-doc sizes are post-explode/post-aggregate, so
+    Catalyst's size estimates for them are garbage, and the unhinted
+    sf1.0 plan chose THREE BroadcastHashJoins — including a hash table
+    keyed on the shingle STRING over the full corpus' element rows
+    (task OOM in a 2g harness; fatal at 100 TB). Sort-merge spills.
     """
     from mldag_spark.functions import shingle_rows
 
@@ -292,7 +300,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = shingle_rows(d, "doc_id", "text", 3).distinct()
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = ex.alias("a")
-    b = ex.alias("b")
+    b = ex.hint("merge").alias("b")
     pairs = (
         a.join(
             b,
@@ -306,10 +314,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sizes.select(
         F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")
-    )
+    ).hint("merge")
     sb = sizes.select(
         F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")
-    )
+    ).hint("merge")
     jac = F.col("n_common").cast("double") / (
         F.col("n_a") + F.col("n_b") - F.col("n_common")
     )
@@ -540,6 +548,57 @@ def sample_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select(split.alias("split"), "lang")
         .groupBy("split", "lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "sample_global_shuffle",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   AS hv
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(hv % 8 AS BIGINT) AS shard_id,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY hv % 8 ORDER BY hv, doc_id
+           ) AS BIGINT) AS pos
+    FROM h
+    """,
+)
+def sample_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle into training shards — the export
+    step between curation and the data loader: every document gets a
+    pseudorandom but reproducible (shard_id, pos) coordinate from a
+    content-free key hash, so the training order is stable across
+    runs, engines and cluster sizes (same property argued at
+    :func:`sample_deterministic_split`; rand() would not survive a
+    re-partition).
+
+    Scale shape: the hash is a per-row projection (no shuffle); the
+    only shuffle is the per-shard ``row_number`` sort, which
+    partitions BY SHARD — at 100 TB you raise the shard count so each
+    sort fits an executor (the window never sees more than one
+    shard), then ``write.partitionBy(shard_id)`` + sortWithinPartitions
+    lands loader-ready files. No global single-partition sort anywhere.
+    """
+    d = load(spark, sf_dir, "documents")
+    hv = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    w = Window.partitionBy("shard_id").orderBy("hv", "doc_id")
+    return (
+        d.select("doc_id", hv.alias("hv"))
+        .withColumn("shard_id", F.col("hv") % 8)
+        .select(
+            "doc_id",
+            "shard_id",
+            F.row_number().over(w).cast("long").alias("pos"),
+            "hv",
+        )
+        .drop("hv")
     )
 
 

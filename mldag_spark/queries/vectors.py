@@ -108,20 +108,36 @@ def embedding_near_dup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs with label blocking.
 
     Blocking on ``label`` turns the quadratic all-pairs scan into
-    per-block self-joins — the shuffle key is the block id, so work
-    distributes by block. (For unlabeled corpora the block key comes
-    from LSH buckets instead; see ``ann_lsh_topk``.)
+    per-block self-joins. Parallelism does NOT come from the block key
+    alone: with few labels the join is compute-bound (O(|block|²)
+    cosines) on a handful of partitions, and AQE's byte-based
+    coalescing makes it worse — at sf1.0 it squeezed the ~128 MB input
+    to TWO post-shuffle partitions and 30 of 32 cores idled (measured:
+    380s). So the left side is salted into ``_SUBBLOCKS`` sub-blocks
+    and the right side replicated per sub-block: each task computes a
+    1/S slice of a block's pair matrix. Shuffle volume grows S×(right
+    side) — bytes are cheap, idle cores are not; every pair is still
+    produced exactly once (one ``sub`` per left row). (For unlabeled
+    corpora the block key comes from LSH buckets instead; see
+    ``ann_lsh_topk``.)
     """
+    _SUBBLOCKS = 16
     emb = load(spark, sf_dir, "embeddings")
     v = emb.select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
-    a, b = v.alias("a"), v.alias("b")
+    a = v.withColumn(
+        "sub", F.pmod(F.xxhash64("vec_id"), F.lit(_SUBBLOCKS))
+    ).alias("a")
+    b = v.withColumn(
+        "sub", F.explode(F.array(*[F.lit(i) for i in range(_SUBBLOCKS)]))
+    ).alias("b")
     cos = cosine_similarity(F.col("a.v"), F.col("b.v"))
     return (
         a.join(
-            b,
+            b.hint("merge"),
             (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.sub") == F.col("b.sub"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .filter(cos >= 0.4)

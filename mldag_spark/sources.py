@@ -128,6 +128,36 @@ def write_sorted_layout(
     return path
 
 
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    shard_col: str,
+    order_col: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> str:
+    """Loader-ready training-shard layout: one directory per shard
+    (``partitionBy``), rows inside each shard's files sorted by
+    ``order_col`` — the materialization step after
+    ``sample_global_shuffle`` assigns (shard_id, pos).
+
+    Scale shape: ``repartition(shard_col)`` co-locates each shard on
+    one task (one shuffle, keyed by the low-cardinality shard id — at
+    100 TB raise the shard count so a shard fits an executor), and the
+    within-partition sort is per-shard, never global. A data loader
+    then streams shard files in order with zero client-side shuffling.
+    """
+    (
+        df.repartition(F.col(shard_col))
+        .sortWithinPartitions(shard_col, order_col)
+        .write.format(fmt)
+        .mode(mode)
+        .partitionBy(shard_col)
+        .save(path)
+    )
+    return path
+
+
 def sink_node(
     path: str,
     fmt: str = "parquet",

@@ -129,22 +129,31 @@ def _executed(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
-def test_ngram_jaccard_single_data_shuffle(spark, registry):
-    """The inverted-index dedup claims ONE data shuffle at small SF:
-    the shingle-row window's doc_id partitioning, which the distinct,
-    the per-doc size rollup, and the pair join's second branch all
-    reuse (ReusedExchange). If the distinct or sizes ever reintroduce
-    their own hashpartitioning Exchange, the 100 TB story regresses."""
+def test_ngram_jaccard_shuffles_bounded_and_never_broadcasts(spark, registry):
+    """The inverted-index dedup obeys the same law as the LSH pipeline
+    since r5: every join side is post-explode/post-aggregate (garbage
+    size estimates), and the unhinted sf1.0 plan chose THREE
+    BroadcastHashJoins — one building a hash table keyed on the
+    shingle STRING over the corpus' element rows (task OOM in a 2g
+    harness). The merge hints trade the r3 single-shuffle/broadcast
+    shape for five spillable key-partitioned exchanges (shingle, pair
+    ×2, doc sizes ×1 + reuses) — sort-merge spills; a corpus-sized
+    broadcast build cannot. Measured sf1.0: OOM → 26.5s/2g."""
     with _no_aqe(spark):
         plan = _executed(registry["dedup_ngram_jaccard"](spark, SF_DIR))
+    assert "BroadcastExchange" not in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "CartesianProduct" not in plan
     data_shuffles = [
         l for l in plan.splitlines()
         if "Exchange hashpartitioning" in l and "ReusedExchange" not in l
     ]
-    assert len(data_shuffles) == 1, plan
-    assert "CartesianProduct" not in plan
+    # shingle join, pair-grouping, two size joins, final doc_b join —
+    # growth past this means a branch stopped reusing an exchange
+    assert len(data_shuffles) <= 5, plan
     # documents parquet is scanned once; the other branches reuse it
     assert plan.count("FileScan parquet") == 1, plan
+    assert plan.count("ReusedExchange") >= 2, plan
 
 
 def test_minhash_lsh_never_broadcasts_corpus_data(spark, registry):

@@ -167,3 +167,34 @@ def test_sorted_layout_prunes_files_on_range_predicate(spark, sf_dir, tmp_path):
         if lo <= probe <= hi:
             overlapping += 1
     assert overlapping <= 2, [f for f in files]
+
+
+def test_write_training_shards_layout(spark, tmp_path):
+    """Shard export contract: one directory per shard id, every
+    shard's rows sorted by pos inside the files, full set equality
+    with the input — the loader-ready layout sample_global_shuffle's
+    docstring promises."""
+    from mldag_spark.queries import REGISTRY
+    from tests.conftest import SF_DIR
+    from mldag_spark.sources import write_training_shards
+
+    shuffled = REGISTRY["sample_global_shuffle"](spark, SF_DIR)
+    out = str(tmp_path / "shards")
+    write_training_shards(shuffled, out, "shard_id", "pos")
+
+    import os
+
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("shard_id="))
+    assert len(dirs) == 8
+    back = spark.read.parquet(out)
+    assert back.count() == shuffled.count()
+    # per-shard files must be internally ordered by pos
+    import pyarrow.parquet as pq
+
+    for d in dirs:
+        full = os.path.join(out, d)
+        for f in sorted(os.listdir(full)):
+            if not f.endswith(".parquet"):
+                continue
+            pos = pq.read_table(os.path.join(full, f), columns=["pos"])["pos"].to_pylist()
+            assert pos == sorted(pos), f"unsorted shard file {d}/{f}"
