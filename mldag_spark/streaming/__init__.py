@@ -398,12 +398,16 @@ def incremental_dedup_stream(
             "cast(jaccard as double) jaccard",
         ).write.mode("append").parquet(out_path)
 
-    q = (
-        batch_stream.writeStream.foreachBatch(_process)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    index_bands.unpersist()
+    try:
+        q = (
+            batch_stream.writeStream.foreachBatch(_process)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        # release the cached band index even when the stream dies —
+        # a leaked corpus-sized cache outlives the failed query
+        index_bands.unpersist()
     return q
