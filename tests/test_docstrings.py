@@ -17,6 +17,29 @@ import mldag_spark as m
 from mldag_spark.core.introspect import returns
 
 
+def _transform_golden(params, outputs):
+    """Assemble an expected dag-as-node transform docstring from
+    (name, type_or_None, node) entry tuples — the exact layout the
+    reference goldens use, factored so each test states only its
+    entries. doc1 below keeps a fully verbatim golden as the anchor
+    for the layout itself."""
+    rule = "-" * 18
+    lines = [
+        "Method for transforming based on previously fitted parameters",
+        "",
+        "Parameters",
+        rule,
+    ]
+    for name, type_, node in params:
+        head = f"{name} : {type_}" if type_ else name
+        lines += [head, f"    Downstream node - {node}", ""]
+    lines += ["Returns", rule]
+    for name, type_, node in outputs:
+        head = f"{name} : {type_}" if type_ else name
+        lines += [head, f"    Output of {node}", ""]
+    return "\n".join(lines).strip()
+
+
 def test_doc1_dag_and_node_goldens():
     """Reference test_doc1 (test_mldag_doc.py:9-95): types from the
     wrapped function's annotation (X: str) and docstring Returns
@@ -126,23 +149,10 @@ def test_doc2_typed_returns_tuples():
 
     p_node = m.as_node(p)
 
-    expected = textwrap.dedent("""
-    Method for transforming based on previously fitted parameters
-
-    Parameters
-    ------------------
-    i_X
-        Downstream node - a
-
-    Returns
-    ------------------
-    out_a : int
-        Output of a
-
-    out_b : str
-        Output of a
-    """).strip()
-
+    expected = _transform_golden(
+        params=[("i_X", None, "a")],
+        outputs=[("out_a", "int", "a"), ("out_b", "str", "a")],
+    )
     assert p_node.transform.__doc__ == expected
 
 
@@ -168,23 +178,10 @@ def test_doc3_nested_type_propagation():
     p1_node["_out_b"] >> p2["out_b"]
     p2_node = m.as_node(p2, name="p2")
 
-    expected = textwrap.dedent("""
-    Method for transforming based on previously fitted parameters
-
-    Parameters
-    ------------------
-    in_X
-        Downstream node - p1
-
-    Returns
-    ------------------
-    out_a : int
-        Output of p1
-
-    out_b : str
-        Output of p1
-    """).strip()
-
+    expected = _transform_golden(
+        params=[("in_X", None, "p1")],
+        outputs=[("out_a", "int", "p1"), ("out_b", "str", "p1")],
+    )
     assert p2_node.transform.__doc__ == expected
 
 
@@ -256,23 +253,10 @@ def test_doc5_docstring_param_types_on_methods():
 
     p_node = m.as_node(p)
 
-    expected = textwrap.dedent("""
-    Method for transforming based on previously fitted parameters
-
-    Parameters
-    ------------------
-    in : some_type
-        Downstream node - a
-
-    Returns
-    ------------------
-    out_a
-        Output of a
-
-    out_b
-        Output of a
-    """).strip()
-
+    expected = _transform_golden(
+        params=[("in", "some_type", "a")],
+        outputs=[("out_a", None, "a"), ("out_b", None, "a")],
+    )
     assert p_node.transform.__doc__ == expected
 
 
@@ -316,33 +300,15 @@ def test_doc6_variadics_dedupe_and_docstring_types():
 
     p_node = m.as_node(p)
 
-    expected = textwrap.dedent("""
-    Method for transforming based on previously fitted parameters
-
-    Parameters
-    ------------------
-    in_a : a_type
-        Downstream node - a
-
-    in_a_default
-        Downstream node - a
-
-    args
-        Downstream node - a
-
-    in_b
-        Downstream node - a
-
-    in_b_default : b_type
-        Downstream node - a
-
-    kwargs
-        Downstream node - a
-
-    Returns
-    ------------------
-    out : int
-        Output of a
-    """).strip()
-
+    expected = _transform_golden(
+        params=[
+            ("in_a", "a_type", "a"),
+            ("in_a_default", None, "a"),
+            ("args", None, "a"),
+            ("in_b", None, "a"),
+            ("in_b_default", "b_type", "a"),
+            ("kwargs", None, "a"),
+        ],
+        outputs=[("out", "int", "a")],
+    )
     assert p_node.transform.__doc__ == expected
