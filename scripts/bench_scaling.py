@@ -54,6 +54,10 @@ QUERIES = (
     "graph_pagerank_bipartite",
     "embedding_near_dup_blocked",
     "knn_label_vote",
+    # streaming at scale: foreachBatch incremental dedup of the odd-id
+    # crawl against the cached even-id band index (real stream, real
+    # checkpoint, parquet sink)
+    "stream_incremental_dedup",
 )
 
 SF_SMALL = "/root/testdata/sf0.1"
