@@ -156,6 +156,15 @@ def _lsh_pairs_impl(
     bands: int,
 ) -> DataFrame:
     _check_threshold(threshold)
+    # One explicit id-keyed shuffle serves BOTH consumers of the
+    # element rows: the signature groupBy(id) needs exactly this
+    # clustering, and the verification kernel's distinct on
+    # (id, element) is satisfied by it too (same-key rows cannot
+    # straddle partitions). Without it each branch shuffles the full
+    # element rows independently — measured at sf0.1: 6.1-6.8s -> 4.1-5.3s
+    # per pass. Both branches reference the same canonicalized
+    # exchange, so it executes once (ReusedExchange).
+    rows = rows.repartition(F.col(id_col))
     banded = minhash_band_index(rows, id_col, elem_col, num_hashes, bands)
 
     # merge hint: the band index is a post-explode projection of a
