@@ -938,6 +938,118 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sample_temperature_mix",
+    oracle="""
+    WITH mass AS (
+        SELECT source, COUNT(*) AS n_docs,
+               SUM(n_chars) AS chars_s
+        FROM documents GROUP BY source
+    ), powed AS (
+        SELECT source, n_docs, chars_s,
+               POWER(chars_s / (SELECT SUM(chars_s) FROM mass), 0.7) AS p
+        FROM mass
+    )
+    SELECT source,
+           n_docs,
+           ROUND(chars_s / (SELECT SUM(chars_s) FROM powed), 6) AS char_share,
+           ROUND(p / (SELECT SUM(p) FROM powed), 6) AS weight,
+           CAST(ROUND(10000 * p / (SELECT SUM(p) FROM powed), 0) AS BIGINT)
+               AS expected_docs
+    FROM powed
+    """,
+)
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing (the multilingual-sampling
+    calculation of mC4/XLM-R): per-source sampling weight
+    ``w_s ∝ (char-mass share)^α`` with α=0.7, flattening the head so
+    low-resource sources are over-sampled relative to their size, plus
+    the expected document count for a 10k-doc budget.
+
+    Scale shape: one groupBy(source) over a 2-column projection (the
+    scan reads only source/n_chars), then all normalization happens on
+    the |sources|-row aggregate — the totals join back as broadcast
+    1-row cross joins, never a driver collect, so the same plan holds
+    when the corpus is 100 TB and sources number in the thousands."""
+    d = load(spark, sf_dir, "documents")
+    alpha = 0.7
+    mass = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("chars_s"),
+    )
+    tot_chars = mass.groupBy().agg(
+        F.sum("chars_s").alias("_tc")
+    )
+    powed = mass.crossJoin(F.broadcast(tot_chars)).select(
+        "source", "n_docs", "chars_s",
+        F.pow(F.col("chars_s") / F.col("_tc"), alpha).alias("p"),
+    )
+    tot_p = powed.groupBy().agg(
+        F.sum("p").alias("_tp"), F.sum("chars_s").alias("_tc")
+    )
+    return powed.crossJoin(F.broadcast(tot_p)).select(
+        "source",
+        "n_docs",
+        F.round(F.col("chars_s") / F.col("_tc"), 6).alias("char_share"),
+        F.round(F.col("p") / F.col("_tp"), 6).alias("weight"),
+        F.round(F.lit(10000) * F.col("p") / F.col("_tp"), 0)
+        .cast("long")
+        .alias("expected_docs"),
+    )
+
+
+@register(
+    "corpus_dedup_rate_by_source",
+    oracle="""
+    WITH fp AS (
+        SELECT doc_id, source,
+               md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS f
+        FROM documents
+    ), grp AS (
+        SELECT f, COUNT(*) AS n FROM fp GROUP BY f
+    )
+    SELECT fp.source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN grp.n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_docs,
+           ROUND(CAST(SUM(CASE WHEN grp.n > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 4) AS dup_rate
+    FROM fp JOIN grp USING (f)
+    GROUP BY fp.source
+    """,
+)
+def corpus_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup observability: per source, how many documents share their
+    normalized-text fingerprint with at least one other document
+    ANYWHERE in the corpus — the rollup a curation pipeline watches to
+    see which acquisition source ships duplicated content.
+
+    Scale shape: fingerprint is a per-row projection; one
+    groupBy(fingerprint) builds the corpus-wide group sizes; the join
+    back is keyed on the fingerprint (both sides shuffled once on the
+    same key) and the final rollup is |sources| rows. No arrays, no
+    self-join on text."""
+    d = load(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    fp = d.select("doc_id", "source", F.md5(norm).alias("f"))
+    grp = fp.groupBy("f").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        fp.join(grp, "f")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("n") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_docs"),
+            F.round(
+                F.sum(F.when(F.col("n") > 1, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("dup_rate"),
+        )
+    )
+
+
 # Per-source sampling weights for the deterministic data-mixing query
 # (identical literals in the SQL oracle).
 _MIX_WEIGHTS = {"src0": 100, "src1": 75, "src2": 50, "src3": 25}
