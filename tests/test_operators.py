@@ -469,3 +469,57 @@ def test_udtf_split_words_matches_posexplode(spark):
     assert [(r["id"], r["pos"], r["word"]) for r in got] == [
         (r["id"], r["pos"], r["col"]) for r in want
     ]
+
+
+def test_global_shuffle_partition_invariant(spark):
+    """(shard_id, pos) coordinates from sample_global_shuffle must be
+    identical at any partitioning — the hash is content-free and the
+    per-shard rank has a total order, so cluster size cannot change
+    the training order."""
+    from mldag_spark.queries import REGISTRY
+    from tests.conftest import SF_DIR
+
+    fn = REGISTRY["sample_global_shuffle"]
+
+    def run(parts):
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        try:
+            return sorted(
+                (r["doc_id"], r["shard_id"], r["pos"])
+                for r in fn(spark, SF_DIR).collect()
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+
+    base = run(1)
+    assert len(base) == 500
+    # every shard's positions are dense 1..n
+    from collections import defaultdict
+
+    by_shard = defaultdict(list)
+    for _, s, p in base:
+        by_shard[s].append(p)
+    for s, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), f"shard {s}"
+    for parts in (7, 32):
+        assert run(parts) == base
+
+
+def test_temperature_mix_prunes_scan(spark):
+    """The mixing aggregate must read only (source, n_chars) — a scan
+    that drags the text column through a 100 TB corpus to compute a
+    20-row weight table is the wrong plan."""
+    from mldag_spark.queries import REGISTRY
+    from tests.conftest import SF_DIR
+
+    df = REGISTRY["sample_temperature_mix"](spark, SF_DIR)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    import re
+
+    for m in re.finditer(r"ReadSchema: (\S+)", plan):
+        schema = m.group(1)
+        assert "text" not in schema, plan
+        assert "doc_id" not in schema, plan
