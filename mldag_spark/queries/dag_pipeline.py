@@ -248,3 +248,97 @@ def dag_sql_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     run = dag.transform(sf_dir)
     return run.outputs["topk"]
+
+
+@register(
+    "dag_export_shard_batches",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id, n_chars,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   AS hv
+        FROM documents
+    ), coords AS (
+        SELECT doc_id, n_chars,
+               CAST(hv % 8 AS BIGINT) AS shard_id,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY hv % 8 ORDER BY hv, doc_id
+               ) AS BIGINT) AS pos
+        FROM h
+    ), cum AS (
+        SELECT doc_id, shard_id, pos,
+               SUM(n_chars) OVER (
+                   PARTITION BY shard_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS shard_cum,
+               n_chars
+        FROM coords
+    )
+    SELECT doc_id, shard_id, pos,
+           CAST(shard_cum AS BIGINT) AS shard_cum,
+           CAST(FLOOR((shard_cum - n_chars) / 20000.0) AS BIGINT)
+               AS batch_id
+    FROM cum
+    """,
+)
+def dag_export_shard_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-export pipeline composed THROUGH the DAG engine:
+    deterministic global shuffle (shard/pos coordinates) → per-shard
+    char-budget batch assignment, wired as three ``MLDag`` nodes. The
+    engine's claim under test: the DAG boundary is free — Catalyst
+    fuses the nodes into one plan whose windows all run on the
+    shard_id partitioning (parallel by shard, never a global sort).
+
+    This is the lazy-composition counterpart of the physical writers
+    (``sources.write_training_shards``): coordinates and batch ids are
+    computed here; the shard layout materializes them.
+    """
+    dag = m.MLDag()
+
+    def load_docs(sf_dir):
+        return load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def shuffle_coords(docs):
+        hv = F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("shard_id").orderBy("hv", "doc_id")
+        return (
+            docs.select("doc_id", "n_chars", hv.alias("hv"))
+            .withColumn("shard_id", F.col("hv") % 8)
+            .select(
+                "doc_id",
+                "n_chars",
+                "shard_id",
+                F.row_number().over(w).cast("long").alias("pos"),
+            )
+        )
+
+    def char_budget_batches(coords, budget=20000):
+        from pyspark.sql.window import Window
+
+        w = (
+            Window.partitionBy("shard_id")
+            .orderBy("pos")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cum = F.sum("n_chars").over(w)
+        return coords.select(
+            "doc_id",
+            "shard_id",
+            "pos",
+            cum.cast("long").alias("shard_cum"),
+            F.floor((cum - F.col("n_chars")) / float(budget))
+            .cast("long")
+            .alias("batch_id"),
+        )
+
+    src = dag["sf_dir"] >> m.as_node(load_docs, name="docs_src")
+    coords = src >> m.as_node(shuffle_coords, name="shuffle_coords")
+    batches = coords >> m.as_node(char_budget_batches, name="char_batches")
+    batches["result"] >> dag["export_plan"]
+
+    run = dag.transform(sf_dir)
+    return run.outputs["export_plan"]
