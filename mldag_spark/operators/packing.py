@@ -9,23 +9,90 @@ formulation — ``sum().over(Window.orderBy(id))`` with no partition
 key — collapses the whole dataset into one task and dies at scale.
 This module uses the distributed prefix-sum instead:
 
-1. ``repartitionByRange(id)`` so partitions hold contiguous id ranges;
-2. a *local* cumulative sum per partition (window partitioned by
-   ``spark_partition_id()`` — fully parallel);
-3. per-partition totals (|partitions| rows) cumulated into offsets and
+1. assign each row a *data-derived* bucket ``_pid`` from quantile
+   boundaries of the id column, computed ONCE on the driver and
+   embedded as literals — buckets are contiguous id ranges and
+   ``_pid`` is monotone in id;
+2. a *local* cumulative sum per bucket (window partitioned by
+   ``_pid`` — fully parallel, one hash exchange);
+3. per-bucket totals (|buckets| rows) cumulated into offsets and
    broadcast-joined back;
-4. global cumsum = local cumsum + partition offset.
+4. global cumsum = local cumsum + bucket offset.
+
+Why data-derived buckets instead of ``repartitionByRange`` +
+``spark_partition_id()``: the two downstream consumers (the offsets
+aggregate and the final join) each sit on their own plan branch. With
+physical-partition ids, their agreement depends on the two branches
+observing the SAME range boundaries — i.e. on exchange reuse or on
+RangePartitioner's sampling being reproducible across exchanges. It
+is not: Spark seeds the range sampler with ``byteswap32(idx ^
+(rdd.id << 16))``, which depends on the exchange's RDD id, so two
+independently executed range exchanges over identical input can pick
+different boundaries, silently corrupting ``batch_id`` with no error
+(small-scale tests pass regardless because reservoir sampling collects
+whole partitions). AQE partition coalescing breaks it the same way.
+With ``_pid`` a pure function of the data embedded as a literal in
+BOTH branches, agreement holds by construction — independent of
+exchange reuse, AQE, partition counts, and Spark-version sampler
+changes. No persist/cache is needed (the r4 persist pinned a
+corpus-sized cache entry for the caller's whole session — at 100 TB
+that is an eviction storm).
+
+The price is one extra driver-side ``approxQuantile`` scan over the
+(id) column at call time — bounded, column-pruned, and amortized
+against the window+join it protects. Per-row bucket assignment is a
+two-level search over the boundary literals: O(2·sqrt(B)) JVM-side
+comparisons per row (B=4096 buckets → ~128 int compares), so the
+bucket count can scale with the cluster without a per-row O(B) cost.
 
 The result is partition-invariant: a prefix sum over a total order
-(unique ids) does not depend on where range sampling happens to place
-partition boundaries, so batch ids are deterministic across cluster
-sizes — pinned by a test.
+(unique ids) does not depend on bucket placement, so batch ids are
+deterministic across cluster sizes — pinned by tests including one
+that runs under AQE partition coalescing.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+import math
+
+from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
+
+
+def _bucket_expr(id_col: str, bounds: list) -> Column:
+    """searchsorted(bounds, id): the number of boundary values < id,
+    as a two-level JVM-side search over literal arrays.
+
+    ``bounds`` must be sorted ascending. With step S = isqrt(K):
+    a coarse pass over every S-th boundary narrows to a slice of
+    (S-1) fine boundaries, giving O(K/S + S) ≈ O(2·sqrt(K))
+    comparisons per row instead of O(K). Boundaries are compared as
+    doubles (approxQuantile's output type); exact tie placement does
+    not matter — any monotone-in-id bucketing yields the same prefix
+    sum.
+    """
+    k = len(bounds)
+    if k == 0:
+        return F.lit(0)
+    idc = F.col(id_col).cast("double")
+
+    def count_less(arr: Column) -> Column:
+        return F.aggregate(
+            arr,
+            F.lit(0),
+            lambda acc, b: acc + F.when(idc > b, F.lit(1)).otherwise(F.lit(0)),
+        )
+
+    step = max(1, math.isqrt(k))
+    if step == 1:
+        return count_less(F.array(*[F.lit(float(b)) for b in bounds]))
+    coarse = bounds[step - 1 :: step]
+    carr = F.array(*[F.lit(float(b)) for b in coarse])
+    barr = F.array(*[F.lit(float(b)) for b in bounds])
+    c = count_less(carr)
+    # uncertain range: bounds[c*step : c*step + step - 1] (1-based slice)
+    fine = count_less(F.slice(barr, c * step + 1, step - 1))
+    return c * step + fine
 
 
 def token_budget_batches(
@@ -44,15 +111,29 @@ def token_budget_batches(
     at most one straddling document (the standard shard-packing
     contract; split oversized documents upstream if hard caps are
     required).
+
+    ``id_col`` must be numeric (bucket boundaries come from
+    ``approxQuantile``); ids are compared as doubles, exact for
+    integral ids up to 2^53. ``num_partitions`` sets the bucket count
+    (default: ``spark.sql.shuffle.partitions``) — it bounds the
+    parallelism of the local-cumsum stage, nothing else.
+
+    Note: this function runs one eager ``approxQuantile`` action on
+    the (id) column at call time to fix the bucket boundaries (see
+    module docstring for why that beats physical-partition ids).
     """
     if max_tokens <= 0:
         raise ValueError("max_tokens must be positive")
-    ranged = (
-        df.repartitionByRange(num_partitions, F.col(id_col))
-        if num_partitions
-        else df.repartitionByRange(F.col(id_col))
+    n_buckets = int(num_partitions) or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     )
-    p = ranged.withColumn("_pid", F.spark_partition_id())
+    if n_buckets > 1:
+        probs = [i / n_buckets for i in range(1, n_buckets)]
+        err = max(1e-4, 1.0 / (4.0 * n_buckets))
+        bounds = sorted(set(df.stat.approxQuantile(id_col, probs, err)))
+    else:
+        bounds = []
+    p = df.withColumn("_pid", _bucket_expr(id_col, bounds))
 
     w_local = (
         Window.partitionBy("_pid")
@@ -60,21 +141,11 @@ def token_budget_batches(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     local = p.withColumn("_lcum", F.sum(count_col).over(w_local))
-    # Both downstream consumers (the offsets aggregate and the final
-    # join) key on `_pid`, which is only meaningful if they observe the
-    # SAME range boundaries. No cache is needed for that:
-    # RangePartitioner samples each input partition with a seed derived
-    # from the partition index (byteswap32(idx)), so even when the two
-    # plan branches each run their own exchange instead of reusing one,
-    # they sample identical boundaries from the same deterministic
-    # input. (Verified empirically: two un-reused rangepartitioning
-    # exchanges, zero prefix-sum mismatches, stable across actions.)
-    # The earlier persist()-based pinning leaked a corpus-sized cache
-    # entry for the caller's whole session — at 100 TB that is the
-    # difference between a streaming-through plan and an eviction storm.
 
-    # per-partition totals: |partitions| rows — a tiny single-partition
-    # window here is fine and broadcast-joins back
+    # per-bucket totals: |buckets| rows — a tiny single-partition
+    # window here is fine and broadcast-joins back. `_pid` is monotone
+    # in id, so cumulating totals in `_pid` order stitches the local
+    # sums back into the global id-ordered prefix sum.
     w_off = (
         Window.orderBy("_pid")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -349,8 +349,9 @@ def test_token_budget_batches_partition_invariant(spark):
 def test_token_budget_batches_no_global_window(spark):
     """The plan must never contain a single-partition global sort —
     the exact failure mode the two-phase formulation exists to avoid.
-    (Exchange SinglePartition appears only under the tiny |partitions|-
-    row offsets aggregate, never over the full data.)"""
+    The local-cumsum stage shuffles on the data-derived `_pid` bucket
+    (hash exchange); Exchange SinglePartition appears only under the
+    tiny |buckets|-row offsets aggregate, never over the full data."""
     from mldag_spark.operators.packing import token_budget_batches
 
     df = spark.range(1000).select(
@@ -360,8 +361,52 @@ def test_token_budget_batches_no_global_window(spark):
     plan = out._sc._jvm.PythonSQLUtils.explainString(
         out._jdf.queryExecution(), "formatted"
     )
-    assert "rangepartitioning" in plan.lower()
+    assert "hashpartitioning(_pid" in plan.lower()
+    # no global range sort of the full data anywhere in the plan
+    assert "rangepartitioning" not in plan.lower()
     assert out.count() == 1000
+
+
+def test_token_budget_batches_invariant_under_aqe_coalesce(spark):
+    """`_pid` is a pure function of the data (driver-computed quantile
+    boundaries embedded as literals), so the prefix sum cannot depend
+    on physical partitioning at all. Pin that under the conditions that
+    broke the old spark_partition_id formulation: AQE partition
+    coalescing ON, and wildly different bucket counts (which previously
+    meant different range exchanges between the two plan branches)."""
+    from mldag_spark.operators.packing import token_budget_batches
+
+    rows = [(i, (i * 53) % 700 + 5) for i in range(300)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+
+    def run(n_parts):
+        return sorted(
+            (r["doc_id"], r["global_cum"], r["batch_id"])
+            for r in token_budget_batches(
+                df, "doc_id", "n_tokens", max_tokens=1024,
+                num_partitions=n_parts,
+            ).collect()
+        )
+
+    conf = spark.conf
+    prev_aqe = conf.get("spark.sql.adaptive.enabled", "true")
+    prev_coal = conf.get(
+        "spark.sql.adaptive.coalescePartitions.enabled", "true"
+    )
+    try:
+        conf.set("spark.sql.adaptive.enabled", "true")
+        conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        base = run(1)
+        cum = 0
+        for (doc_id, global_cum, batch_id), (_, n) in zip(base, rows):
+            cum += n
+            assert global_cum == cum
+            assert batch_id == (global_cum - n) // 1024
+        for n_parts in (3, 17, 64):
+            assert run(n_parts) == base
+    finally:
+        conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        conf.set("spark.sql.adaptive.coalescePartitions.enabled", prev_coal)
 
 
 def test_token_budget_batches_leaves_no_cache(spark):
