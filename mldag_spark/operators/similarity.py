@@ -332,3 +332,60 @@ def lsh_bucket_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "cos", "rk")
     )
+
+
+# --- deterministic banded LSH (oracle-replicable) ---------------------
+#
+# Integer-arithmetic hyperplane signatures: every step (quantization,
+# weights, dot products, bit packing) is exact int64 math, so a SQL
+# oracle can reproduce the buckets bit-for-bit — no float-summation-
+# order hazard between engines. Weight for (plane j, dim i) over a
+# dim-d vector:
+#
+#     k = 1 + i + d*j
+#     w(j, i) = ((k * 2654435761) % 2^32) // 2^22 - 512      # [-512, 511]
+#
+# (Knuth multiplicative hash; the // 2^22 keeps the well-mixed HIGH
+# bits of the 32-bit product). Vector values quantize as
+# floor(x * 10^6) — a single IEEE multiply then an exact floor, both
+# identical across engines. A signature bit is (sum_i q_i * w(j,i)) > 0;
+# r consecutive bits pack into one band bucket.
+
+_DET_LSH_MULT = 2654435761
+_DET_LSH_MOD = 1 << 32
+_DET_LSH_DIV = 1 << 22
+_DET_LSH_SCALE = 1_000_000
+
+
+def det_hyperplane_weights(dim: int, n_planes: int) -> np.ndarray:
+    """(n_planes, dim) int64 weight matrix per the formula above."""
+    k = 1 + np.arange(dim, dtype=np.int64)[None, :] + dim * np.arange(
+        n_planes, dtype=np.int64
+    )[:, None]
+    return (k * _DET_LSH_MULT) % _DET_LSH_MOD // _DET_LSH_DIV - 512
+
+
+def banded_signature_udf(dim: int, n_bands: int, band_bits: int):
+    """Arrow-vectorized ``array<double> -> array<long>`` of per-band
+    bucket ids: one int64 matmul (n_batch x dim) @ (dim x n_planes)
+    per Arrow batch plus a bit-pack — the per-vector cost is
+    O(dim * n_bands * band_bits) exact integer ops, independent of
+    corpus size."""
+    from pyspark.sql.functions import pandas_udf
+
+    w = det_hyperplane_weights(dim, n_bands * band_bits)
+    pows = 1 << np.arange(band_bits, dtype=np.int64)
+
+    @pandas_udf("array<long>")
+    def _sig(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.array(list(vs), dtype=np.float64)
+        q = np.floor(mat * _DET_LSH_SCALE).astype(np.int64)
+        bits = (q @ w.T) > 0
+        buckets = (
+            bits.reshape(len(q), n_bands, band_bits) * pows
+        ).sum(axis=2)
+        return pd.Series(list(buckets))
+
+    return _sig

@@ -90,63 +90,125 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "embedding_near_dup_blocked",
-    oracle="""
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
-           ROUND(list_cosine_similarity(
-               CAST(a.embedding AS DOUBLE[]),
-               CAST(b.embedding AS DOUBLE[])), 4) AS cos
-    FROM embeddings a
-    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(
-               CAST(a.embedding AS DOUBLE[]),
-               CAST(b.embedding AS DOUBLE[])) >= 0.4
-    """,
-)
-def embedding_near_dup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs with label blocking.
+# banded LSH geometry for embedding near-dup: 8 bands x 8 bits = 64
+# deterministic integer hyperplanes (operators/similarity.py
+# det_hyperplane_weights). Candidate = same label AND same bucket in
+# >=1 band. For true near-dups (cos >= 0.9, p_bit = 0.857) per-pair
+# recall is 1-(1-0.857^8)^8 ~ 0.94; tail pairs at the 0.4 threshold
+# (p_bit ~ 0.65) surface at ~25-35% — the documented price of
+# subquadratic candidates at a threshold that weak. Raise _LSH_BANDS
+# for recall, _LSH_BITS for sparser buckets as the corpus grows.
+_LSH_BANDS = 8
+_LSH_BITS = 8
+_DIM = 64
 
-    Blocking on ``label`` turns the quadratic all-pairs scan into
-    per-block self-joins. Parallelism does NOT come from the block key
-    alone: with few labels the join is compute-bound (O(|block|²)
-    cosines) on a handful of partitions, and AQE's byte-based
-    coalescing makes it worse — at sf1.0 it squeezed the ~128 MB input
-    to TWO post-shuffle partitions and 30 of 32 cores idled (measured:
-    380s). So the left side is salted into ``_SUBBLOCKS`` sub-blocks
-    and the right side replicated per sub-block: each task computes a
-    1/S slice of a block's pair matrix. Shuffle volume grows S×(right
-    side) — bytes are cheap, idle cores are not; every pair is still
-    produced exactly once (one ``sub`` per left row). (For unlabeled
-    corpora the block key comes from LSH buckets instead; see
-    ``ann_lsh_topk``.)
+# the oracle recomputes the identical signatures in pure int64 SQL:
+# floor(x*1e6) quantization, Knuth-hash weights, dot>0 bits, bit-packed
+# band buckets — exact integer arithmetic, so no float-summation-order
+# drift between Spark and DuckDB is possible
+_NEAR_DUP_ORACLE = f"""
+    WITH pos AS (
+        SELECT vec_id, label, u - 1 AS i, CAST(embedding[u] AS DOUBLE) AS x
+        FROM (SELECT vec_id, label, embedding,
+                     unnest(generate_series(1, len(embedding))) AS u
+              FROM embeddings)
+    ), dots AS (
+        SELECT p.vec_id, p.label, j.j,
+               SUM(CAST(FLOOR(p.x * 1000000) AS BIGINT) *
+                   ((((1 + p.i + {_DIM} * j.j) * 2654435761) % 4294967296)
+                    // 4194304 - 512)) AS dot
+        FROM pos p
+        CROSS JOIN (SELECT unnest(generate_series(0, {_LSH_BANDS * _LSH_BITS - 1})) AS j) j
+        GROUP BY p.vec_id, p.label, j.j
+    ), sigs AS (
+        SELECT vec_id, label, j // {_LSH_BITS} AS band,
+               SUM(CASE WHEN dot > 0 THEN 1 << (j % {_LSH_BITS}) ELSE 0 END)
+                   AS bucket
+        FROM dots GROUP BY vec_id, label, j // {_LSH_BITS}
+    ), cand AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label
+        FROM sigs a JOIN sigs b
+          ON a.label = b.label AND a.band = b.band AND a.bucket = b.bucket
+         AND a.vec_id < b.vec_id
+    )
+    SELECT c.vec_a, c.vec_b, c.label,
+           ROUND(list_cosine_similarity(
+               CAST(ea.embedding AS DOUBLE[]),
+               CAST(eb.embedding AS DOUBLE[])), 4) AS cos
+    FROM cand c
+    JOIN embeddings ea ON ea.vec_id = c.vec_a
+    JOIN embeddings eb ON eb.vec_id = c.vec_b
+    WHERE list_cosine_similarity(
+               CAST(ea.embedding AS DOUBLE[]),
+               CAST(eb.embedding AS DOUBLE[])) >= 0.4
+"""
+
+
+@register("embedding_near_dup_blocked", oracle=_NEAR_DUP_ORACLE)
+def embedding_near_dup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, label-blocked AND LSH-banded.
+
+    r5 shipped this as per-label all-pairs (salted for parallelism),
+    which is O(block²) candidate pairs — measured 25.4x wall-time at
+    10x data (SCALING r5), the one remaining quadratic hot spot: a
+    single dominant label at 100 TB recreates the all-pairs problem.
+
+    This round replaces the candidate generator with banded
+    hyperplane LSH (the structure MinHash-LSH uses for text): each
+    vector gets ``_LSH_BANDS`` bucket ids from deterministic integer
+    hyperplanes (``operators/similarity.banded_signature_udf``), and
+    only pairs sharing (label, band, bucket) are verified with the
+    exact JVM cosine. Candidates drop from Σ block² to
+    Σ bucket² ≈ N²·B/2^r with per-bucket sizes ~|label|/2^r — at
+    sf0.1 that is 13k candidates vs 200k all-pairs, and the verify
+    stage is no longer the scaling term: signatures (one int64 matmul
+    per Arrow batch), the (label, band, bucket) self-join, and the
+    pair-distinct are all linear in N·B. Recall is the banding trade
+    (see _LSH_BANDS note above); the exact-within-label formulation
+    this replaces remains in git history for small corpora.
+
+    Plan shape: signature explode (N·B rows of 4 scalar cols — vectors
+    are NOT carried through the band join), sort-merge self-join on
+    the composite key, distinct on the pair, then two id-keyed joins
+    back to the vector table for exact verification. No broadcast of
+    corpus-sized data; no CartesianProduct (pinned by test_plans).
     """
-    _SUBBLOCKS = 16
+    from mldag_spark.operators.similarity import banded_signature_udf
+
     emb = load(spark, sf_dir, "embeddings")
     v = emb.select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
-    a = v.withColumn(
-        "sub", F.pmod(F.xxhash64("vec_id"), F.lit(_SUBBLOCKS))
-    ).alias("a")
-    b = v.withColumn(
-        "sub", F.explode(F.array(*[F.lit(i) for i in range(_SUBBLOCKS)]))
-    ).alias("b")
-    cos = cosine_similarity(F.col("a.v"), F.col("b.v"))
-    return (
-        a.join(
-            b.hint("merge"),
+    sig = banded_signature_udf(_DIM, _LSH_BANDS, _LSH_BITS)
+    s = v.withColumn("bands", sig(F.col("v"))).select(
+        "vec_id", "label", F.posexplode("bands").alias("band", "bucket")
+    )
+    cand = (
+        s.alias("a")
+        .join(
+            s.alias("b"),
             (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.sub") == F.col("b.sub"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .filter(cos >= 0.4)
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
             F.col("a.label").alias("label"),
-            F.round(cos, 4).alias("cos"),
         )
+        .distinct()
+    )
+    pairs = cand.join(
+        v.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va")),
+        "vec_a",
+    ).join(
+        v.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb")),
+        "vec_b",
+    )
+    cos = cosine_similarity(F.col("va"), F.col("vb"))
+    return pairs.filter(cos >= 0.4).select(
+        "vec_a", "vec_b", "label", F.round(cos, 4).alias("cos")
     )
 
 

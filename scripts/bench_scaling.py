@@ -154,11 +154,13 @@ def main() -> int:
         # (100x at 10x data), not to row count. A ratio above 12 here
         # is sub-quadratic, i.e. healthy.
         "quadratic_output_ops": {
-            "embedding_near_dup_blocked": "O(block²) cosine pairs by "
-            "definition; 10x rows -> up to 100x pairs. Salted "
-            "sub-blocks keep all cores busy (r5: 380s -> 37s).",
             "dedup_components": "pair graph + iterative closure; edge "
             "count grows super-linearly with duplicate density.",
+            # embedding_near_dup_blocked left this list in r6: banded
+            # LSH candidates (8x8 deterministic hyperplanes) replaced
+            # the per-label all-pairs join; candidates are now
+            # Σ bucket² with bucket ~ |label|/2^8, measured ratio ~2.4
+            # at 10x data (was 25.4).
         },
         "repeats": a.repeats,
         "loadavg_1m": round(os.getloadavg()[0], 2),
