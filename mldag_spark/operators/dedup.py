@@ -310,13 +310,17 @@ def connected_components(
     fixed point.
 
     Memory hygiene (hardened in r5 after an sf1.0 OOM in a 2g
-    harness): checkpoint blocks go to DISK_ONLY — an iterative
-    algorithm's snapshots are read exactly once per round, so buying
-    heap with them is all cost — and the previous round's blocks are
-    unpersisted EXPLICITLY as soon as the new round materializes.
-    Relying on the async context cleaner (the old formulation) leaves
-    up to ``max_iter`` edge snapshots racing the collector for heap;
-    the working set must be one snapshot by construction.
+    harness; _release fixed in r6): checkpoint blocks go to DISK_ONLY
+    — an iterative algorithm's snapshots are read exactly once per
+    round, so buying heap with them is all cost — and the previous
+    round's blocks are unpersisted EXPLICITLY as soon as the new round
+    materializes. Relying on the async context cleaner (the old
+    formulation) leaves up to ``max_iter`` edge snapshots racing the
+    collector for storage; the working set must be one round's
+    snapshot (two, momentarily, while a round materializes) by
+    construction. The FINAL snapshot backs the returned DataFrame and
+    is deliberately left persisted; it is reclaimed by the context
+    cleaner once the caller drops the result.
     """
     from pyspark import StorageLevel
 
@@ -324,11 +328,15 @@ def connected_components(
         return df.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
 
     def _release(df: DataFrame) -> None:
-        # a localCheckpointed df's plan is a LogicalRDD over the
-        # checkpointed internal RDD; unpersisting that RDD frees the
-        # blocks (safe once the NEXT round is materialized — local
-        # checkpoints are declared non-fault-tolerant anyway)
-        df._jdf.queryExecution().toRdd().unpersist(False)
+        # a localCheckpointed df's analyzed plan is a LogicalRDD whose
+        # `rdd` IS the checkpointed RDD; unpersisting that frees the
+        # blocks immediately (verified: getPersistentRDDs drops the
+        # entry). NOT queryExecution().toRdd() — that derives a fresh
+        # unpersisted MapPartitionsRDD over the checkpoint, and
+        # unpersisting it is a silent no-op (the r5 bug). Safe once
+        # the NEXT round is materialized — local checkpoints are
+        # declared non-fault-tolerant anyway.
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
 
     e = _ckpt(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))

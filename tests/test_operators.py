@@ -568,3 +568,23 @@ def test_temperature_mix_prunes_scan(spark):
         schema = m.group(1)
         assert "text" not in schema, plan
         assert "doc_id" not in schema, plan
+
+
+def test_connected_components_releases_checkpoint_blocks(spark):
+    """Each round's localCheckpoint blocks must actually be freed when
+    the next round materializes (ADVICE r5: unpersisting
+    queryExecution().toRdd() was a silent no-op — it derives a fresh
+    RDD over the checkpoint instead of the checkpointed RDD itself).
+    After the run, at most ONE extra persistent RDD may remain: the
+    final snapshot backing the returned DataFrame."""
+    from mldag_spark.operators.dedup import connected_components
+
+    jsc = spark.sparkContext._jsc
+    before = jsc.getPersistentRDDs().size()
+    # a diameter-9 chain forces several Large-Star/Small-Star rounds,
+    # i.e. several checkpoints that must be released along the way
+    edges = [(i, i + 1) for i in range(10)]
+    df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    out = connected_components(df, "doc_a", "doc_b")
+    assert out.count() == 11
+    assert jsc.getPersistentRDDs().size() <= before + 1
