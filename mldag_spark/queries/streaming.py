@@ -331,4 +331,8 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingle_fn=lambda batch: shingle_rows(batch, "doc_id", "text", 3),
         threshold=0.8,
     )
-    return spark.read.parquet(out_path)
+    # drop the sink's idempotency partition column (_mb_id): the
+    # logical result is the pair set, not the micro-batch layout
+    return spark.read.parquet(out_path).select(
+        "batch_id", "index_id", "jaccard"
+    )

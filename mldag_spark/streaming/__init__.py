@@ -349,10 +349,21 @@ def incremental_dedup_stream(
     here it is cached for the stream's lifetime. Per-batch work is
     O(|batch|·bands) banding + bucket joins + row-level verification —
     independent of corpus size except through bucket occupancy, and no
-    index×index candidates are ever generated. The parquet sink commits
-    per micro-batch through the checkpointed ``foreachBatch``, and the
-    pair computation is deterministic, so replay after a crash rewrites
-    the same rows.
+    index×index candidates are ever generated.
+
+    Sink semantics (hardened in r6 per ADVICE r5): ``foreachBatch``
+    executes micro-batches AT-LEAST-ONCE, so a plain append sink
+    duplicates rows when a batch is retried after a partial write.
+    Each micro-batch therefore lands in its own ``_mb_id=<id>``
+    partition via dynamic partition overwrite: a retry REPLACES the
+    partition it had partially written instead of appending next to
+    it, and since the pair computation is deterministic the sink's
+    contents are exactly-once per micro-batch id. The empty seed that
+    guarantees readers a readable schema is written only when
+    ``out_path`` does not already exist — restarting a stream on an
+    existing checkpoint must never wipe pairs emitted by already-
+    committed batches (the checkpoint would suppress their replay:
+    silent data loss, the r5 bug).
 
     ``shingle_fn``: batch DataFrame -> (id, element) rows (e.g.
     ``functions.shingle_rows`` curried with the text column); kept as a
@@ -374,11 +385,19 @@ def incremental_dedup_stream(
 
     # seed the sink with an empty, correctly-typed frame so readers of
     # out_path never race a not-yet-created directory (a batch with no
-    # near-dups writes nothing)
-    empty = spark.createDataFrame(
-        [], "batch_id bigint, index_id bigint, jaccard double"
-    )
-    empty.write.mode("overwrite").parquet(out_path)
+    # near-dups writes nothing). The seed lives in a sentinel
+    # `_mb_id=-1` partition directory so the layout matches the
+    # per-batch partitions, and is written ONLY if out_path does not
+    # exist yet — a restart on an existing checkpoint must not destroy
+    # previously committed output. Existence goes through the Hadoop
+    # FileSystem API (out_path may be s3a://... on a cluster).
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(out_path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        empty = spark.createDataFrame(
+            [], "batch_id bigint, index_id bigint, jaccard double"
+        )
+        empty.write.mode("overwrite").parquet(f"{out_path}/_mb_id=-1")
 
     def _process(batch: DataFrame, batch_id: int) -> None:
         rows = shingle_fn(batch)
@@ -392,11 +411,18 @@ def incremental_dedup_stream(
             bands=bands,
             index_bands=index_bands,
         )
-        pairs.selectExpr(
-            "cast(batch_id as bigint) batch_id",
-            "cast(index_id as bigint) index_id",
-            "cast(jaccard as double) jaccard",
-        ).write.mode("append").parquet(out_path)
+        (
+            pairs.selectExpr(
+                "cast(batch_id as bigint) batch_id",
+                "cast(index_id as bigint) index_id",
+                "cast(jaccard as double) jaccard",
+            )
+            .withColumn("_mb_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_mb_id")
+            .parquet(out_path)
+        )
 
     try:
         q = (

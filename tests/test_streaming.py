@@ -216,3 +216,36 @@ def test_incremental_dedup_stream_matches_batch(spark, tmp_path):
     assert got == want
     # the cached band index is released once the stream drains
     assert jsc.getPersistentRDDs().size() == cached_before
+
+    def read_pairs():
+        return sorted(
+            (r["batch_id"], r["index_id"], r["jaccard"])
+            for r in spark.read.parquet(out_path).collect()
+        )
+
+    # restart on the SAME checkpoint: no new input files -> zero
+    # micro-batches; previously committed pairs must survive (ADVICE
+    # r5: the unconditional empty-seed overwrite silently wiped them)
+    S.incremental_dedup_stream(
+        S.documents_stream(spark, src).filter(F.col("doc_id") % 2 == 1),
+        index_rows,
+        out_path=out_path,
+        checkpoint=str(tmp_path / "ckpt"),
+        shingle_fn=lambda b: shingle_rows(b, "doc_id", "text", 3),
+        threshold=0.5,
+    )
+    assert read_pairs() == want
+
+    # replay with a FRESH checkpoint over the same sink: micro-batches
+    # re-execute with the same ids and must REPLACE their _mb_id
+    # partitions, not append duplicates — the at-least-once retry
+    # contract in miniature
+    S.incremental_dedup_stream(
+        S.documents_stream(spark, src).filter(F.col("doc_id") % 2 == 1),
+        index_rows,
+        out_path=out_path,
+        checkpoint=str(tmp_path / "ckpt2"),
+        shingle_fn=lambda b: shingle_rows(b, "doc_id", "text", 3),
+        threshold=0.5,
+    )
+    assert read_pairs() == want
