@@ -84,19 +84,29 @@ _GATE_ORDER = [
     "join_salted_nation_volume",
     # Windows
     "window_topk_orders_per_customer",
-    "window_range_30d_spend",
     # Aggregations
     "agg_rollup_flag_status",
-    "agg_pivot_event_values",
     "agg_price_percentiles",
     "agg_salted_returnflag_totals",
-    # Rotated in r5 (never previously gated)
-    "q9_product_profit",
-    "events_multilevel_rollup",
-    "events_funnel",
+    # Retained from the r5 rotation: both materially changed in r6
+    # (packing got data-derived partition keys; pagerank is this
+    # round's perf-probe target), so they stay gated for driver-level
+    # proof of the new code
     "graph_pagerank_bipartite",
     "pack_token_budget_batches",
-    "text_vocab_encode",
+    # Rotated in r6 (never previously gated): the three r5-new
+    # queries plus the three oldest never-gated (VERDICT r5 #3/#4).
+    # Rotated out (banked a green gated round; still continuously
+    # checked by tests/test_oracle_full.py at sf0.001 every pytest
+    # run): q9_product_profit, events_multilevel_rollup,
+    # events_funnel, text_vocab_encode, window_range_30d_spend,
+    # agg_pivot_event_values
+    "sample_temperature_mix",
+    "corpus_dedup_rate_by_source",
+    "dag_export_shard_batches",
+    "q15_top_supplier",
+    "events_cdc_snapshot_diff",
+    "text_pii_redact",
     # Set ops + sort/limit
     "setop_except_all_multiset",
     "sort_top15_orders",

@@ -138,6 +138,57 @@ def bench_layout(spark, sf_dir: str, repeats: int) -> dict:
     return out
 
 
+def bench_shard_write(spark, sf_dir: str, repeats: int) -> dict:
+    """Physical training-shard export (VERDICT r5 ask #5): materialize
+    the deterministic global shuffle (shard_id, pos coordinates over
+    ``documents``) through ``sources.write_training_shards`` and
+    measure write throughput. The write runs twice and the per-shard
+    file hashes are compared, so the bench row doubles as evidence of
+    the byte-deterministic layout the loader contract promises
+    (pinned at unit scale by test_sources)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from mldag_spark.queries import REGISTRY
+    from mldag_spark.sources import write_training_shards
+
+    work = tempfile.mkdtemp(prefix="bench_shards_")
+    shuffled = REGISTRY["sample_global_shuffle"](spark, sf_dir)
+    n_rows = shuffled.count()
+
+    def one(out: str) -> tuple[float, dict]:
+        t0 = time.time()
+        write_training_shards(shuffled, out, "shard_id", "pos")
+        dt = round(time.time() - t0, 3)
+        hashes = {}
+        for d in sorted(os.listdir(out)):
+            if not d.startswith("shard_id="):
+                continue
+            for f in sorted(os.listdir(os.path.join(out, d))):
+                if f.endswith(".parquet"):
+                    with open(os.path.join(out, d, f), "rb") as fh:
+                        hashes[d] = hashlib.sha256(fh.read()).hexdigest()
+        return dt, hashes
+
+    try:
+        times, all_hashes = [], []
+        for i in range(max(repeats, 2)):
+            dt, hashes = one(f"{work}/run{i}")
+            times.append(dt)
+            all_hashes.append(hashes)
+        return {
+            "write_sec": min(times),
+            "rows": n_rows,
+            "rows_per_sec": round(n_rows / min(times)),
+            "n_shards": len(all_hashes[0]),
+            "deterministic": all(h == all_hashes[0] for h in all_hashes[1:]),
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -209,6 +260,11 @@ def main() -> int:
     except Exception as e:  # layout pair must never kill the bench line
         print(f"bench error in layout pair: {e}", file=sys.stderr)
         layout = {"error": str(e)[:200]}
+    try:
+        shard_write = bench_shard_write(spark, sf_dir, repeats)
+    except Exception as e:  # ditto for the shard-export row
+        print(f"bench error in shard write: {e}", file=sys.stderr)
+        shard_write = {"error": str(e)[:200]}
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -225,6 +281,7 @@ def main() -> int:
                 # named here instead of silently shrinking the metric
                 "failed": failed,
                 "layout": layout,
+                "shard_write": shard_write,
                 "loadavg_1m": round(os.getloadavg()[0], 2),
             }
         )

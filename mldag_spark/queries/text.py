@@ -1000,7 +1000,7 @@ def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "corpus_dedup_rate_by_source",
-    oracle="""
+    oracle=r"""
     WITH fp AS (
         SELECT doc_id, source,
                md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS f

@@ -198,3 +198,47 @@ def test_write_training_shards_layout(spark, tmp_path):
                 continue
             pos = pq.read_table(os.path.join(full, f), columns=["pos"])["pos"].to_pylist()
             assert pos == sorted(pos), f"unsorted shard file {d}/{f}"
+
+
+def test_write_training_shards_deterministic_bytes(spark, tmp_path):
+    """Two writes of the same export plan must produce byte-identical
+    shard files — including when the INPUT arrives with different
+    physical partitioning. The writer owns its layout end-to-end:
+    repartition(shard_col) re-clusters each shard onto one task
+    regardless of upstream layout, and the within-partition
+    (shard, order) sort fixes row order, so shard bytes are a pure
+    function of the data. That is what makes the export resumable and
+    diffable: re-running a shard job on a differently-sized cluster
+    yields the same artifacts."""
+    import hashlib
+    import os
+
+    from mldag_spark.queries import REGISTRY
+    from mldag_spark.sources import write_training_shards
+    from tests.conftest import SF_DIR
+
+    shuffled = REGISTRY["sample_global_shuffle"](spark, SF_DIR)
+
+    def shard_hashes(df, out):
+        write_training_shards(df, out, "shard_id", "pos")
+        hashes = {}
+        for d in sorted(os.listdir(out)):
+            if not d.startswith("shard_id="):
+                continue
+            files = sorted(
+                f
+                for f in os.listdir(os.path.join(out, d))
+                if f.endswith(".parquet")
+            )
+            assert len(files) == 1, f"{d}: expected one file, got {files}"
+            with open(os.path.join(out, d, files[0]), "rb") as fh:
+                hashes[d] = hashlib.sha256(fh.read()).hexdigest()
+        return hashes
+
+    base = shard_hashes(shuffled, str(tmp_path / "a"))
+    assert len(base) == 8
+    # same plan, second run
+    assert shard_hashes(shuffled, str(tmp_path / "b")) == base
+    # different upstream physical partitioning
+    assert shard_hashes(shuffled.repartition(7), str(tmp_path / "c")) == base
+    assert shard_hashes(shuffled.repartition(13), str(tmp_path / "d")) == base
