@@ -1,0 +1,62 @@
+"""PARITY.md bookkeeping pins (VERDICT r5 #7 / #4).
+
+PARITY.md is the map the next round navigates by; these tests force
+its two load-bearing numbers to track the code: the registry count,
+and the NEVER_GATED ledger (queries that have not yet been inside any
+round's driver-gated window). The ledger must shrink monotonically as
+gate rotation proceeds — growing it requires a conscious PARITY.md
+edit, which this test turns into a reviewable diff.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import re
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from mldag_spark.queries import ORACLES, REGISTRY  # noqa: E402
+
+
+def _parity_text() -> str:
+    return (REPO / "PARITY.md").read_text()
+
+
+def test_parity_registry_count_matches_code():
+    m = re.search(r"\((\d+) entries: (\d+) DuckDB\noracle-matched \+ (\d+) rows-only", _parity_text())
+    assert m, "PARITY.md registry-count sentence not found"
+    total, oracle, rows_only = map(int, m.groups())
+    assert total == len(REGISTRY)
+    assert oracle == len(ORACLES)
+    assert rows_only == len(set(REGISTRY) - set(ORACLES))
+
+
+def _computed_never_gated() -> set[str]:
+    ever = set(list(entrymod.queries())[:50])
+    for f in glob.glob(str(REPO / "CORRECTNESS_r0*.json")):
+        ever |= set(json.load(open(f)))
+    return set(REGISTRY) - ever
+
+
+def _documented_never_gated() -> set[str]:
+    text = _parity_text()
+    section = text.split("## Gate-coverage ledger (NEVER_GATED)", 1)[1]
+    return set(re.findall(r"`([a-z0-9_]+)`", section)) & set(REGISTRY)
+
+
+def test_never_gated_ledger_is_current_and_shrinking():
+    computed = _computed_never_gated()
+    documented = _documented_never_gated()
+    # the ledger must list exactly the currently never-gated queries —
+    # stale entries (already gated) and missing entries (new queries
+    # registered outside the window, or rotation regressions) both fail
+    assert computed == documented, (
+        f"PARITY NEVER_GATED ledger out of date: "
+        f"missing={sorted(computed - documented)}, "
+        f"stale={sorted(documented - computed)}"
+    )
