@@ -1690,3 +1690,102 @@ def sample_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_doc"),
         )
     )
+
+
+# Boilerplate chunk removal (C4/RefinedWeb line-dedup adapted to
+# word-chunk units — the driver's synthetic documents carry no
+# newlines, so the "line" is a fixed window of _BP_W consecutive
+# normalized tokens). A chunk is boilerplate when the identical chunk
+# text occurs in >= _BP_MIN_DOCS distinct documents corpus-wide.
+_BP_W = 4
+_BP_MIN_DOCS = 2
+
+
+@register(
+    "text_boilerplate_chunks",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS arr
+        FROM documents
+    ), chunks AS (
+        SELECT doc_id, len(arr) AS n_tokens,
+               array_to_string(arr[((i - 1) * {_BP_W} + 1):((i - 1) * {_BP_W} + {_BP_W})], ' ') AS chunk
+        FROM toks, unnest(generate_series(1, len(arr) // {_BP_W})) AS t(i)
+    ), boiler AS (
+        SELECT chunk FROM chunks
+        GROUP BY chunk HAVING COUNT(DISTINCT doc_id) >= {_BP_MIN_DOCS}
+    ), flagged AS (
+        SELECT c.doc_id, c.n_tokens,
+               CASE WHEN b.chunk IS NULL THEN 0 ELSE 1 END AS is_b
+        FROM chunks c LEFT JOIN boiler b USING (chunk)
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(is_b) AS BIGINT) AS boiler_chunks,
+           CAST(n_tokens - {_BP_W} * SUM(is_b) AS BIGINT) AS kept_tokens
+    FROM flagged
+    GROUP BY doc_id, n_tokens
+    """,
+)
+def text_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-based boilerplate removal (the C4 "drop any line that
+    occurs >= k times in the corpus" rule, with fixed 4-token chunks
+    standing in for lines — this corpus has no newlines): flag every
+    chunk whose exact text appears in >= 2 distinct documents and
+    report, per document, how many chunks survive and the cleaned
+    token budget.
+
+    Scale shape: chunking is a pure per-row ``transform`` over the
+    token array (no explode until the chunk level, so the exploded
+    relation is |tokens|/W rows, not |tokens|). The corpus-wide
+    frequency pass and the join back are both keyed on
+    ``xxhash64(chunk)`` — an 8-byte shuffle key instead of the chunk
+    string, the same fingerprint trick ``dedup_exact`` uses (string
+    equality and 64-bit-hash equality diverge only on a hash
+    collision). Distinct-doc counting is a two-level aggregate; the
+    final per-doc rollup is |docs| rows."""
+    d = load(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    n_full = (F.size(toks) / _BP_W).cast("int")
+    # sequence(0, -1) counts DOWN in Spark, so guard the <W-token doc
+    chunk_arr = F.when(
+        n_full > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_full - 1),
+            lambda i: F.array_join(F.slice(toks, i * _BP_W + 1, _BP_W), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    chunks = (
+        d.select(
+            "doc_id",
+            F.size(toks).cast("long").alias("n_tokens"),
+            F.explode(chunk_arr).alias("chunk"),
+        )
+        .withColumn("ck", F.xxhash64("chunk"))
+        .drop("chunk")
+    )
+    boiler = (
+        chunks.groupBy("ck")
+        .agg(F.count_distinct("doc_id").alias("ndocs"))
+        .filter(F.col("ndocs") >= _BP_MIN_DOCS)
+        .select("ck", F.lit(1).alias("is_b"))
+    )
+    return (
+        chunks.join(boiler, "ck", "left")
+        .groupBy("doc_id", "n_tokens")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.coalesce(F.sum("is_b"), F.lit(0)).cast("long").alias("boiler_chunks"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_chunks",
+            "boiler_chunks",
+            (F.col("n_tokens") - _BP_W * F.col("boiler_chunks"))
+            .cast("long")
+            .alias("kept_tokens"),
+        )
+    )
