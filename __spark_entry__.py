@@ -86,8 +86,11 @@ _GATE_ORDER = [
     "window_topk_orders_per_customer",
     # Aggregations
     "agg_rollup_flag_status",
-    "agg_price_percentiles",
     "agg_salted_returnflag_totals",
+    # New in r6 (gated in its first round; swapped for
+    # agg_price_percentiles, which banked hash-green rounds r1-r5 and
+    # stays under the continuous sf0.001 oracle sweep)
+    "text_boilerplate_chunks",
     # Retained from the r5 rotation: both materially changed in r6
     # (packing got data-derived partition keys; pagerank is this
     # round's perf-probe target), so they stay gated for driver-level

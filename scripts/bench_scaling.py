@@ -58,10 +58,24 @@ QUERIES = (
     # crawl against the cached even-id band index (real stream, real
     # checkpoint, parquet sink)
     "stream_incremental_dedup",
+    # r6: corpus-wide boilerplate chunk frequency + join-back
+    "text_boilerplate_chunks",
+)
+
+# VERDICT r5 #8 (stretch): the entries whose 10x ratio sat above ~3 get
+# a 30x datapoint to separate constant-overhead amortization from
+# genuine superlinearity, plus the rebuilt embedding near-dup whose
+# new banded-LSH asymptotics deserve the harder test.
+SF3_QUERIES = (
+    "dedup_components",
+    "text_quality_score",
+    "text_vocab_encode",
+    "embedding_near_dup_blocked",
 )
 
 SF_SMALL = "/root/testdata/sf0.1"
 SF_BIG = os.path.join(REPO, ".testdata", "sf1.0")
+SF_3 = os.path.join(REPO, ".testdata", "sf3.0")
 
 
 def main() -> int:
@@ -145,6 +159,20 @@ def main() -> int:
         except Exception as e:
             result[name] = {"error": str(e)[:200]}
             print(f"{name:38s} ERROR {e}", file=sys.stderr)
+
+    if os.path.isdir(SF_3):
+        for name in SF3_QUERIES:
+            row = result.get(name)
+            if not row or "sf0.1_sec" not in row:
+                continue
+            try:
+                t3 = timed(name, SF_3)
+                row["sf3.0_sec"] = t3
+                row["ratio_30x"] = round(t3 / row["sf0.1_sec"], 2)
+                print(f"{name:38s} sf3.0 {t3:7.3f}s  x{row['ratio_30x']} (30x data)")
+            except Exception as e:
+                row["sf3.0_error"] = str(e)[:200]
+                print(f"{name:38s} sf3.0 ERROR {e}", file=sys.stderr)
 
     payload = {
         "data_ratio": 10,
