@@ -257,7 +257,38 @@ def main() -> int:
             },
             "sf3.0_session": "local[16] @ 4g heap, 64 shuffle "
             "partitions (per-task memory parity with the sf1.0 "
-            "local[32]@2g session; see scripts/bench_scaling.py)",
+            "local[32]@2g session; see scripts/bench_scaling.py) — "
+            "sf3.0 wall-times are comparable to each other, not to "
+            "the 32-core sf0.1/sf1.0 columns",
+            "notes": {
+                "stream_incremental_dedup": "sf1.0 8.5s (r5) -> ~13s "
+                "(r6): the r6 exactly-once sink (per-micro-batch "
+                "dynamic partition overwrite, ADVICE r5) pays a "
+                "job-commit per batch that plain at-least-once append "
+                "did not — the delta is the price of retry-"
+                "idempotence, not a plan regression (ratio unchanged "
+                "~1.8).",
+            },
+            # VERDICT r5 #8: one-line diagnoses for the 30x rows
+            "sf3.0_diagnoses": {
+                "text_quality_score": "3.9x at 30x data: sub-linear; "
+                "the r5 10x ratio (3.9) was constant-overhead "
+                "amortization, not superlinearity.",
+                "text_vocab_encode": "3.2x at 30x data: sub-linear; "
+                "same diagnosis — vocab aggregate is "
+                "dictionary-sized, not corpus-sized.",
+                "embedding_near_dup_blocked": "21x at 30x data "
+                "(sf1->sf3 segment ~5x at 3x): fixed 8x8 LSH "
+                "geometry saturates buckets as N grows — candidate "
+                "pairs are Σ bucket². The documented knob is raising "
+                "_LSH_BITS with corpus size; at fixed geometry this "
+                "is the expected quadratic-output curve.",
+                "dedup_components": "15.6x at 30x data (sf1->sf3 "
+                "segment ~4.9x at 3x): shingle-pair edge growth with "
+                "duplicate density dominates; iterative closure "
+                "rounds stay O(log n). Quadratic-output op — see "
+                "quadratic_output_ops.",
+            },
             "repeats": a.repeats,
             "loadavg_1m": round(os.getloadavg()[0], 2),
             "queries": rows,
