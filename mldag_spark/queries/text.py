@@ -1745,7 +1745,19 @@ def text_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     string, the same fingerprint trick ``dedup_exact`` uses (string
     equality and 64-bit-hash equality diverge only on a hash
     collision). Distinct-doc counting is a two-level aggregate; the
-    final per-doc rollup is |docs| rows."""
+    final per-doc rollup is |docs| rows.
+
+    Deliberate trade (plan-audited): the chunk projection is computed
+    in BOTH branches (frequency + probe), i.e. two scans of
+    ``documents``. The single-scan alternative — a dense_rank window
+    over ``partitionBy(ck)`` — was rejected because boilerplate keys
+    are BY DEFINITION the hottest keys in the corpus: a window puts a
+    mega-frequent chunk's every occurrence into one partition (the
+    exact skew this op exists to find), while the aggregate keeps
+    map-side partial combining and AQE picks broadcast-vs-merge for
+    the join-back at runtime based on how much boilerplate actually
+    exists. Columnar re-scan + re-chunk is the cheaper, skew-immune
+    price."""
     d = load(spark, sf_dir, "documents")
     # materialize the token array in its own projection: referencing
     # `toks` through a column (not the raw expression) keeps Catalyst
