@@ -1806,3 +1806,75 @@ def text_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("kept_tokens"),
         )
     )
+
+
+@register(
+    "text_bigram_surprisal",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS arr
+        FROM documents
+    ), grams AS (
+        SELECT doc_id, arr[i] || ' ' || arr[i+1] AS bg, arr[i] AS w1
+        FROM t, unnest(generate_series(1, len(arr) - 1)) AS s(i)
+    ), bf AS (
+        SELECT bg, COUNT(*) AS cb FROM grams GROUP BY 1
+    ), cf AS (
+        SELECT w1, COUNT(*) AS cw FROM grams GROUP BY 1
+    )
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           ROUND(AVG(-log2(CAST(cb AS DOUBLE) / cw)), 4) AS avg_surprisal
+    FROM grams JOIN bf USING (bg) JOIN cf USING (w1)
+    GROUP BY doc_id
+    """,
+)
+def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model scoring: mean surprisal (-log2 P(w2|w1))
+    of each document under the corpus bigram MLE — one level up from
+    ``text_unigram_logprob``: a rare-WORD document and a
+    shuffled-word-salad document score the same under a unigram LM,
+    but only the salad has improbable TRANSITIONS. This is the cheap
+    Spark-first stand-in for the KenLM perplexity filters (CCNet
+    et al.) used to rank pre-training data — high avg_surprisal =
+    disfluent = candidate junk.
+
+    P(w2|w1) = c(w1 w2) / c_left(w1), where the context count is w1's
+    occurrences as a bigram LEFT (so probabilities per context sum to
+    exactly 1 and every observed bigram has c >= 1 — no smoothing term
+    to disagree on). Plan: bigram build is a per-row ``transform`` on
+    the pre-materialized token array (the boilerplate-chunks CSE
+    lesson), then one explode feeds the bigram and context frequency
+    aggregates and the score join-back; the per-doc rollup is |docs|
+    rows. At 100 TB with a FIXED reference LM, both frequency passes
+    become broadcast lookups; here AQE picks join sides from the
+    measured vocabulary size at runtime."""
+    d = load(spark, sf_dir, "documents")
+    pretok = d.select("doc_id", tokenize(F.col("text")).alias("toks"))
+    toks = F.col("toks")
+    n = F.size(toks)
+    bigram_arr = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = pretok.select(
+        "doc_id", F.explode(bigram_arr).alias("bg")
+    ).withColumn("w1", F.substring_index(F.col("bg"), " ", 1))
+    bf = grams.groupBy("bg").agg(F.count(F.lit(1)).alias("cb"))
+    cf = grams.groupBy("w1").agg(F.count(F.lit(1)).alias("cw"))
+    return (
+        grams.join(bf, "bg")
+        .join(cf, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.avg(-F.log2(F.col("cb").cast("double") / F.col("cw"))), 4
+            ).alias("avg_surprisal"),
+        )
+    )
