@@ -35,6 +35,11 @@ HEADLINE = (
     "dedup_minhash_lsh",
     "text_quality_score",
     "ann_cosine_topk",
+    # r6 additions: corpus-frequency boilerplate removal and bigram-LM
+    # scoring (two shuffling corpus ops; the headline's job is to
+    # track exactly this class round-over-round)
+    "text_boilerplate_chunks",
+    "text_bigram_surprisal",
 )
 
 
