@@ -46,7 +46,10 @@ _GATE_ORDER = [
     "text_quality_score",
     "text_language_id",
     "text_chunk_sequences",
-    "text_repetition_stats",
+    # New in r6 (gated in its first round; swapped for
+    # text_repetition_stats, hash-green r2-r5 and still under the
+    # continuous sf0.001 oracle sweep)
+    "text_bigram_surprisal",
     # Deduplication
     "dedup_exact",
     "dedup_ngram_jaccard",

@@ -71,6 +71,9 @@ SF3_QUERIES = (
     # recovery, a JVM death costs every later row its warm cache
     "text_quality_score",
     "text_vocab_encode",
+    "text_boilerplate_chunks",
+    "text_bigram_surprisal",
+    "dedup_minhash_lsh",
     "embedding_near_dup_blocked",
     "dedup_components",
 )
