@@ -58,8 +58,10 @@ QUERIES = (
     # crawl against the cached even-id band index (real stream, real
     # checkpoint, parquet sink)
     "stream_incremental_dedup",
-    # r6: corpus-wide boilerplate chunk frequency + join-back
+    # r6: corpus-wide boilerplate chunk frequency + join-back, and
+    # bigram-LM surprisal scoring
     "text_boilerplate_chunks",
+    "text_bigram_surprisal",
 )
 
 # VERDICT r5 #8 (stretch): the entries whose 10x ratio sat above ~3 get
@@ -291,6 +293,19 @@ def main() -> int:
                 "duplicate density dominates; iterative closure "
                 "rounds stay O(log n). Quadratic-output op — see "
                 "quadratic_output_ops.",
+                "dedup_minhash_lsh": "4.3x at 30x data: decisively "
+                "sub-linear — banded candidates + rows-based exact "
+                "verify hold their shape; the flagship dedup is "
+                "scale-proven. (Its sf1.0 column shows +-50% "
+                "run-to-run GC/page-cache variance on this host; the "
+                "30x ratio is the trustworthy signal.)",
+                "text_boilerplate_chunks": "5.3x at 30x data: "
+                "sub-linear; chunk-frequency aggregate is "
+                "vocabulary-bounded and the join-back stays "
+                "AQE-adaptive.",
+                "text_bigram_surprisal": "5.1x at 30x data: "
+                "sub-linear; bigram/context frequency tables are "
+                "vocabulary-bounded.",
             },
             "repeats": a.repeats,
             "loadavg_1m": round(os.getloadavg()[0], 2),
