@@ -907,3 +907,53 @@ def events_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return b.join(a, "user_id", "left").select(
         "user_id", change.alias("change"), "old_event", "new_event"
     )
+
+
+@register(
+    "events_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS next_type
+        FROM events
+    )
+    SELECT event_type AS from_type, next_type AS to_type,
+           COUNT(*) AS n_transitions,
+           CAST(COUNT(*) AS DOUBLE)
+               / SUM(COUNT(*)) OVER (PARTITION BY event_type) AS p_transition
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    sequence: counts and conditional probabilities P(next | current) —
+    the behavioral-analytics complement to the fixed-order funnel
+    (``events_funnel``) and the raw sessionizer.
+
+    Plan: one window pass on the ``user_id`` partitioning (the same
+    single-shuffle law as sessionization/as-of), then a
+    |types|²-bounded aggregate; the probability normalization is a
+    window over the TINY aggregated matrix, not the event stream. No
+    second scan, no join."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    counts = seq.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).alias("n_transitions"))
+    wnorm = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        (
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(wnorm)
+        ).alias("p_transition"),
+    )

@@ -774,3 +774,80 @@ def dq_lineitem_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rule")
     )
+
+
+@register(
+    "dq_orphan_audit",
+    oracle="""
+    SELECT 'orders.o_custkey->customer' AS fk,
+           CAST(COUNT(*) AS BIGINT) AS n_orphans
+    FROM orders o WHERE NOT EXISTS (
+        SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'lineitem.l_orderkey->orders',
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem l WHERE NOT EXISTS (
+        SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part',
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem l WHERE NOT EXISTS (
+        SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+    UNION ALL
+    SELECT 'lineitem.l_suppkey->supplier',
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem l WHERE NOT EXISTS (
+        SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)
+    UNION ALL
+    SELECT 'events.user_id->customer',
+           CAST(COUNT(*) AS BIGINT)
+    FROM events e WHERE NOT EXISTS (
+        SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)
+    """,
+)
+def dq_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table referential-integrity audit: orphan counts for the
+    five FK relationships of the star schema (orders→customer,
+    lineitem→orders/part/supplier, events→customer) — the multi-table
+    companion to the single-table ``dq_lineitem_expectations`` suite.
+
+    Plan: each FK check is a LEFT ANTI join counting the survivors.
+    The dimension-keyed checks anti-join against broadcast dimension
+    key columns (customer/part/supplier projected to their single key
+    column before the hint — at 100 TB you broadcast keys, not
+    tables); the fact→fact check (lineitem→orders) stays a shuffled
+    join keyed on orderkey. Five independent 1-row aggregates union
+    into the report, so the audit parallelizes across checks and no
+    check rescans another's tables."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    ev = load(spark, sf_dir, "events")
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    part = load(spark, sf_dir, "part").select("p_partkey")
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey")
+
+    def orphans(fact, fk_col, dim, dim_key, name, broadcast_dim=True):
+        d = F.broadcast(dim) if broadcast_dim else dim
+        return (
+            fact.select(F.col(fk_col))
+            .join(d, fact[fk_col] == dim[dim_key], "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+            .select(F.lit(name).alias("fk"), "n_orphans")
+        )
+
+    checks = [
+        orphans(o, "o_custkey", cust, "c_custkey",
+                "orders.o_custkey->customer"),
+        orphans(li, "l_orderkey", o.select("o_orderkey"), "o_orderkey",
+                "lineitem.l_orderkey->orders", broadcast_dim=False),
+        orphans(li, "l_partkey", part, "p_partkey",
+                "lineitem.l_partkey->part"),
+        orphans(li, "l_suppkey", supp, "s_suppkey",
+                "lineitem.l_suppkey->supplier"),
+        orphans(ev, "user_id", cust, "c_custkey",
+                "events.user_id->customer"),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out
