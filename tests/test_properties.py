@@ -156,3 +156,73 @@ def test_gate_queries_shuffle_partition_invariant(spark):
         spark.conf.set("spark.sql.shuffle.partitions", old)
     for name, (a, b) in results.items():
         assert a == b, f"{name} differs across shuffle partition counts"
+
+
+def test_r6_ops_shuffle_partition_invariant(spark):
+    """The r6 additions claim partition-invariant results (integer
+    counts, hash keys, exact-operand divisions): byte-identical sorted
+    rows at a very different shuffle-partition count."""
+    from mldag_spark.queries import REGISTRY
+
+    names = (
+        "text_boilerplate_chunks",
+        "text_bigram_surprisal",
+        "events_transition_matrix",
+        "dq_orphan_audit",
+    )
+    sf = "/root/testdata/sf0.001"
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        results = {}
+        for n_parts in ("3", old):
+            spark.conf.set("spark.sql.shuffle.partitions", n_parts)
+            for name in names:
+                rows = sorted(
+                    tuple(r) for r in REGISTRY[name](spark, sf).collect()
+                )
+                results.setdefault(name, []).append(rows)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    for name, (a, b) in results.items():
+        assert a == b, f"{name} differs across shuffle partition counts"
+
+
+def test_boilerplate_chunks_mass_conservation(spark):
+    """Every document's chunk accounting must close: n_chunks =
+    floor(n_tokens/4), 0 <= boiler_chunks <= n_chunks, and
+    kept_tokens = n_tokens - 4*boiler_chunks."""
+    from mldag_spark.queries import REGISTRY
+
+    rows = REGISTRY["text_boilerplate_chunks"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r["n_chunks"] == r["n_tokens"] // 4
+        assert 0 <= r["boiler_chunks"] <= r["n_chunks"]
+        assert r["kept_tokens"] == r["n_tokens"] - 4 * r["boiler_chunks"]
+
+
+def test_transition_matrix_probabilities_normalize(spark):
+    """Per from_type, conditional probabilities sum to 1 (exact-operand
+    division of bigint counts) and transition counts equal
+    sum(per-user sequence length - 1)."""
+    from pyspark.sql import functions as F
+
+    from mldag_spark.queries import REGISTRY
+    from mldag_spark.queries.tables import load
+
+    sf = "/root/testdata/sf0.001"
+    df = REGISTRY["events_transition_matrix"](spark, sf)
+    sums = df.groupBy("from_type").agg(
+        F.sum("p_transition").alias("p"), F.sum("n_transitions").alias("n")
+    ).collect()
+    assert sums
+    for r in sums:
+        assert abs(r["p"] - 1.0) < 1e-9
+    total = sum(r["n"] for r in sums)
+    per_user = (
+        load(spark, sf, "events").groupBy("user_id")
+        .agg((F.count(F.lit(1)) - 1).alias("m")).collect()
+    )
+    assert total == sum(r["m"] for r in per_user)
