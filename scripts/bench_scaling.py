@@ -58,10 +58,12 @@ QUERIES = (
     # crawl against the cached even-id band index (real stream, real
     # checkpoint, parquet sink)
     "stream_incremental_dedup",
-    # r6: corpus-wide boilerplate chunk frequency + join-back, and
-    # bigram-LM surprisal scoring
+    # r6: corpus-wide boilerplate chunk frequency + join-back,
+    # bigram-LM surprisal scoring, Markov transitions, FK orphan audit
     "text_boilerplate_chunks",
     "text_bigram_surprisal",
+    "events_transition_matrix",
+    "dq_orphan_audit",
 )
 
 # VERDICT r5 #8 (stretch): the entries whose 10x ratio sat above ~3 get
