@@ -463,3 +463,70 @@ def embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+@register("embedding_effective_rank")  # rows-only: eigendecomposition
+# is not SQL-expressible; numpy-pinned + partition-invariant in pytest
+def embedding_effective_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space anisotropy audit: eigenvalue spectrum of the
+    corpus covariance — top-component shares and the entropy-based
+    effective rank (exp of the eigenvalue-share entropy). Collapsed
+    embedding spaces (anisotropy, dead dimensions) silently ruin
+    cosine retrieval; this is the standard health check.
+
+    Scale shape — the bounded-aggregate pattern: each partition's
+    Arrow kernel reduces its vectors to ONE partial (n, Σx, Σxxᵀ) row
+    via a single BLAS syrk-style matmul per batch, so the driver
+    collects ≤ |partitions| rows of 1+64+64² doubles (bounded by
+    cluster width, never by corpus size) and finishes with an O(d³)
+    eigendecomposition on the 64×64 covariance — driver math on a
+    fixed-size aggregate, the same law as the scalar-subquery
+    broadcasts. Results are rounded to 4 dp so float summation order
+    across partitions cannot leak into the output."""
+    import numpy as np
+
+    emb = load(spark, sf_dir, "embeddings")
+    dim = 64
+
+    def partials(batches):
+        import pandas as pd
+
+        n = 0
+        s = np.zeros(dim)
+        ss = np.zeros((dim, dim))
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array(list(pdf["embedding"]), dtype=np.float64)
+            n += m.shape[0]
+            s += m.sum(axis=0)
+            ss += m.T @ m
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "s": [s.tolist()], "ss": [ss.ravel().tolist()]}
+            )
+
+    rows = (
+        emb.select("embedding")
+        .mapInPandas(partials, "n long, s array<double>, ss array<double>")
+        .collect()
+    )
+    n = sum(r["n"] for r in rows)
+    s = np.sum([r["s"] for r in rows], axis=0)
+    ss = np.sum([r["ss"] for r in rows], axis=0).reshape(dim, dim)
+    mean = s / n
+    cov = ss / n - np.outer(mean, mean)
+    w = np.clip(np.linalg.eigvalsh(cov)[::-1], 0.0, None)
+    tr = float(w.sum())
+    shares = w / tr
+    nz = shares[shares > 0]
+    eff_rank = float(np.exp(-(nz * np.log(nz)).sum()))
+    out = [
+        ("dim", float(dim)),
+        ("n_vectors", float(n)),
+        ("trace", round(tr, 4)),
+        ("top1_share", round(float(shares[0]), 4)),
+        ("top5_share", round(float(shares[:5].sum()), 4)),
+        ("effective_rank", round(eff_rank, 4)),
+    ]
+    return spark.createDataFrame(out, "stat string, value double")

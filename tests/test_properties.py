@@ -226,3 +226,45 @@ def test_transition_matrix_probabilities_normalize(spark):
         .agg((F.count(F.lit(1)) - 1).alias("m")).collect()
     )
     assert total == sum(r["m"] for r in per_user)
+
+
+def test_effective_rank_matches_numpy_and_partitioning(spark):
+    """embedding_effective_rank is rows-only (no SQL eigensolver):
+    pin it against a straight single-process numpy computation on the
+    collected vectors, and pin partition invariance of the rounded
+    output (4 dp absorbs cross-partition float summation order)."""
+    import numpy as np
+
+    from mldag_spark.queries import REGISTRY
+    from mldag_spark.queries.tables import load
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["stat"]: r["value"] for r in
+           REGISTRY["embedding_effective_rank"](spark, sf).collect()}
+
+    m = np.array(
+        [r["embedding"] for r in
+         load(spark, sf, "embeddings").select("embedding").collect()],
+        dtype=np.float64,
+    )
+    cov = np.cov(m, rowvar=False, bias=True)
+    w = np.clip(np.linalg.eigvalsh(cov)[::-1], 0.0, None)
+    shares = w / w.sum()
+    nz = shares[shares > 0]
+    assert got["n_vectors"] == m.shape[0]
+    assert got["trace"] == round(float(w.sum()), 4)
+    assert got["top1_share"] == round(float(shares[0]), 4)
+    assert got["top5_share"] == round(float(shares[:5].sum()), 4)
+    assert got["effective_rank"] == round(
+        float(np.exp(-(nz * np.log(nz)).sum())), 4
+    )
+
+    # different physical layout -> identical rounded output
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        again = {r["stat"]: r["value"] for r in
+                 REGISTRY["embedding_effective_rank"](spark, sf).collect()}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert again == got
