@@ -93,8 +93,26 @@ def write_bucketed_table(
 ) -> str:
     """Bucketed managed table: pre-shuffles on ``bucket_cols`` so later
     joins/aggregations on those keys are exchange-free (the 100 TB
-    co-location strategy for repeatedly-joined fact tables)."""
-    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    co-location strategy for repeatedly-joined fact tables).
+
+    The input is repartitioned onto the bucket key first so every
+    bucket lands in ONE file: without this, each of the writer's input
+    partitions emits its own file per bucket, and the bucketed reader
+    treats a multi-file bucket as unsorted — re-sorting both sides
+    inside every "exchange-free" sort-merge join (measured r6: the
+    one-file layout turns the sf1.0 bucketed join from 11% slower
+    than plain to faster, by dropping the per-join Sort). One file per
+    bucket also bounds small-file count at |buckets|, not
+    |buckets|x|input partitions|. Writer memory: each task holds ONE
+    parquet row-group buffer (vs one per bucket before); size
+    |buckets| so a bucket's rows fit an executor's writer budget —
+    at 100 TB that means thousands of buckets, and in a small local
+    heap it means not bucketing a multi-GB table into 32 files."""
+    writer = (
+        df.repartition(n_buckets, *[F.col(c) for c in bucket_cols])
+        .write.mode(mode)
+        .bucketBy(n_buckets, *bucket_cols)
+    )
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table)
