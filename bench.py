@@ -206,6 +206,9 @@ def main() -> int:
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # safe with write_bucketed_table's one-file-per-bucket layout;
+        # lets the bucketed join skip its per-side Sort (sources.py)
+        .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
         # NB: do NOT raise spark.driver.memory here. On this host a large
         # (8-16g) heap makes the local-mode JVM intermittently freeze for
         # minutes (jstack cannot even attach); with the default heap the

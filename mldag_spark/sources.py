@@ -97,13 +97,17 @@ def write_bucketed_table(
 
     The input is repartitioned onto the bucket key first so every
     bucket lands in ONE file: without this, each of the writer's input
-    partitions emits its own file per bucket, and the bucketed reader
-    treats a multi-file bucket as unsorted — re-sorting both sides
-    inside every "exchange-free" sort-merge join (measured r6: the
-    one-file layout turns the sf1.0 bucketed join from 11% slower
-    than plain to faster, by dropping the per-join Sort). One file per
-    bucket also bounds small-file count at |buckets|, not
-    |buckets|x|input partitions|. Writer memory: each task holds ONE
+    partitions emits its own file per bucket. Measured r6 at sf1.0:
+    the one-file layout alone turns the bucketed join from 11% slower
+    than plain (multi-file buckets scatter each key across files) to
+    1.19x faster. To ALSO eliminate the per-join Sort, readers must
+    set ``spark.sql.legacy.bucketedTableScan.outputOrdering=true``:
+    Spark only trusts sortBy metadata when every bucket is a single
+    file, and disabled the optimization by default because multi-file
+    buckets made it unsafe — this writer restores the guarantee the
+    config needs (plan-pinned: zero Exchange AND zero Sort below the
+    join in ``test_plans``). One file per bucket also bounds
+    small-file count at |buckets|, not |buckets|x|input partitions|. Writer memory: each task holds ONE
     parquet row-group buffer (vs one per bucket before); size
     |buckets| so a bucket's rows fit an executor's writer budget —
     at 100 TB that means thousands of buckets, and in a small local

@@ -281,6 +281,11 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         )
         prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # safe ONLY because write_bucketed_table guarantees one file
+        # per bucket (see its docstring); pins the sort-free read
+        spark.conf.set(
+            "spark.sql.legacy.bucketedTableScan.outputOrdering", "true"
+        )
         try:
             with _no_aqe(spark):
                 l, o = spark.table("plan_bucket.li_b"), spark.table("plan_bucket.o_b")
@@ -292,11 +297,19 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
                 plan = _executed(j)
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            spark.conf.set(
+                "spark.sql.legacy.bucketedTableScan.outputOrdering", "false"
+            )
         join_and_below = plan[plan.index("SortMergeJoin"):]
         # the only allowed exchange is the single-aggregation shuffle
         # ABOVE the join; below it, bucket pruning means zero exchanges
         assert "Exchange" not in join_and_below, plan
         assert "SortMergeJoin" in plan, plan
+        # r6: ONE sorted file per bucket means the reader trusts the
+        # sortBy metadata and the join needs no per-side Sort either —
+        # a multi-file bucket silently re-sorts both sides (measured
+        # 0.89x -> 1.19x at sf1.0 when this was fixed)
+        assert "Sort " not in join_and_below, plan
         # result parity with the plain-parquet join
         got = {r["o_orderstatus"]: round(r["rev"], 2) for r in j.collect()}
         want = {

@@ -242,3 +242,32 @@ def test_write_training_shards_deterministic_bytes(spark, tmp_path):
     # different upstream physical partitioning
     assert shard_hashes(shuffled.repartition(7), str(tmp_path / "c")) == base
     assert shard_hashes(shuffled.repartition(13), str(tmp_path / "d")) == base
+
+
+def test_bucketed_table_one_file_per_bucket(spark, tmp_path):
+    """The r6 layout contract: exactly n_buckets data files, so the
+    bucketed reader never sees a multi-file (= treated-as-unsorted)
+    bucket and bucket count bounds small-file count."""
+    import glob
+    import os
+
+    from mldag_spark.sources import write_bucketed_table
+    from tests.conftest import SF_DIR
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").repartition(7)
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS src_bucket LOCATION '{tmp_path}/wh'"
+    )
+    try:
+        write_bucketed_table(
+            li.select("l_orderkey", "l_quantity"),
+            "src_bucket.li_b", ["l_orderkey"], 8, sort_cols=["l_orderkey"],
+        )
+        loc = (
+            spark.sql("DESCRIBE EXTENDED src_bucket.li_b")
+            .filter("col_name = 'Location'").first()["data_type"]
+        )
+        files = glob.glob(os.path.join(loc.replace("file:", ""), "*.parquet"))
+        assert len(files) == 8, sorted(files)
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS src_bucket CASCADE")
