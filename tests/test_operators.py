@@ -588,3 +588,75 @@ def test_connected_components_releases_checkpoint_blocks(spark):
     out = connected_components(df, "doc_a", "doc_b")
     assert out.count() == 11
     assert jsc.getPersistentRDDs().size() <= before + 1
+
+
+def test_band_index_bucketed_probe_no_index_exchange(spark, tmp_path):
+    """The production recurrence the streaming/incremental docstrings
+    claim: persist the corpus band index bucketed by (band, bucket)
+    and the per-batch probe join reads it with NO Exchange on the
+    index side — only the (tiny) batch side shuffles. Pinned on the
+    raw candidate join (no distinct) so the plan has exactly one
+    Exchange; candidates must equal the unbucketed path's."""
+    from mldag_spark.operators.dedup import minhash_band_index
+    from mldag_spark.sources import write_bucketed_table
+
+    rows = [(i, e) for i in range(2, 20, 2)
+            for e in [f"a b {i%5}", "b c d", f"c d {i%3}", "d e f"]]
+    df = spark.createDataFrame(rows, ["doc_id", "shingle"])
+    batch = spark.createDataFrame(
+        [(1, "a b 0"), (1, "b c d"), (3, "x y z")], ["doc_id", "shingle"]
+    )
+    ib = minhash_band_index(df, "doc_id", "shingle", 32, 8)
+    bb = minhash_band_index(batch, "doc_id", "shingle", 32, 8)
+
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS bandix LOCATION '{tmp_path}/wh'"
+    )
+    try:
+        write_bucketed_table(
+            ib, "bandix.index_b", ["band", "bucket"], 4,
+            sort_cols=["band", "bucket"],
+        )
+        ib_t = spark.table("bandix.index_b")
+
+        def candidates(index_side):
+            return (
+                bb.alias("a")
+                .join(
+                    index_side.hint("merge").alias("b"),
+                    (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.bucket") == F.col("b.bucket")),
+                )
+                .select(
+                    F.col("a.doc_id").alias("batch_id"),
+                    F.col("b.doc_id").alias("index_id"),
+                )
+            )
+
+        import contextlib
+
+        @contextlib.contextmanager
+        def no_aqe():
+            old = spark.conf.get("spark.sql.adaptive.enabled")
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+            try:
+                yield
+            finally:
+                spark.conf.set("spark.sql.adaptive.enabled", old)
+
+        with no_aqe():
+            j = candidates(ib_t)
+            plan = j._jdf.queryExecution().executedPlan().toString()
+        # the batch branch (printed first) owns both Exchanges: its
+        # minhash aggregate shuffle and the join shuffle. The index
+        # branch is printed after them — from the last Exchange to the
+        # end there must be NO further Exchange, only the bucketed scan
+        tail = plan[plan.rindex("Exchange") + len("Exchange"):]
+        assert "Exchange" not in tail, plan
+        assert "Bucketed: true" in tail, plan
+        assert plan.count("Exchange") == 2, plan
+        got = {tuple(r) for r in j.collect()}
+        want = {tuple(r) for r in candidates(ib).collect()}
+        assert got == want and got
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS bandix CASCADE")
