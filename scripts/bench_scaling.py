@@ -78,6 +78,8 @@ SF3_QUERIES = (
     "text_boilerplate_chunks",
     "text_bigram_surprisal",
     "dedup_minhash_lsh",
+    # streaming at 30x: real stream, checkpoint, cached band index
+    "stream_incremental_dedup",
     "embedding_near_dup_blocked",
     "dedup_components",
 )
