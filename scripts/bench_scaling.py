@@ -80,6 +80,8 @@ SF3_QUERIES = (
     "dedup_minhash_lsh",
     # streaming at 30x: real stream, checkpoint, cached band index
     "stream_incremental_dedup",
+    # iterative graph kernel at 30x: per-iteration shuffle scaling
+    "graph_pagerank_bipartite",
     "embedding_near_dup_blocked",
     "dedup_components",
 )
