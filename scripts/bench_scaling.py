@@ -78,6 +78,9 @@ SF3_QUERIES = (
     "text_boilerplate_chunks",
     "text_bigram_surprisal",
     "dedup_minhash_lsh",
+    "ann_cosine_topk",
+    "knn_label_vote",
+    "pack_token_budget_batches",
     # streaming at 30x: real stream, checkpoint, cached band index
     "stream_incremental_dedup",
     # iterative graph kernel at 30x: per-iteration shuffle scaling
