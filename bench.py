@@ -171,10 +171,19 @@ def bench_shard_write(spark, sf_dir: str, repeats: int) -> dict:
         for d in sorted(os.listdir(out)):
             if not d.startswith("shard_id="):
                 continue
-            for f in sorted(os.listdir(os.path.join(out, d))):
-                if f.endswith(".parquet"):
-                    with open(os.path.join(out, d, f), "rb") as fh:
-                        hashes[d] = hashlib.sha256(fh.read()).hexdigest()
+            # key by (dir, file INDEX): keying by dir alone kept only
+            # the last file (multi-file shards would be vacuously
+            # "deterministic"), and keying by file NAME never matches
+            # across runs (part- names embed per-run UUIDs)
+            files = sorted(
+                f for f in os.listdir(os.path.join(out, d))
+                if f.endswith(".parquet")
+            )
+            for i, f in enumerate(files):
+                with open(os.path.join(out, d, f), "rb") as fh:
+                    hashes[f"{d}/{i}"] = hashlib.sha256(
+                        fh.read()
+                    ).hexdigest()
         return dt, hashes
 
     try:
@@ -187,7 +196,7 @@ def bench_shard_write(spark, sf_dir: str, repeats: int) -> dict:
             "write_sec": min(times),
             "rows": n_rows,
             "rows_per_sec": round(n_rows / min(times)),
-            "n_shards": len(all_hashes[0]),
+            "n_shards": len({k.split("/")[0] for k in all_hashes[0]}),
             "deterministic": all(h == all_hashes[0] for h in all_hashes[1:]),
         }
     finally:

@@ -112,6 +112,16 @@ def write_bucketed_table(
     |buckets| so a bucket's rows fit an executor's writer budget —
     at 100 TB that means thousands of buckets, and in a small local
     heap it means not bucketing a multi-GB table into 32 files."""
+    if mode == "append":
+        # appending adds n_buckets MORE files, so every bucket becomes
+        # multi-file; under the sorted-bucket-scan read config that
+        # silently yields wrong join output (Spark trusts sortBy
+        # metadata it can no longer honor). Rebuild instead.
+        raise ValueError(
+            "write_bucketed_table cannot append: it would break the "
+            "one-file-per-bucket invariant the sorted bucketed read "
+            "depends on; rewrite the table (mode='overwrite')"
+        )
     writer = (
         df.repartition(n_buckets, *[F.col(c) for c in bucket_cols])
         .write.mode(mode)

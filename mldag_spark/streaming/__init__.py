@@ -358,12 +358,17 @@ def incremental_dedup_stream(
     partition via dynamic partition overwrite: a retry REPLACES the
     partition it had partially written instead of appending next to
     it, and since the pair computation is deterministic the sink's
-    contents are exactly-once per micro-batch id. The empty seed that
-    guarantees readers a readable schema is written only when
-    ``out_path`` does not already exist — restarting a stream on an
-    existing checkpoint must never wipe pairs emitted by already-
-    committed batches (the checkpoint would suppress their replay:
-    silent data loss, the r5 bug).
+    contents are exactly-once per micro-batch id WITHIN a checkpoint.
+    The empty seed that guarantees readers a readable schema is
+    written only when ``out_path`` holds no ``_mb_id=*`` partitions
+    yet (bare-directory pre-creation still seeds) — restarting a
+    stream on an existing checkpoint must never wipe pairs emitted by
+    already-committed batches (the checkpoint would suppress their
+    replay: silent data loss, the r5 bug). A FRESH checkpoint against
+    a sink that already holds batches is refused outright: the new
+    run renumbers micro-batches, so per-batch overwrite could leave
+    the old numbering's stale partitions alive — silent duplication
+    (r6 hardening).
 
     ``shingle_fn``: batch DataFrame -> (id, element) rows (e.g.
     ``functions.shingle_rows`` curried with the text column); kept as a
@@ -393,11 +398,32 @@ def incremental_dedup_stream(
     # FileSystem API (out_path may be s3a://... on a cluster).
     jpath = spark._jvm.org.apache.hadoop.fs.Path(out_path)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.exists(jpath):
+    glob_mb = spark._jvm.org.apache.hadoop.fs.Path(f"{out_path}/_mb_id=*")
+    has_batches = fs.exists(jpath) and len(fs.globStatus(glob_mb) or []) > 0
+    if not has_batches:
+        # a bare/empty directory (pre-created prefix, leftover
+        # _SUCCESS) must still be seeded: "exists" alone would skip
+        # the seed and leave a sink spark.read cannot infer a schema
+        # from when every batch has zero pairs
         empty = spark.createDataFrame(
             [], "batch_id bigint, index_id bigint, jaccard double"
         )
         empty.write.mode("overwrite").parquet(f"{out_path}/_mb_id=-1")
+    else:
+        # batches exist but the checkpoint does not: a FRESH checkpoint
+        # renumbers micro-batches from 0, and per-_mb_id overwrite
+        # would only replace the ids the new decomposition happens to
+        # reuse — stale partitions from the old run would survive and
+        # duplicate pairs. Refuse rather than silently double-count.
+        ckpt = spark._jvm.org.apache.hadoop.fs.Path(checkpoint)
+        cfs = ckpt.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not cfs.exists(ckpt):
+            raise ValueError(
+                f"out_path {out_path!r} holds batches from a previous "
+                f"run but checkpoint {checkpoint!r} is fresh; resume "
+                "with the original checkpoint or point at a clean "
+                "out_path"
+            )
 
     def _process(batch: DataFrame, batch_id: int) -> None:
         rows = shingle_fn(batch)

@@ -236,16 +236,36 @@ def test_incremental_dedup_stream_matches_batch(spark, tmp_path):
     )
     assert read_pairs() == want
 
-    # replay with a FRESH checkpoint over the same sink: micro-batches
-    # re-execute with the same ids and must REPLACE their _mb_id
-    # partitions, not append duplicates — the at-least-once retry
-    # contract in miniature
+    # a FRESH checkpoint against a sink that already holds batches is
+    # refused (r6): a new checkpoint renumbers micro-batches from 0,
+    # so per-_mb_id overwrite could leave stale partitions from the
+    # old numbering alive — silent duplication. The retry-idempotence
+    # contract lives WITHIN a checkpoint (dynamic partition overwrite
+    # replaces a retried batch's partition).
+    import pytest
+
+    with pytest.raises(ValueError, match="fresh"):
+        S.incremental_dedup_stream(
+            S.documents_stream(spark, src).filter(F.col("doc_id") % 2 == 1),
+            index_rows,
+            out_path=out_path,
+            checkpoint=str(tmp_path / "ckpt2"),
+            shingle_fn=lambda b: shingle_rows(b, "doc_id", "text", 3),
+            threshold=0.5,
+        )
+    assert read_pairs() == want  # refused run left the sink untouched
+
+    # fresh checkpoint + clean sink: full replay reproduces the pairs
+    out2 = str(tmp_path / "pairs2")
     S.incremental_dedup_stream(
         S.documents_stream(spark, src).filter(F.col("doc_id") % 2 == 1),
         index_rows,
-        out_path=out_path,
-        checkpoint=str(tmp_path / "ckpt2"),
+        out_path=out2,
+        checkpoint=str(tmp_path / "ckpt3"),
         shingle_fn=lambda b: shingle_rows(b, "doc_id", "text", 3),
         threshold=0.5,
     )
-    assert read_pairs() == want
+    assert sorted(
+        (r["batch_id"], r["index_id"], r["jaccard"])
+        for r in spark.read.parquet(out2).collect()
+    ) == want
