@@ -1824,7 +1824,9 @@ def text_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT w1, COUNT(*) AS cw FROM grams GROUP BY 1
     )
     SELECT doc_id, COUNT(*) AS n_bigrams,
-           ROUND(AVG(-log2(CAST(cb AS DOUBLE) / cw)), 4) AS avg_surprisal
+           ROUND(CAST(SUM(CAST(ROUND(-log2(CAST(cb AS DOUBLE) / cw), 6)
+                               AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*), 4) AS avg_surprisal
     FROM grams JOIN bf USING (bg) JOIN cf USING (w1)
     GROUP BY doc_id
     """,
@@ -1873,8 +1875,19 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
+            # exact decimal sum of 6-dp-rounded per-bigram surprisals:
+            # a plain F.avg over doubles varies with partial-sum order
+            # across partitionings (ADVICE r6) — the repo-wide
+            # decimal-accumulation pattern makes the 4-dp result
+            # genuinely partition-invariant, not probabilistically so
             F.round(
-                F.avg(-F.log2(F.col("cb").cast("double") / F.col("cw"))), 4
+                F.sum(
+                    F.round(
+                        -F.log2(F.col("cb").cast("double") / F.col("cw")), 6
+                    ).cast("decimal(18,6)")
+                ).cast("double")
+                / F.count(F.lit(1)),
+                4,
             ).alias("avg_surprisal"),
         )
     )

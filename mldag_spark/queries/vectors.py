@@ -512,15 +512,29 @@ def embedding_effective_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     n = sum(r["n"] for r in rows)
+    if n == 0:
+        # empty corpus: a well-typed all-zero stats frame beats a
+        # ZeroDivisionError / un-reshapeable empty sum (ADVICE r6)
+        out = [(k, 0.0) for k in (
+            "dim", "n_vectors", "trace", "top1_share", "top5_share",
+            "effective_rank",
+        )]
+        return spark.createDataFrame(out, "stat string, value double")
     s = np.sum([r["s"] for r in rows], axis=0)
     ss = np.sum([r["ss"] for r in rows], axis=0).reshape(dim, dim)
     mean = s / n
     cov = ss / n - np.outer(mean, mean)
     w = np.clip(np.linalg.eigvalsh(cov)[::-1], 0.0, None)
     tr = float(w.sum())
-    shares = w / tr
-    nz = shares[shares > 0]
-    eff_rank = float(np.exp(-(nz * np.log(nz)).sum()))
+    if tr <= 0.0:
+        # identical vectors: zero covariance — the spectrum carries no
+        # information; report rank/shares as 0 instead of NaN
+        shares = np.zeros_like(w)
+        eff_rank = 0.0
+    else:
+        shares = w / tr
+        nz = shares[shares > 0]
+        eff_rank = float(np.exp(-(nz * np.log(nz)).sum()))
     out = [
         ("dim", float(dim)),
         ("n_vectors", float(n)),

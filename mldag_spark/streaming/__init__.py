@@ -368,7 +368,9 @@ def incremental_dedup_stream(
     a sink that already holds batches is refused outright: the new
     run renumbers micro-batches, so per-batch overwrite could leave
     the old numbering's stale partitions alive — silent duplication
-    (r6 hardening).
+    (r6 hardening). The ``_mb_id=-1`` seed alone does NOT trigger the
+    refusal — a sink holding only the sentinel has no committed
+    batches to duplicate (r7, ADVICE r6).
 
     ``shingle_fn``: batch DataFrame -> (id, element) rows (e.g.
     ``functions.shingle_rows`` curried with the text column); kept as a
@@ -399,8 +401,18 @@ def incremental_dedup_stream(
     jpath = spark._jvm.org.apache.hadoop.fs.Path(out_path)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
     glob_mb = spark._jvm.org.apache.hadoop.fs.Path(f"{out_path}/_mb_id=*")
-    has_batches = fs.exists(jpath) and len(fs.globStatus(glob_mb) or []) > 0
-    if not has_batches:
+    statuses = (
+        list(fs.globStatus(glob_mb) or []) if fs.exists(jpath) else []
+    )
+    # the `_mb_id=-1` empty seed is NOT a committed batch: counting it
+    # would refuse reruns of a run that crashed between seeding and
+    # creating the checkpoint, or that committed zero batches — there
+    # is nothing in the sink to duplicate (ADVICE r6). It still counts
+    # for the seed-skip decision (the sink is already readable).
+    has_batches = any(
+        s.getPath().getName() != "_mb_id=-1" for s in statuses
+    )
+    if not statuses:
         # a bare/empty directory (pre-created prefix, leftover
         # _SUCCESS) must still be seeded: "exists" alone would skip
         # the seed and leave a sink spark.read cannot infer a schema
@@ -409,7 +421,7 @@ def incremental_dedup_stream(
             [], "batch_id bigint, index_id bigint, jaccard double"
         )
         empty.write.mode("overwrite").parquet(f"{out_path}/_mb_id=-1")
-    else:
+    elif has_batches:
         # batches exist but the checkpoint does not: a FRESH checkpoint
         # renumbers micro-batches from 0, and per-_mb_id overwrite
         # would only replace the ids the new decomposition happens to
