@@ -90,24 +90,53 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# banded LSH geometry for embedding near-dup: 8 bands x 8 bits = 64
-# deterministic integer hyperplanes (operators/similarity.py
-# det_hyperplane_weights). Candidate = same label AND same bucket in
-# >=1 band. For true near-dups (cos >= 0.9, p_bit = 0.857) per-pair
-# recall is 1-(1-0.857^8)^8 ~ 0.94; tail pairs at the 0.4 threshold
+# banded LSH geometry for embedding near-dup: 8 bands of
+# corpus-size-derived width (min 8 bits) over deterministic integer
+# hyperplanes (operators/similarity.py det_hyperplane_weights).
+# Candidate = same label AND same bucket in >=1 band. For true
+# near-dups (cos >= 0.9, p_bit = 0.857) per-pair recall at 8 bits is
+# 1-(1-0.857^8)^8 ~ 0.94; tail pairs at the 0.4 threshold
 # (p_bit ~ 0.65) surface at ~25-35% — the documented price of
-# subquadratic candidates at a threshold that weak. Raise _LSH_BANDS
-# for recall, _LSH_BITS for sparser buckets as the corpus grows.
+# subquadratic candidates at a threshold that weak.
+#
+# Width auto-scaling (VERDICT r6 #1): at FIXED width the bucket count
+# per band is constant, so bucket occupancy — and the Σ bucket²
+# candidate output — grows quadratically with corpus size (measured
+# 21x wall at 30x data with 8 bits). _lsh_bits() therefore derives
+# the width from the corpus count: the smallest b in [8, 24] with
+# 2^b · _LSH_TARGET_BUCKET >= n, i.e. expected occupancy stays at
+# ~_LSH_TARGET_BUCKET vectors per band bucket at any N, keeping the
+# candidate stage linear. Exact integer logic so the SQL oracle
+# derives the identical width from COUNT(*) — no float log2 on either
+# engine. Beyond 2^24·32 ≈ 5·10⁸ vectors, raise _LSH_MAX_BITS (and
+# the oracle's generate_series bound) or split the corpus by label.
 _LSH_BANDS = 8
-_LSH_BITS = 8
+_LSH_MIN_BITS = 8
+_LSH_MAX_BITS = 24
+_LSH_TARGET_BUCKET = 32
 _DIM = 64
 
+
+def _lsh_bits(n: int) -> int:
+    """Smallest width b in [_LSH_MIN_BITS, _LSH_MAX_BITS] such that
+    2^b * _LSH_TARGET_BUCKET >= n (integer-exact; mirrored in SQL)."""
+    for b in range(_LSH_MIN_BITS, _LSH_MAX_BITS + 1):
+        if (1 << b) * _LSH_TARGET_BUCKET >= n:
+            return b
+    return _LSH_MAX_BITS
+
 # the oracle recomputes the identical signatures in pure int64 SQL:
-# floor(x*1e6) quantization, Knuth-hash weights, dot>0 bits, bit-packed
-# band buckets — exact integer arithmetic, so no float-summation-order
-# drift between Spark and DuckDB is possible
+# the same smallest-b width derivation from COUNT(*), floor(x*1e6)
+# quantization, Knuth-hash weights, dot>0 bits, bit-packed band
+# buckets — exact integer arithmetic end to end, so no float drift
+# between Spark and DuckDB is possible at ANY corpus size
 _NEAR_DUP_ORACLE = f"""
-    WITH pos AS (
+    WITH params AS (
+        SELECT COALESCE(MIN(b), {_LSH_MAX_BITS}) AS bits
+        FROM generate_series({_LSH_MIN_BITS}, {_LSH_MAX_BITS}) t(b)
+        WHERE (CAST(1 AS BIGINT) << b) * {_LSH_TARGET_BUCKET} >=
+              (SELECT COUNT(*) FROM embeddings)
+    ), pos AS (
         SELECT vec_id, label, u - 1 AS i, CAST(embedding[u] AS DOUBLE) AS x
         FROM (SELECT vec_id, label, embedding,
                      unnest(generate_series(1, len(embedding))) AS u
@@ -118,13 +147,19 @@ _NEAR_DUP_ORACLE = f"""
                    ((((1 + p.i + {_DIM} * j.j) * 2654435761) % 4294967296)
                     // 4194304 - 512)) AS dot
         FROM pos p
-        CROSS JOIN (SELECT unnest(generate_series(0, {_LSH_BANDS * _LSH_BITS - 1})) AS j) j
+        CROSS JOIN params pr
+        CROSS JOIN (SELECT unnest(generate_series(0, {_LSH_BANDS * _LSH_MAX_BITS - 1})) AS j) j
+        WHERE j.j < {_LSH_BANDS} * pr.bits
         GROUP BY p.vec_id, p.label, j.j
+    ), bits AS (
+        SELECT d.vec_id, d.label,
+               d.j // pr.bits AS band, d.j % pr.bits AS bit, d.dot
+        FROM dots d CROSS JOIN params pr
     ), sigs AS (
-        SELECT vec_id, label, j // {_LSH_BITS} AS band,
-               SUM(CASE WHEN dot > 0 THEN 1 << (j % {_LSH_BITS}) ELSE 0 END)
-                   AS bucket
-        FROM dots GROUP BY vec_id, label, j // {_LSH_BITS}
+        SELECT vec_id, label, band,
+               SUM(CASE WHEN dot > 0 THEN CAST(1 AS BIGINT) << bit
+                        ELSE 0 END) AS bucket
+        FROM bits GROUP BY vec_id, label, band
     ), cand AS (
         SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label
         FROM sigs a JOIN sigs b
@@ -153,19 +188,25 @@ def embedding_near_dup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     10x data (SCALING r5), the one remaining quadratic hot spot: a
     single dominant label at 100 TB recreates the all-pairs problem.
 
-    This round replaces the candidate generator with banded
-    hyperplane LSH (the structure MinHash-LSH uses for text): each
-    vector gets ``_LSH_BANDS`` bucket ids from deterministic integer
-    hyperplanes (``operators/similarity.banded_signature_udf``), and
-    only pairs sharing (label, band, bucket) are verified with the
-    exact JVM cosine. Candidates drop from Σ block² to
-    Σ bucket² ≈ N²·B/2^r with per-bucket sizes ~|label|/2^r — at
-    sf0.1 that is 13k candidates vs 200k all-pairs, and the verify
-    stage is no longer the scaling term: signatures (one int64 matmul
-    per Arrow batch), the (label, band, bucket) self-join, and the
-    pair-distinct are all linear in N·B. Recall is the banding trade
-    (see _LSH_BANDS note above); the exact-within-label formulation
-    this replaces remains in git history for small corpora.
+    r6 replaced the candidate generator with banded hyperplane LSH
+    (the structure MinHash-LSH uses for text): each vector gets
+    ``_LSH_BANDS`` bucket ids from deterministic integer hyperplanes
+    (``operators/similarity.banded_signature_udf``), and only pairs
+    sharing (label, band, bucket) are verified with the exact JVM
+    cosine. Candidates drop from Σ block² to Σ bucket², and the
+    verify stage is no longer the scaling term: signatures (one int64
+    matmul per Arrow batch), the (label, band, bucket) self-join, and
+    the pair-distinct are all linear in N·B. Recall is the banding
+    trade (see _LSH_BANDS note above).
+
+    r7 (VERDICT r6 #1) removes the last fixed constant: the band
+    WIDTH now derives from the corpus count via :func:`_lsh_bits`
+    (one metadata-cheap ``count()``), so per-band bucket occupancy —
+    and with it the Σ bucket² candidate output — stays ~constant per
+    vector as the corpus grows instead of saturating the 256 buckets
+    the old 8-bit geometry offered (measured 21x wall at 30x data).
+    The oracle derives the identical width from ``COUNT(*)`` with the
+    same integer comparison, so the gate stays exact at any scale.
 
     Plan shape: signature explode (N·B rows of 4 scalar cols — vectors
     are NOT carried through the band join), sort-merge self-join on
@@ -179,7 +220,7 @@ def embedding_near_dup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = emb.select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
-    sig = banded_signature_udf(_DIM, _LSH_BANDS, _LSH_BITS)
+    sig = banded_signature_udf(_DIM, _LSH_BANDS, _lsh_bits(emb.count()))
     s = v.withColumn("bands", sig(F.col("v"))).select(
         "vec_id", "label", F.posexplode("bands").alias("band", "bucket")
     )
