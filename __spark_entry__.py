@@ -41,14 +41,10 @@ _GATE_ORDER = [
     "dag_pipeline_priority_revenue",
     "dag_ml_standard_scaler",
     "dag_sql_priority_topk",
-    # Text analysis
-    "text_token_stats",
+    # Text analysis (r7 rotation: text_token_stats / text_language_id /
+    # text_chunk_sequences banked green r1-r6 and rotated out; the
+    # r7-changed decimal-sum surprisal stays for driver-level proof)
     "text_quality_score",
-    "text_language_id",
-    "text_chunk_sequences",
-    # New in r6 (gated in its first round; swapped for
-    # text_repetition_stats, hash-green r2-r5 and still under the
-    # continuous sf0.001 oracle sweep)
     "text_bigram_surprisal",
     # Deduplication
     "dedup_exact",
@@ -60,33 +56,42 @@ _GATE_ORDER = [
     "ann_cosine_topk",
     "embedding_near_dup_blocked",
     "knn_label_vote",
-    # Structured Streaming
-    "stream_hourly_rollup",
+    # Structured Streaming (r7: stream_hourly_rollup banked green and
+    # rotated out for the never-gated stream_static_enrich; the
+    # r7-changed incremental-dedup sink stays for driver-level proof)
     "stream_sessionization",
     "stream_user_totals",
     "stream_dedup_keys",
     "stream_stream_join",
     "stream_incremental_dedup",
+    "stream_static_enrich",
     # Multimodal
     "multimodal_media_stats",
     "multimodal_frame_samples",
     "multimodal_feature_extract",
-    # Events (scalar breadth / as-of / Arrow UDF / sessionization)
+    # Events (scalar breadth / as-of / Arrow UDF; events_sessionization
+    # banked green r1-r6 and rotated out in r7)
     "events_json_extract",
-    "events_sessionization",
     "events_asof_latest_order",
     "events_grouped_zscore",
-    # Relational: scans, filters, scalar functions
+    # Relational: scans, filters, scalar functions (q5 banked green and
+    # rotated out in r7 for three never-gated TPC-H patterns)
     "q1_pricing_summary",
-    "q5_local_supplier_volume",
+    "q11_part_value_concentration",
+    "q20_heavy_small_part_suppliers",
+    "q21_sole_late_supplier",
     "scalar_expressions",
-    # Joins
-    "join_semi_big_orders",
-    "join_anti_customers_without_orders",
+    # Joins (r7: semi/anti banked green, rotated out for the
+    # never-gated full-outer and right-outer patterns)
+    "join_full_outer_daily_activity",
+    "join_right_customer_ordercounts",
     "join_range_parts_in_price_band",
     "join_salted_nation_volume",
-    # Windows
+    # Windows (+ the never-gated supplier-balance ranks, rotated in r7)
     "window_topk_orders_per_customer",
+    "window_supplier_balance_ranks",
+    # Unpivot (never-gated until r7)
+    "unpivot_revenue_components",
     # Aggregations
     "agg_rollup_flag_status",
     "agg_salted_returnflag_totals",

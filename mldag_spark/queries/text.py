@@ -276,57 +276,30 @@ _JACCARD_ORACLE = """
 
 @register("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard near-dup pairs (jaccard >= 0.8).
+    """Exact 3-gram Jaccard near-dup pairs (jaccard >= 0.8), via the
+    prefix-filtered all-pairs similarity join
+    (``operators.dedup.jaccard_prefix_pairs``).
 
-    Plan: distinct (doc, shingle) rows → self-join on shingle
-    (inverted index; only docs sharing a shingle pair up) → count
-    common per pair → Jaccard from |A|+|B|-common. Shuffles on shingle
-    then on pair — both key-partitioned, no cartesian anywhere. The
-    distinct and the per-doc size rollup both run on the shingle-row
-    window's doc_id partitioning (doc_id ⊆ their grouping keys), so
-    neither adds an exchange — no collect_set array is ever built.
-
-    Every join carries a ``merge`` hint — the same law as the LSH
-    pipeline (``operators/dedup.py:_verify_pairs_by_rows``): the
-    element rows and per-doc sizes are post-explode/post-aggregate, so
-    Catalyst's size estimates for them are garbage, and the unhinted
-    sf1.0 plan chose THREE BroadcastHashJoins — including a hash table
-    keyed on the shingle STRING over the full corpus' element rows
-    (task OOM in a 2g harness; fatal at 100 TB). Sort-merge spills.
-    """
+    r2-r6 ran the plain inverted index here: self-join every distinct
+    (doc, shingle) row on the shingle. That plan's candidate volume
+    is Σ df² over shingles — r7 measured it growing 163× at 30× data
+    (corpus-wide boilerplate shingles have document frequency ∝
+    corpus size: max df 25 → 690), the quadratic curve behind
+    ``dedup_components``' 93 s SCALING row. Prefix filtering joins
+    only each document's ~(1-t)·|X| RAREST shingles (rank by global
+    (df, shingle) order); the smallest common shingle of any
+    qualifying pair provably lands in both prefixes, so the result is
+    still EXACT — same output, candidate fan-out driven by rare-df
+    shingles instead of the corpus-wide maximum. Verification counts
+    intersections over the full element rows (row-based, spillable;
+    merge-hinted everywhere — post-aggregate size estimates are
+    garbage, the repo-wide law)."""
     from mldag_spark.functions import shingle_rows
+    from mldag_spark.operators.dedup import jaccard_prefix_pairs
 
     d = load(spark, sf_dir, "documents")
-    ex = shingle_rows(d, "doc_id", "text", 3).distinct()
-    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = ex.alias("a")
-    b = ex.hint("merge").alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.select(
-        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")
-    ).hint("merge")
-    sb = sizes.select(
-        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")
-    ).hint("merge")
-    jac = F.col("n_common").cast("double") / (
-        F.col("n_a") + F.col("n_b") - F.col("n_common")
-    )
-    return (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(jac >= 0.8)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
-    )
+    rows = shingle_rows(d, "doc_id", "text", 3)
+    return jaccard_prefix_pairs(rows, "doc_id", "shingle", 0.8)
 
 
 @register("dedup_simhash")  # no oracle: hash-function-specific fingerprints
@@ -424,12 +397,22 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact 3-gram-Jaccard >= 0.8 pair graph (component id = min
     doc_id of the group).
 
-    Pair generation is the oracle-matched inverted-index plan of
-    ``dedup_ngram_jaccard``; clustering is alternating
-    Large-Star/Small-Star (see ``operators.dedup.connected_components``)
-    — O(log² n) shuffle rounds independent of cluster diameter, the
-    shape that survives chain-shaped duplicate clusters at 100 TB.
-    The DuckDB oracle computes the same closure with a recursive CTE.
+    Pair generation is the oracle-matched prefix-filtered similarity
+    join of ``dedup_ngram_jaccard`` (exact, and its candidate stage
+    is bounded by rare-shingle df — the r7 fix for the 93 s
+    quadratic SCALING curve this query carried at 30× data);
+    clustering is alternating Large-Star/Small-Star (see
+    ``operators.dedup.connected_components``) — O(log² n) shuffle
+    rounds independent of cluster diameter, the shape that survives
+    chain-shaped duplicate clusters at 100 TB. The DuckDB oracle
+    computes the same closure with a recursive CTE.
+
+    Note on the r6-suggested representative-collapse: measured at
+    sf1.0/sf3.0, 99.84 % of documents are fingerprint-unique and
+    shingle-set-unique, so collapsing exact-duplicate groups before
+    pair generation cannot bound this corpus' edge input; the df²
+    candidate term was the actual super-linear driver (see
+    ``jaccard_prefix_pairs``).
     """
     from mldag_spark.operators.dedup import connected_components
 
