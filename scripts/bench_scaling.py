@@ -305,13 +305,21 @@ def main() -> int:
             "sf3.0 wall-times are comparable to each other, not to "
             "the 32-core sf0.1/sf1.0 columns",
             "notes": {
-                "stream_incremental_dedup": "sf1.0 8.5s (r5) -> ~13s "
-                "(r6): the r6 exactly-once sink (per-micro-batch "
-                "dynamic partition overwrite, ADVICE r5) pays a "
-                "job-commit per batch that plain at-least-once append "
-                "did not — the delta is the price of retry-"
-                "idempotence, not a plan regression (ratio unchanged "
-                "~1.8).",
+                "stream_incremental_dedup": "r7 probe (VERDICT r6 "
+                "#5), measured rejection: the per-batch commit "
+                "mechanism is NOT the cost — A/B at sf1.0 warm gave "
+                "12.9s (dynamic partition overwrite) vs 13.2s "
+                "(direct partition-path overwrite); the source runs "
+                "ONE micro-batch here. The dominant term is the "
+                "one-time corpus band-index build+cache (8.6s of "
+                "~13s), which this self-contained query rebuilds "
+                "per run but production persists bucketed on disk "
+                "(minhash_band_index docstring); per-batch "
+                "incremental work is ~4s. The sink now writes each "
+                "batch's _mb_id partition directory directly — same "
+                "exactly-once-per-batch contract, commit cost O(1) "
+                "in table size instead of dynamic overwrite's "
+                "staging enumeration as batch count grows.",
             },
             # VERDICT r5 #8: one-line diagnoses for the 30x rows. The
             # measured "Nx at 30x data" prefix is generated from the
