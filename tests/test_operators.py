@@ -660,3 +660,65 @@ def test_band_index_bucketed_probe_no_index_exchange(spark, tmp_path):
         assert got == want and got
     finally:
         spark.sql("DROP DATABASE IF EXISTS bandix CASCADE")
+
+
+def test_jaccard_prefix_pairs_exact_vs_bruteforce(spark):
+    """The prefix-filtered similarity join must equal the O(n²)
+    brute-force Jaccard at several thresholds — including sizes where
+    a float ceil(t·n) would round the wrong way (n=5, t=0.8:
+    0.8*5 = 4.000000000000001 in IEEE, ceil → 5, silently shrinking
+    the prefix; the integer formulation must keep the pair)."""
+    import itertools
+
+    from mldag_spark.operators.dedup import jaccard_prefix_pairs
+
+    corpora = {
+        # doc_id -> element set; crafted overlaps around the 0.8 and
+        # 0.5 boundaries, incl. a 5-element set with 4/6-overlap
+        1: {"a", "b", "c", "d", "e"},
+        2: {"a", "b", "c", "d", "x"},       # |∩|=4, |∪|=6 → 0.6667
+        3: {"a", "b", "c", "d", "e"},       # exact dup of 1 → 1.0
+        4: {"a", "b", "c", "d", "e", "f"},  # 5/6 → 0.8333
+        5: {"p", "q", "r"},
+        6: {"p", "q", "r", "s"},            # 3/4 → 0.75
+        7: {"zz"},
+        8: {"zz"},                          # singleton dup → 1.0
+    }
+    rows = spark.createDataFrame(
+        [(i, e) for i, es in corpora.items() for e in es],
+        ["doc_id", "elem"],
+    )
+    for t in (0.8, 0.75, 0.5, 0.9999):
+        want = sorted(
+            (a, b, round(len(corpora[a] & corpora[b])
+                         / len(corpora[a] | corpora[b]), 4))
+            for a, b in itertools.combinations(sorted(corpora), 2)
+            if len(corpora[a] & corpora[b])
+            / len(corpora[a] | corpora[b]) >= t
+        )
+        got = sorted(
+            (r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in jaccard_prefix_pairs(rows, "doc_id", "elem", t).collect()
+        )
+        assert got == want, (t, got, want)
+
+
+def test_jaccard_prefix_pairs_partition_invariant(spark):
+    """Same pair set under 1-partition and many-partition inputs —
+    the df/rank/prefix pipeline must not depend on physical layout."""
+    from mldag_spark.operators.dedup import jaccard_prefix_pairs
+
+    rows = spark.createDataFrame(
+        [(i, f"e{j}") for i in range(20) for j in range(i, i + 8)],
+        ["doc_id", "elem"],
+    )
+    one = sorted(
+        map(tuple, jaccard_prefix_pairs(
+            rows.coalesce(1), "doc_id", "elem", 0.5).collect())
+    )
+    many = sorted(
+        map(tuple, jaccard_prefix_pairs(
+            rows.repartition(13), "doc_id", "elem", 0.5).collect())
+    )
+    assert one == many
+    assert one, "fixture must produce at least one pair"
