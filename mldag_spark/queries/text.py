@@ -1874,3 +1874,123 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_surprisal"),
         )
     )
+
+
+@register(
+    "text_filter_funnel",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+                   AS toks,
+               replace(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ', '')
+                   AS chars
+        FROM documents
+    ), staged AS (
+        SELECT CASE
+            WHEN len(toks) NOT BETWEEN 5 AND 1000 THEN 1
+            WHEN CAST(length(chars) AS DOUBLE) / len(toks)
+                 NOT BETWEEN 2 AND 12 THEN 2
+            WHEN CAST(len(regexp_extract_all(chars, '[^a-z0-9]')) AS DOUBLE)
+                 / GREATEST(length(chars), 1) > 0.2 THEN 3
+            WHEN (CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END
+                + CASE WHEN list_contains(toks, 'a') THEN 1 ELSE 0 END
+                + CASE WHEN list_contains(toks, 'of') THEN 1 ELSE 0 END
+                + CASE WHEN list_contains(toks, 'and') THEN 1 ELSE 0 END
+                + CASE WHEN list_contains(toks, 'to') THEN 1 ELSE 0 END)
+                 < 2 THEN 4
+            WHEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                 <= 0.3 THEN 5
+            ELSE 0 END AS stage
+        FROM t
+    ), agg AS (
+        SELECT stage, COUNT(*) AS n FROM staged GROUP BY stage
+    ), rules(stage, rule) AS (
+        VALUES (1, 'length_5_1000'), (2, 'mean_word_len_2_12'),
+               (3, 'symbol_ratio_le_0.2'), (4, 'min_2_stopwords'),
+               (5, 'distinct_ratio_gt_0.3')
+    )
+    SELECT r.stage, r.rule,
+           CAST(COALESCE(a.n, 0) AS BIGINT) AS n_dropped,
+           CAST((SELECT SUM(n) FROM agg)
+                - SUM(COALESCE(a.n, 0)) OVER (ORDER BY r.stage)
+                AS BIGINT) AS n_remaining
+    FROM rules r LEFT JOIN agg a ON a.stage = r.stage
+    """,
+)
+def text_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality-filter cascade with per-rule drop
+    accounting — the report every pre-training cleaning run produces:
+    rules applied in a fixed order, each document charged to the FIRST
+    rule it fails, output one row per rule with how many documents it
+    dropped and how many survive the cascade so far.
+
+    Rules (deterministic, integer/ratio arithmetic identical in the
+    SQL oracle): token count in [5, 1000]; mean word length in
+    [2, 12]; non-alphanumeric symbol ratio over non-space chars
+    <= 0.2; at least 2 distinct English stopwords present; lexical
+    diversity (distinct/total tokens) > 0.3 — the Rae et al. (Gopher)
+    repetition-and-quality heuristics, minus the ones needing an LM.
+
+    Scale shape: one scan computes every per-doc predicate as codegen
+    column math (no UDFs, no explode — array_contains/size over the
+    pre-split token array), the first-fail stage is a single nested
+    CASE, and the aggregate is a 6-group map-side-partial count. The
+    cumulative "remaining" column is a window over the 6-row
+    aggregate; corpus size joins back as a broadcast 1-row aggregate
+    (the repo's scalar-subquery law) — driver never sees per-doc
+    rows. At 100 TB this is exactly one pass over the corpus."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.col("toks")
+    n = F.size(toks)
+    chars = F.col("chars")
+    mean_len = F.length(chars).cast("double") / n
+    sym_ratio = F.size(
+        F.regexp_extract_all(chars, F.lit("[^a-z0-9]"), 0)
+    ).cast("double") / F.greatest(F.length(chars), F.lit(1))
+    n_stop = sum(
+        F.array_contains(toks, w).cast("int") for w in _LANG_WORDS["en"]
+    )
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n
+    staged = d.select(
+        tokenize(F.col("text")).alias("toks"),
+        F.regexp_replace(normalize_text(F.col("text")), " ", "").alias(
+            "chars"
+        ),
+    ).select(
+        F.when(~n.between(5, 1000), 1)
+        .when(~mean_len.between(2, 12), 2)
+        .when(sym_ratio > 0.2, 3)
+        .when(n_stop < 2, 4)
+        .when(distinct_ratio <= 0.3, 5)
+        .otherwise(0)
+        .alias("stage")
+    )
+    agg = staged.groupBy("stage").agg(F.count(F.lit(1)).alias("n"))
+    rules = spark.createDataFrame(
+        [
+            (1, "length_5_1000"),
+            (2, "mean_word_len_2_12"),
+            (3, "symbol_ratio_le_0.2"),
+            (4, "min_2_stopwords"),
+            (5, "distinct_ratio_gt_0.3"),
+        ],
+        "stage int, rule string",
+    )
+    total = agg.agg(F.sum("n").alias("_total"))
+    w = Window.orderBy("stage").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        rules.join(agg, "stage", "left")
+        .withColumn("n_dropped", F.coalesce(F.col("n"), F.lit(0)))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "stage",
+            "rule",
+            F.col("n_dropped").cast("long").alias("n_dropped"),
+            (F.col("_total") - F.sum("n_dropped").over(w))
+            .cast("long")
+            .alias("n_remaining"),
+        )
+    )

@@ -230,7 +230,8 @@ SF3_DIAGNOSES_RAW = {
     ),
     "embedding_near_dup_blocked": (
         "auto-scaled LSH geometry (r7): band width derives from corpus "
-        "size (bits=11 at sf3.0 vs the old fixed 8), cutting the r6 "
+        "size (bits=11 at sf3.0 vs the old fixed 8 — measured 17.55M "
+        "-> 8.65M candidate join rows, 2.03x), cutting the r6 "
         "fixed-geometry 21x curve. The remainder is OUTPUT, not plan: "
         "true pairs at the 0.4 threshold grow 20 -> 11,035 (552x) at "
         "30x data (the scale corpus' rolled replicas stay "
