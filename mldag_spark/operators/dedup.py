@@ -365,17 +365,24 @@ def jaccard_prefix_pairs(
             "_e",
             F.row_number().over(w_rank).alias("_rn"),
             (n - alpha + F.lit(1)).alias("_plen"),
+            n.alias("_n"),
         )
         .filter(F.col("_rn") <= F.col("_plen"))
-        .select(id_col, "_e")
+        .select(id_col, "_e", "_n")
     )
     a = prefix.alias("a")
     b = prefix.hint("merge").alias("b")
+    # size filter (the second PPJoin prune, also exact): J(A,B) >= t
+    # forces t·|A| <= |B| <= |A|/t — checked with integer
+    # cross-multiplication (den·|B| >= num·|A| both ways), so a short
+    # document never pairs with a long one it cannot possibly match
     candidates = (
         a.join(
             b,
             (F.col("a._e") == F.col("b._e"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & (F.col("b._n") * den >= F.col("a._n") * num)
+            & (F.col("a._n") * den >= F.col("b._n") * num),
         )
         .select(
             F.col(f"a.{id_col}").alias("doc_a"),

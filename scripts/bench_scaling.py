@@ -215,10 +215,11 @@ SF3_DIAGNOSES_RAW = {
     ),
     "dedup_ngram_jaccard": (
         "exact prefix-filtered all-pairs similarity join (SSJoin/PPJoin "
-        "prefix filter, r7) — the plain inverted index's candidate term "
-        "Sigma df^2 measured 163x growth at 30x; prefix candidates ride "
-        "rare-shingle df. Costs ~1.5x at 10x scales for the extra "
-        "df/rank stages, wins decisively at 30x+ — the 100 TB trade."
+        "prefix + size filters, r7) — the plain inverted index's "
+        "candidate term Sigma df^2 measured 163x growth at 30x; prefix "
+        "candidates ride rare-shingle df and the integer size filter "
+        "(t|A| <= |B| <= |A|/t) prunes cross-length pairs. 10x cost is "
+        "at parity with the old index, 30x is decisively sub-linear."
     ),
     "text_quality_score": (
         "sub-linear; the r5 10x ratio (3.9) was constant-overhead "
@@ -240,11 +241,12 @@ SF3_DIAGNOSES_RAW = {
         "for an enumerate-all-pairs contract."
     ),
     "dedup_components": (
-        "pair generation now uses the exact prefix-filtered similarity "
-        "join (jaccard_prefix_pairs, r7) — candidate volume rides "
-        "rare-shingle df instead of the corpus-wide Sigma df^2 "
+        "pair generation now uses the exact prefix+size-filtered "
+        "similarity join (jaccard_prefix_pairs, r7) — candidate volume "
+        "rides rare-shingle df instead of the corpus-wide Sigma df^2 "
         "(measured 163x growth at 30x for the old inverted index); "
-        "closure rounds stay O(log n). Was 15.6x in r6."
+        "closure rounds stay O(log n). Was 15.6x / 93s in r6, now "
+        "~41s at sf3.0 with sf1.0 at parity."
     ),
     "dedup_minhash_lsh": (
         "decisively sub-linear — banded candidates + rows-based exact "
