@@ -1994,3 +1994,41 @@ def text_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_remaining"),
         )
     )
+
+
+@register(
+    "dedup_cluster_stats",
+    oracle=f"""
+    WITH RECURSIVE {_COMPONENTS_ORACLE_BODY},
+    sizes AS (
+        SELECT component, COUNT(*) AS cluster_size
+        FROM labels GROUP BY 1
+    )
+    SELECT cluster_size, COUNT(*) AS n_clusters,
+           CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY 1
+    """,
+)
+def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size histogram: how many near-dup groups of
+    each size the corpus contains, and how many documents they hold —
+    the one-page summary a dedup run is judged by (a fat tail of
+    large clusters means templated/boilerplate content; the n_docs
+    column totals the removable mass). Rides the same exact
+    prefix-filtered pair graph + Large-Star/Small-Star closure as
+    ``dedup_components``; both added aggregates are |clusters|- then
+    |distinct sizes|-bounded, so the histogram costs two tiny
+    shuffles on top of the clustering."""
+    from mldag_spark.operators.dedup import connected_components
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir)
+    labels = connected_components(pairs, "doc_a", "doc_b")
+    sizes = labels.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1)))
+        .cast("long")
+        .alias("n_docs"),
+    )
