@@ -80,6 +80,10 @@ def test_no_cartesian_products_anywhere(spark, registry):
         "q22_idle_rich_customers",
         "join_range_parts_in_price_band",
         "embedding_near_dup_blocked",
+        # r7: the funnel's corpus-total join must stay a broadcast
+        # 1-row aggregate, never a cartesian
+        "text_filter_funnel",
+        "dedup_cluster_stats",
     ):
         plan = _plan(registry[name](spark, SF_DIR))
         assert "CartesianProduct" not in plan, name
