@@ -6,11 +6,13 @@ near-dup detection (exact and MinHash-LSH-accelerated).
 
 Scale stance: every query is expressed with JVM-side primitives
 (split/regexp/explode/groupBy) — linear scans, one shuffle per
-aggregation; pair-generation for near-dups goes through an inverted
-shingle index (explode → self-join on shingle → group by pair), never
-a cartesian product. MinHash-LSH (in ``vectors``/``operators.dedup``)
-replaces the inverted index at 100 TB where even shared-shingle pair
-counts explode.
+aggregation; pair-generation for near-dups goes through the exact
+prefix+size-filtered similarity join (r7,
+``operators.dedup.jaccard_prefix_pairs`` — candidates ride
+rare-shingle df, never Σ df² and never a cartesian product).
+MinHash-LSH (in ``vectors``/``operators.dedup``) remains the
+probabilistic alternative where even exact-candidate verification is
+too much.
 """
 
 from __future__ import annotations

@@ -112,11 +112,15 @@ SF_BIG = os.path.join(REPO, ".testdata", "sf1.0")
 SF_3 = os.path.join(REPO, ".testdata", "sf3.0")
 SF_10 = os.path.join(REPO, ".testdata", "sf10")
 
-# VERDICT r6 #8 (stretch): one 100x-data point for the two scale
-# flagships, replacing extrapolation with a measurement.
+# VERDICT r6 #8 (stretch): 100x-data points for the scale flagships,
+# replacing extrapolation with measurements. r7 added the exact
+# prefix+size-filtered dedup path once it became fast enough to
+# measure at 100x.
 SF10_QUERIES = (
     "dedup_minhash_lsh",
     "stream_incremental_dedup",
+    "dedup_ngram_jaccard",
+    "dedup_components",
 )
 
 
@@ -304,6 +308,17 @@ SF10_DIAGNOSES_RAW = {
         "per-batch banding + bucket joins against a 100x corpus band "
         "index; exactly-once per-batch commit cost amortizes as "
         "batches grow."
+    ),
+    "dedup_ngram_jaccard": (
+        "the exact prefix+size-filtered similarity join at 100x — "
+        "candidate volume rides rare-shingle df, so the plan that was "
+        "quadratic as a plain inverted index (163x candidate growth "
+        "at 30x) holds two decades up."
+    ),
+    "dedup_components": (
+        "exact pair graph + Large-Star/Small-Star closure at 100x; "
+        "closure rounds stay O(log n) and the r7 candidate bound "
+        "keeps edge input linear-ish in the corpus."
     ),
 }
 
