@@ -121,6 +121,7 @@ SF10_QUERIES = (
     "stream_incremental_dedup",
     "dedup_ngram_jaccard",
     "dedup_components",
+    "graph_pagerank_bipartite",
 )
 
 
@@ -319,6 +320,12 @@ SF10_DIAGNOSES_RAW = {
         "exact pair graph + Large-Star/Small-Star closure at 100x; "
         "closure rounds stay O(log n) and the r7 candidate bound "
         "keeps edge input linear-ish in the corpus."
+    ),
+    "graph_pagerank_bipartite": (
+        "iterative kernel at 100x: one dst-keyed shuffle per "
+        "iteration over the edge set, static sides persisted — the "
+        "per-iteration cost scales with edges, the iteration count "
+        "is fixed."
     ),
 }
 
