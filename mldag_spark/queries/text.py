@@ -2034,3 +2034,76 @@ def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_docs"),
     )
+
+
+@register(
+    "corpus_bigram_coverage",
+    oracle="""
+    WITH t AS (
+        SELECT string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+                   AS arr
+        FROM documents
+    ), grams AS (
+        SELECT arr[i] || ' ' || arr[i+1] AS bg
+        FROM t, unnest(generate_series(1, len(arr) - 1)) AS s(i)
+    ), freq AS (
+        SELECT bg, COUNT(*) AS n FROM grams GROUP BY 1
+    ), top AS (
+        SELECT bg, n, ROW_NUMBER() OVER (ORDER BY n DESC, bg) AS rnk
+        FROM freq
+    )
+    SELECT rnk, bg, n,
+           ROUND(CAST(SUM(n) OVER (ORDER BY rnk) AS DOUBLE)
+                 / (SELECT SUM(n) FROM freq), 4) AS cum_share
+    FROM top WHERE rnk <= 20
+    """,
+)
+def corpus_bigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram coverage curve: the 20 most frequent bigrams and the
+    cumulative share of all bigram occurrences they account for — the
+    boilerplate-concentration diagnostic (a top-20 covering a large
+    share means templated text dominates; complements the unigram
+    Zipf slope in ``corpus_zipf_slope``).
+
+    Plan: per-row bigram build over the pre-materialized token array
+    (the Catalyst-CSE lesson — no token-level explode before the
+    bigram level), one map-side-partial frequency aggregate, then the
+    top-20 is taken with orderBy+limit (plans as TakeOrderedAndProject
+    — per-partition partial top-k, never a global sort of the
+    vocabulary); rank and the cumulative sum are windows over the
+    20-row result, and the corpus total joins back as a broadcast
+    1-row aggregate. Ties break on the bigram string so the curve is
+    deterministic for the value-hash gate."""
+    d = load(spark, sf_dir, "documents")
+    pretok = d.select(tokenize(F.col("text")).alias("toks"))
+    toks = F.col("toks")
+    n = F.size(toks)
+    bigram_arr = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    freq = (
+        pretok.select(F.explode(bigram_arr).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = freq.agg(F.sum("n").alias("_total"))
+    top = freq.orderBy(F.desc("n"), F.asc("bg")).limit(20)
+    w_rank = Window.orderBy(F.desc("n"), F.asc("bg"))
+    w_cum = w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            F.row_number().over(w_rank).alias("rnk"),
+            "bg",
+            "n",
+            F.round(
+                F.sum("n").over(w_cum).cast("double") / F.col("_total"), 4
+            ).alias("cum_share"),
+        )
+    )
