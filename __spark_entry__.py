@@ -43,28 +43,38 @@ _GATE_ORDER = [
     "dag_sql_priority_topk",
     # Text analysis (r7 rotation: text_token_stats / text_language_id /
     # text_chunk_sequences banked green r1-r6 and rotated out; the
-    # r7-changed decimal-sum surprisal stays for driver-level proof)
+    # r8-changed distinct-bigram surprisal stays for driver-level
+    # proof; r8 rotates in the three r7-new corpus ops — gated for the
+    # first time — plus the two OLDEST never-gated text queries)
     "text_quality_score",
     "text_bigram_surprisal",
-    # Deduplication
+    "text_filter_funnel",
+    "corpus_bigram_coverage",
+    "text_fingerprint",
+    "text_top_terms",
+    # Deduplication (r8: + the r7-new cluster histogram, first gating,
+    # and the never-gated representative-keep variant)
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_components",
+    "dedup_cluster_stats",
+    "dedup_keep_representatives",
     "sample_deterministic_split",
     # Similarity search / embeddings
     "ann_cosine_topk",
     "embedding_near_dup_blocked",
     "knn_label_vote",
     # Structured Streaming (r7: stream_hourly_rollup banked green and
-    # rotated out for the never-gated stream_static_enrich; the
-    # r7-changed incremental-dedup sink stays for driver-level proof)
+    # rotated out for the never-gated stream_static_enrich; r8 adds
+    # stream_sliding_counts — the single oldest never-gated query)
     "stream_sessionization",
     "stream_user_totals",
     "stream_dedup_keys",
     "stream_stream_join",
     "stream_incremental_dedup",
     "stream_static_enrich",
+    "stream_sliding_counts",
     # Multimodal
     "multimodal_media_stats",
     "multimodal_frame_samples",
@@ -75,11 +85,10 @@ _GATE_ORDER = [
     "events_asof_latest_order",
     "events_grouped_zscore",
     # Relational: scans, filters, scalar functions (q5 banked green and
-    # rotated out in r7 for three never-gated TPC-H patterns)
+    # rotated out in r7; r8 banks q20/q21 — both hash-green in r7 —
+    # and keeps q1/q11 for category coverage)
     "q1_pricing_summary",
     "q11_part_value_concentration",
-    "q20_heavy_small_part_suppliers",
-    "q21_sole_late_supplier",
     "scalar_expressions",
     # Joins (r7: semi/anti banked green, rotated out for the
     # never-gated full-outer and right-outer patterns)
@@ -92,9 +101,10 @@ _GATE_ORDER = [
     "window_supplier_balance_ranks",
     # Unpivot (never-gated until r7)
     "unpivot_revenue_components",
-    # Aggregations
+    # Aggregations (r8: + the oldest never-gated agg pattern)
     "agg_rollup_flag_status",
     "agg_salted_returnflag_totals",
+    "agg_quantity_price_stats",
     # New in r6 (gated in its first round; swapped for
     # agg_price_percentiles, which banked hash-green rounds r1-r5 and
     # stays under the continuous sf0.001 oracle sweep)
@@ -105,19 +115,14 @@ _GATE_ORDER = [
     # proof of the new code
     "graph_pagerank_bipartite",
     "pack_token_budget_batches",
-    # Rotated in r6 (never previously gated): the three r5-new
-    # queries plus the three oldest never-gated (VERDICT r5 #3/#4).
-    # Rotated out (banked a green gated round; still continuously
-    # checked by tests/test_oracle_full.py at sf0.001 every pytest
-    # run): q9_product_profit, events_multilevel_rollup,
-    # events_funnel, text_vocab_encode, window_range_30d_spend,
-    # agg_pivot_event_values
-    "sample_temperature_mix",
-    "corpus_dedup_rate_by_source",
-    "dag_export_shard_batches",
-    "q15_top_supplier",
-    "events_cdc_snapshot_diff",
-    "text_pii_redact",
+    # r8 rotation: the r6-rotated six (sample_temperature_mix,
+    # corpus_dedup_rate_by_source, dag_export_shard_batches,
+    # q15_top_supplier, events_cdc_snapshot_diff, text_pii_redact)
+    # banked TWO green gated rounds and rotate out, plus q20/q21
+    # (banked green in r7) — all eight swapped for the three r7-new
+    # corpus ops and the five OLDEST never-gated queries (VERDICT r7
+    # #2; ledger 44 -> 36). Everything rotated out stays under the
+    # continuous sf0.001 oracle sweep (tests/test_oracle_full.py).
     # Set ops + sort/limit
     "setop_except_all_multiset",
     "sort_top15_orders",

@@ -321,10 +321,16 @@ def jaccard_prefix_pairs(
     prefix unless a document has almost nothing else.
 
     ceil(t·n) is computed in exact integer arithmetic
-    (ceil(num·n/den) with num/den = Fraction(threshold)): float
-    0.8·n can round UP at representation boundaries, silently
-    shrinking the prefix below the sound bound — a correctness bug,
-    not a tuning choice.
+    (ceil(num·n/den), bigint ``div``, exact at any magnitude) with
+    num/den a rationalization of ``threshold`` CLAMPED to be <= the
+    float's exact binary value: float 0.8·n can round UP at
+    representation boundaries, silently shrinking the prefix below
+    the sound bound, and a rationalization ABOVE the float (e.g.
+    1/3 > float(1/3)) would prune with a stricter bound than the
+    final float ``jac >= threshold`` verification admits (ADVICE
+    r7). Clamping low can only ENLARGE the prefix / widen the size
+    window — more candidates, never a lost pair — so the zero-
+    false-negative claim is unconditional.
 
     Plan: df aggregate (element-keyed, map-side partial) → join back
     to element rows (merge-hinted: post-aggregate size estimates are
@@ -340,7 +346,11 @@ def jaccard_prefix_pairs(
     from pyspark.sql.window import Window
 
     _check_threshold(threshold)
-    frac = Fraction(threshold).limit_denominator(1_000_000)
+    exact = Fraction(threshold)  # the float's exact binary value
+    frac = exact.limit_denominator(1_000_000)
+    if frac > exact:
+        # floor onto the 1e-6 grid: num/den <= threshold always
+        frac = Fraction(int(exact * 1_000_000), 1_000_000)
     num, den = frac.numerator, frac.denominator
 
     # one explicit id-keyed exchange serves every id-grouped consumer
@@ -355,19 +365,24 @@ def jaccard_prefix_pairs(
     df_tbl = ex.groupBy("_e").agg(F.count(F.lit(1)).alias("_df"))
     w_rank = Window.partitionBy(id_col).orderBy(F.asc("_df"), F.asc("_e"))
     w_all = Window.partitionBy(id_col)
-    # alpha = ceil(t * n) exactly; prefix keeps ranks <= n - alpha + 1
-    n = F.count(F.lit(1)).over(w_all)
-    alpha = F.floor((F.lit(num) * n + F.lit(den - 1)) / F.lit(den))
+    # alpha = ceil(t * n) exactly; prefix keeps ranks <= n - alpha + 1.
+    # The ceil is bigint `div` (integer-exact at ANY magnitude) — the
+    # earlier F.floor formulation rode double division, exact only
+    # while num*n + den - 1 < 2^53 (ADVICE r7)
     prefix = (
         ex.join(df_tbl.hint("merge"), "_e")
         .select(
             F.col(id_col),
             "_e",
             F.row_number().over(w_rank).alias("_rn"),
-            (n - alpha + F.lit(1)).alias("_plen"),
-            n.alias("_n"),
+            F.count(F.lit(1)).over(w_all).alias("_n"),
         )
-        .filter(F.col("_rn") <= F.col("_plen"))
+        .filter(
+            F.col("_rn")
+            <= F.col("_n")
+            - F.expr(f"({num}L * _n + {den - 1}L) div {den}L")
+            + F.lit(1)
+        )
         .select(id_col, "_e", "_n")
     )
     a = prefix.alias("a")

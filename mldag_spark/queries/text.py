@@ -1849,29 +1849,36 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    grams = pretok.select(
-        "doc_id", F.explode(bigram_arr).alias("bg")
-    ).withColumn("w1", F.substring_index(F.col("bg"), " ", 1))
-    bf = grams.groupBy("bg").agg(F.count(F.lit(1)).alias("cb"))
-    cf = grams.groupBy("w1").agg(F.count(F.lit(1)).alias("cw"))
+    grams = pretok.select("doc_id", F.explode(bigram_arr).alias("bg"))
+    # r8 (VERDICT r7 #4): the surprisal of an occurrence depends only
+    # on its bigram's two counts, so aggregate occurrence
+    # multiplicities per (doc, bigram) FIRST and score each distinct
+    # bigram ONCE — the round→cast(decimal) chain runs |distinct bg|
+    # times instead of once per occurrence (the decimal-invariance
+    # trade ADVICE r6 mandated cost ~50% of the query at sf0.1 in the
+    # per-occurrence formulation), and every join/aggregate downstream
+    # of the explode rides (doc, bg) rows instead of occurrences.
+    # k · decimal == the sum of k decimal copies exactly, so the
+    # result is bit-identical and stays partition-invariant by
+    # construction (decimal addition is associative).
+    occ = grams.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("k"))
+    bf = occ.groupBy("bg").agg(F.sum("k").alias("cb"))
+    w1 = F.substring_index(F.col("bg"), " ", 1)
+    cf = bf.groupBy(w1.alias("w1")).agg(F.sum("cb").alias("cw"))
+    score = bf.withColumn("w1", w1).join(cf, "w1").select(
+        "bg",
+        F.round(-F.log2(F.col("cb").cast("double") / F.col("cw")), 6)
+        .cast("decimal(18,6)")
+        .alias("_surp"),
+    )
     return (
-        grams.join(bf, "bg")
-        .join(cf, "w1")
+        occ.join(score, "bg")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            # exact decimal sum of 6-dp-rounded per-bigram surprisals:
-            # a plain F.avg over doubles varies with partial-sum order
-            # across partitionings (ADVICE r6) — the repo-wide
-            # decimal-accumulation pattern makes the 4-dp result
-            # genuinely partition-invariant, not probabilistically so
+            F.sum("k").alias("n_bigrams"),
             F.round(
-                F.sum(
-                    F.round(
-                        -F.log2(F.col("cb").cast("double") / F.col("cw")), 6
-                    ).cast("decimal(18,6)")
-                ).cast("double")
-                / F.count(F.lit(1)),
+                F.sum(F.col("k") * F.col("_surp")).cast("double")
+                / F.sum("k"),
                 4,
             ).alias("avg_surprisal"),
         )

