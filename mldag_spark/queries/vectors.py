@@ -115,6 +115,15 @@ _LSH_MIN_BITS = 8
 _LSH_MAX_BITS = 24
 _LSH_TARGET_BUCKET = 32
 _DIM = 64
+# Output cap (VERDICT r7 #3): at a fixed 0.4 threshold the QUALIFYING
+# pair count grows super-linearly on dense corpora (measured 552x
+# pairs at 30x data) even though the candidate stage is
+# occupancy-bounded — any pair-emitting op at 100 TB needs a bounded-
+# output mode. Each vector keeps its top-K strongest matches (by the
+# 4-dp rounded cosine both engines already hash-agree on, vec_b
+# tiebreak for a total order), making the result O(N·K) rows
+# unconditionally. K is mirrored into the oracle's QUALIFY clause.
+_NEAR_DUP_TOPK = 8
 
 
 def _lsh_bits(n: int) -> int:
@@ -166,16 +175,21 @@ _NEAR_DUP_ORACLE = f"""
           ON a.label = b.label AND a.band = b.band AND a.bucket = b.bucket
          AND a.vec_id < b.vec_id
     )
-    SELECT c.vec_a, c.vec_b, c.label,
-           ROUND(list_cosine_similarity(
-               CAST(ea.embedding AS DOUBLE[]),
-               CAST(eb.embedding AS DOUBLE[])), 4) AS cos
-    FROM cand c
-    JOIN embeddings ea ON ea.vec_id = c.vec_a
-    JOIN embeddings eb ON eb.vec_id = c.vec_b
-    WHERE list_cosine_similarity(
-               CAST(ea.embedding AS DOUBLE[]),
-               CAST(eb.embedding AS DOUBLE[])) >= 0.4
+    SELECT vec_a, vec_b, label, cos FROM (
+        SELECT c.vec_a, c.vec_b, c.label,
+               ROUND(list_cosine_similarity(
+                   CAST(ea.embedding AS DOUBLE[]),
+                   CAST(eb.embedding AS DOUBLE[])), 4) AS cos
+        FROM cand c
+        JOIN embeddings ea ON ea.vec_id = c.vec_a
+        JOIN embeddings eb ON eb.vec_id = c.vec_b
+        WHERE list_cosine_similarity(
+                   CAST(ea.embedding AS DOUBLE[]),
+                   CAST(eb.embedding AS DOUBLE[])) >= 0.4
+    )
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY vec_a ORDER BY cos DESC, vec_b
+    ) <= {_NEAR_DUP_TOPK}
 """
 
 
@@ -248,8 +262,22 @@ def embedding_near_dup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_b",
     )
     cos = cosine_similarity(F.col("va"), F.col("vb"))
-    return pairs.filter(cos >= 0.4).select(
+    qualifying = pairs.filter(cos >= 0.4).select(
         "vec_a", "vec_b", "label", F.round(cos, 4).alias("cos")
+    )
+    # r8 (VERDICT r7 #3): bounded-output mode — each vec_a keeps only
+    # its _NEAR_DUP_TOPK strongest matches, so the result is O(N·K)
+    # rows no matter how dense the corpus (552x qualifying-pair growth
+    # measured at 30x data with no cap). Ranking uses the 4-dp rounded
+    # cosine (the exact value the gate hash-compares, so Spark and
+    # DuckDB rank identically) with vec_b as a total-order tiebreak;
+    # the window is JVM-side over pairs already thresholded, and its
+    # vec_a shuffle is the only added exchange.
+    w = Window.partitionBy("vec_a").orderBy(F.desc("cos"), F.asc("vec_b"))
+    return (
+        qualifying.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= _NEAR_DUP_TOPK)
+        .drop("_rk")
     )
 
 

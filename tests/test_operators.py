@@ -726,3 +726,35 @@ def test_jaccard_prefix_pairs_partition_invariant(spark):
     )
     assert one == many
     assert one, "fixture must produce at least one pair"
+
+
+def test_embedding_near_dup_topk_cap_bounds_dense_output(spark, tmp_path):
+    """VERDICT r7 #3: the per-vector top-K cap must make the near-dup
+    output O(N·K) on a corpus where every pair qualifies.
+
+    40 identical vectors in one label → all C(40,2)=780 pairs share
+    every LSH bucket and have cos 1.0; uncapped output would be 780
+    rows. With the cap, each vec_a keeps exactly its K smallest vec_b
+    (cos ties broken by vec_b asc), a crisp closed-form expectation.
+    """
+    from mldag_spark.queries.vectors import (
+        _DIM,
+        _NEAR_DUP_TOPK,
+        embedding_near_dup_blocked,
+    )
+
+    n = 40
+    vec = [float((i % 7) + 1) for i in range(_DIM)]
+    rows = [(i, vec, 1) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>, label: int")
+    df.write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+
+    out = embedding_near_dup_blocked(spark, str(tmp_path)).collect()
+    got = sorted((r.vec_a, r.vec_b) for r in out)
+    want = sorted(
+        (a, b)
+        for a in range(n)
+        for b in range(a + 1, min(a + 1 + _NEAR_DUP_TOPK, n))
+    )
+    assert got == want
+    assert all(r.cos == 1.0 for r in out)
