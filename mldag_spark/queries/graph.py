@@ -79,6 +79,17 @@ def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf1.0 on a default heap.) The per-iteration dst-aggregate shuffle
     plus fixed stage overhead dominate; the plan as written is the
     one to keep.
+
+    Probed and rejected (r8, VERDICT r7 #7,
+    ``scripts/probe_pagerank_combiner.py``): a map-side combiner for
+    the dst shuffle. The combiner ALREADY plans — Catalyst places a
+    partial ``HashAggregate(partial_sum)`` before every iteration's
+    dst exchange (grep ``partial_sum`` in a single-iteration plan;
+    the 3-iteration plan string hides it behind the localCheckpoint
+    lineage cut) — and the narrower pre-divided ``(src, dst,
+    w/wout)`` cache variant measured 0.95x at sf1.0 warm (14.5s →
+    15.2s, identical results): there is no combining left to add at
+    the shuffle boundary.
     """
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")

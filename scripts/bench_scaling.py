@@ -122,6 +122,9 @@ SF10_QUERIES = (
     "dedup_ngram_jaccard",
     "dedup_components",
     "graph_pagerank_bipartite",
+    # r8 (VERDICT r7 #8): geometry auto-scaling + the per-vector top-K
+    # output cap make this measurable at 100x
+    "embedding_near_dup_blocked",
 )
 
 
@@ -137,9 +140,11 @@ QUADRATIC_OUTPUT_OPS = {
     ),
     "embedding_near_dup_blocked": (
         "banded LSH candidates are Sigma bucket^2; r7 derives the band "
-        "width from corpus size so bucket occupancy stays ~constant — "
-        "the remaining 30x growth is true output (552x more qualifying "
-        "pairs at the 0.4 threshold on the scale corpus)."
+        "width from corpus size so bucket occupancy stays ~constant, "
+        "and r8 caps the output at top-K matches per vector (the 552x "
+        "qualifying-pair growth measured at 30x was the last unbounded "
+        "term) — candidate verification still rides corpus density, "
+        "output no longer does."
     ),
 }
 
@@ -238,12 +243,12 @@ SF3_DIAGNOSES_RAW = {
         "auto-scaled LSH geometry (r7): band width derives from corpus "
         "size (bits=11 at sf3.0 vs the old fixed 8 — measured 17.55M "
         "-> 8.65M candidate join rows, 2.03x), cutting the r6 "
-        "fixed-geometry 21x curve. The remainder is OUTPUT, not plan: "
-        "true pairs at the 0.4 threshold grow 20 -> 11,035 (552x) at "
-        "30x data (the scale corpus' rolled replicas stay "
-        "cosine-correlated), so wall grows ~30-45x slower than the "
-        "result set — sub-linear in output, the only bound that exists "
-        "for an enumerate-all-pairs contract."
+        "fixed-geometry 21x curve. r8 (VERDICT r7 #3) closes the last "
+        "unbounded term: qualifying pairs grew 552x at 30x data on the "
+        "cosine-correlated scale corpus, so the op now caps output at "
+        "the top-K strongest matches per vector (JVM window over the "
+        "4-dp rounded cosine, K mirrored into the oracle) — result "
+        "size is O(N*K) regardless of corpus density."
     ),
     "dedup_components": (
         "pair generation now uses the exact prefix+size-filtered "
@@ -271,7 +276,13 @@ SF3_DIAGNOSES_RAW = {
     "graph_pagerank_bipartite": (
         "per-iteration dst-aggregate shuffle scales with edges; the "
         "fixed 3-iteration loop keeps the total bounded. Sub-linear "
-        "against the 30x bound."
+        "against the 30x bound. r8 combiner probe (VERDICT r7 #7, "
+        "scripts/probe_pagerank_combiner.py): the map-side combine "
+        "ALREADY plans — partial HashAggregate(partial_sum) precedes "
+        "the dst exchange in every iteration — and the narrower "
+        "pre-divided (src,dst,frac) cache variant measured 0.95x "
+        "(sf1.0 warm min 14.5s current vs 15.2s prediv, identical "
+        "results): rejected, plan as written kept."
     ),
     "stream_incremental_dedup": (
         "per-batch cost is O(|batch| x bands) + bucket joins, "
@@ -325,7 +336,17 @@ SF10_DIAGNOSES_RAW = {
         "iterative kernel at 100x: one dst-keyed shuffle per "
         "iteration over the edge set, static sides persisted — the "
         "per-iteration cost scales with edges, the iteration count "
-        "is fixed."
+        "is fixed. The r8 combiner probe confirmed the map-side "
+        "partial aggregate is already in the per-iteration plan and "
+        "a narrower cached edge row measured 0.95x: no lever left "
+        "short of fewer iterations."
+    ),
+    "embedding_near_dup_blocked": (
+        "auto-scaled LSH geometry + the r8 per-vector top-K output "
+        "cap at 100x: candidates stay occupancy-bounded and the "
+        "result is O(N*K) rows regardless of corpus density — the "
+        "two levers that make a pair-emitting op 100 TB-safe, "
+        "measured two decades up."
     ),
 }
 
