@@ -292,6 +292,7 @@ def jaccard_prefix_pairs(
     id_col: str,
     elem_col: str,
     threshold: float = 0.8,
+    positional: bool = True,
 ) -> DataFrame:
     """EXACT Jaccard >= ``threshold`` pairs via prefix filtering — the
     all-pairs similarity join of SSJoin/PPJoin (Chaudhuri et al.
@@ -332,11 +333,28 @@ def jaccard_prefix_pairs(
     window — more candidates, never a lost pair — so the zero-
     false-negative claim is unconditional.
 
+    Positional filter (``positional=True``, r8 — the PPJoin prune of
+    Xiao et al. §3.2): the prefix join also carries each matched
+    element's rank. For a match at ranks (rA, rB) in docs of sizes
+    (nA, nB), every OTHER common element is globally either before
+    the match (rank < rA in A and < rB in B: at most min(rA,rB)-1)
+    or after it (at most min(nA-rA, nB-rB)), so overlap <=
+    min(rA,rB) + min(nA-rA, nB-rB) — an exact integer upper bound.
+    J >= t forces overlap >= ceil(t·(nA+nB)/(1+t)) (= ceil(num·(nA+nB)
+    / (num+den)), bigint ``div``); a pair survives only if SOME
+    matched prefix element's bound reaches that, i.e. the MAX bound
+    over matches does. The true smallest common element of a
+    qualifying pair is in both prefixes and its bound >= the true
+    overlap, so the filter is zero-false-negative like the prefix
+    itself. The pair-distinct becomes a groupBy-max — same exchange,
+    strictly fewer verification candidates.
+
     Plan: df aggregate (element-keyed, map-side partial) → join back
     to element rows (merge-hinted: post-aggregate size estimates are
     garbage, the repo-wide law) → per-doc rank window (one doc-keyed
     exchange serves rank + size) → prefix self-join on the element →
-    pair-distinct → exact verification via
+    pair-distinct (with the positional max-bound filter riding the
+    same aggregate) → exact verification via
     :func:`_verify_pairs_by_rows` over the FULL element rows.
     Returns (doc_a < doc_b, jaccard rounded to 4) — byte-identical
     contract to the inverted-index formulation it replaces.
@@ -383,7 +401,7 @@ def jaccard_prefix_pairs(
             - F.expr(f"({num}L * _n + {den - 1}L) div {den}L")
             + F.lit(1)
         )
-        .select(id_col, "_e", "_n")
+        .select(id_col, "_e", "_rn", "_n")
     )
     a = prefix.alias("a")
     b = prefix.hint("merge").alias("b")
@@ -391,20 +409,37 @@ def jaccard_prefix_pairs(
     # forces t·|A| <= |B| <= |A|/t — checked with integer
     # cross-multiplication (den·|B| >= num·|A| both ways), so a short
     # document never pairs with a long one it cannot possibly match
-    candidates = (
-        a.join(
-            b,
-            (F.col("a._e") == F.col("b._e"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-            & (F.col("b._n") * den >= F.col("a._n") * num)
-            & (F.col("a._n") * den >= F.col("b._n") * num),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("doc_a"),
-            F.col(f"b.{id_col}").alias("doc_b"),
-        )
-        .distinct()
+    joined = a.join(
+        b,
+        (F.col("a._e") == F.col("b._e"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        & (F.col("b._n") * den >= F.col("a._n") * num)
+        & (F.col("a._n") * den >= F.col("b._n") * num),
+    ).select(
+        F.col(f"a.{id_col}").alias("doc_a"),
+        F.col(f"b.{id_col}").alias("doc_b"),
+        F.col("a._rn").alias("_ra"),
+        F.col("b._rn").alias("_rb"),
+        F.col("a._n").alias("_na"),
+        F.col("b._n").alias("_nb"),
     )
+    if positional:
+        # overlap upper bound contributed by THIS matched element
+        ubound = F.least(F.col("_ra"), F.col("_rb")) + F.least(
+            F.col("_na") - F.col("_ra"), F.col("_nb") - F.col("_rb")
+        )
+        # required overlap: ceil(num·(na+nb) / (num+den)), bigint-exact
+        o_min = F.expr(
+            f"({num}L * (_na + _nb) + {num + den - 1}L) div {num + den}L"
+        )
+        candidates = (
+            joined.groupBy("doc_a", "doc_b")
+            .agg(F.max(ubound).alias("_ub"), F.first(o_min).alias("_omin"))
+            .filter(F.col("_ub") >= F.col("_omin"))
+            .select("doc_a", "doc_b")
+        )
+    else:
+        candidates = joined.select("doc_a", "doc_b").distinct()
     # hand verification the SAME distinct element-row subtree the
     # prefix was built from (not the raw rows): Catalyst canonicalizes
     # the shared aggregate, so the parquet scan + explode + distinct

@@ -700,11 +700,17 @@ def test_jaccard_prefix_pairs_exact_vs_bruteforce(spark):
             if len(corpora[a] & corpora[b])
             / len(corpora[a] | corpora[b]) >= t
         )
-        got = sorted(
-            (r["doc_a"], r["doc_b"], r["jaccard"])
-            for r in jaccard_prefix_pairs(rows, "doc_id", "elem", t).collect()
-        )
-        assert got == want, (t, got, want)
+        # both candidate modes must be exact: the r8 positional
+        # (PPJoin) filter is a strictly-tighter zero-false-negative
+        # prune over the same prefix join
+        for positional in (True, False):
+            got = sorted(
+                (r["doc_a"], r["doc_b"], r["jaccard"])
+                for r in jaccard_prefix_pairs(
+                    rows, "doc_id", "elem", t, positional=positional
+                ).collect()
+            )
+            assert got == want, (t, positional, got, want)
 
 
 def test_jaccard_prefix_pairs_partition_invariant(spark):
