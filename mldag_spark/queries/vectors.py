@@ -124,6 +124,20 @@ _DIM = 64
 # tiebreak for a total order), making the result O(N·K) rows
 # unconditionally. K is mirrored into the oracle's QUALIFY clause.
 _NEAR_DUP_TOPK = 8
+# Candidate cap (r8): width auto-scaling bounds the AVERAGE bucket
+# occupancy, but a dense corpus concentrates correlated vectors into
+# the same buckets regardless of width — identical vectors always
+# collide — and Sigma bucket^2 then grows super-linearly (measured:
+# candidate join rows 8.65M -> 73.6M = 8.5x for 3.33x more vectors
+# sf3->sf10; max bucket 147 -> 438). Within each (label, band,
+# bucket), vectors are therefore ranked by vec_id and each pairs only
+# with its next _LSH_BUCKET_WINDOW members — candidates become
+# O(N · bands · W) unconditionally, the same per-vector budget the
+# occupancy target was designed for (~8x16=128), now enforced under
+# skew too. Deterministic (id order), mirrored exactly in the
+# oracle's ROW_NUMBER window; buckets smaller than W are unaffected,
+# so small-SF gate results do not change.
+_LSH_BUCKET_WINDOW = 16
 
 
 def _lsh_bits(n: int) -> int:
@@ -169,11 +183,17 @@ _NEAR_DUP_ORACLE = f"""
                SUM(CASE WHEN dot > 0 THEN CAST(1 AS BIGINT) << bit
                         ELSE 0 END) AS bucket
         FROM bits GROUP BY vec_id, label, band
+    ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY label, band, bucket ORDER BY vec_id
+        ) AS bi
+        FROM sigs
     ), cand AS (
         SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label
-        FROM sigs a JOIN sigs b
+        FROM ranked a JOIN ranked b
           ON a.label = b.label AND a.band = b.band AND a.bucket = b.bucket
          AND a.vec_id < b.vec_id
+         AND b.bi - a.bi <= {_LSH_BUCKET_WINDOW}
     )
     SELECT vec_a, vec_b, label, cos FROM (
         SELECT c.vec_a, c.vec_b, c.label,
@@ -222,11 +242,26 @@ def embedding_near_dup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle derives the identical width from ``COUNT(*)`` with the
     same integer comparison, so the gate stays exact at any scale.
 
+    r8 (VERDICT r7 #3) bounds the two remaining density-driven terms,
+    both mirrored exactly in the oracle:
+
+    - candidates: width auto-scaling bounds AVERAGE occupancy, but
+      correlated vectors collide regardless of width (measured:
+      candidate join rows 8.65M → 73.6M = 8.5× for 3.33× more
+      vectors, max bucket 147 → 438). Bucket members are ranked by
+      vec_id and each pairs only with its next ``_LSH_BUCKET_WINDOW``
+      members — candidates are O(N·bands·W) under any skew.
+    - output: qualifying pairs grew 552× at 30× data; each vec_a now
+      keeps its ``_NEAR_DUP_TOPK`` strongest matches (4-dp rounded
+      cosine, vec_b tiebreak), so the result is O(N·K).
+
     Plan shape: signature explode (N·B rows of 4 scalar cols — vectors
-    are NOT carried through the band join), sort-merge self-join on
-    the composite key, distinct on the pair, then two id-keyed joins
-    back to the vector table for exact verification. No broadcast of
-    corpus-sized data; no CartesianProduct (pinned by test_plans).
+    are NOT carried through the band join), bucket-window rank riding
+    the join exchange, sort-merge self-join on the composite key,
+    distinct on the pair, then two id-keyed joins back to the vector
+    table for exact verification and the per-vector top-K window. No
+    broadcast of corpus-sized data; no CartesianProduct (pinned by
+    test_plans).
     """
     from mldag_spark.operators.similarity import banded_signature_udf
 
@@ -238,6 +273,11 @@ def embedding_near_dup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = v.withColumn("bands", sig(F.col("v"))).select(
         "vec_id", "label", F.posexplode("bands").alias("band", "bucket")
     )
+    # r8 candidate cap (see _LSH_BUCKET_WINDOW): rank bucket members by
+    # vec_id and pair each only with its next W members — the window's
+    # partition keys equal the join keys, so it rides the join exchange
+    w_bucket = Window.partitionBy("label", "band", "bucket").orderBy("vec_id")
+    s = s.withColumn("_bi", F.row_number().over(w_bucket))
     cand = (
         s.alias("a")
         .join(
@@ -245,7 +285,8 @@ def embedding_near_dup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a.label") == F.col("b.label"))
             & (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+            & (F.col("a.vec_id") < F.col("b.vec_id"))
+            & (F.col("b._bi") - F.col("a._bi") <= _LSH_BUCKET_WINDOW),
         )
         .select(
             F.col("a.vec_id").alias("vec_a"),

@@ -764,3 +764,56 @@ def test_embedding_near_dup_topk_cap_bounds_dense_output(spark, tmp_path):
     )
     assert got == want
     assert all(r.cos == 1.0 for r in out)
+
+
+def test_embedding_near_dup_bucket_window_matches_oracle_dense(spark, tmp_path):
+    """Cross-engine check of the r8 bucket-window candidate cap at a
+    density the sf0.01/sf0.1 gate corpora never reach (their max
+    bucket is 15 < W+1, so the gate alone cannot prove the window
+    semantics agree between Spark and the DuckDB oracle).
+
+    Corpus: one label with 40 identical vectors (every band bucket has
+    40 members — the window binds hard) plus 30 mutually-dissimilar
+    vectors in a second label. Runs the REGISTERED oracle SQL verbatim
+    against the same parquet and compares the driver way.
+    """
+    import importlib.util
+    from pathlib import Path
+
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from mldag_spark.queries.vectors import _DIM, embedding_near_dup_blocked
+
+    rng_vals = [float((i * 13) % 29 + 1) for i in range(_DIM)]
+    rows = [(i, rng_vals, 1) for i in range(40)]
+    # dissimilar: one-hot-ish vectors pairwise near-orthogonal
+    for j in range(30):
+        v = [0.0] * _DIM
+        v[j % _DIM] = 1.0
+        v[(j * 7 + 3) % _DIM] = -1.0 if j % 2 else 1.0
+        rows.append((100 + j, v, 2))
+    df = spark.createDataFrame(
+        rows, "vec_id: long, embedding: array<float>, label: int"
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+
+    spec = importlib.util.spec_from_file_location(
+        "_co", Path(__file__).resolve().parent.parent / "scripts" / "check_oracle.py"
+    )
+    co = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(co)
+
+    sdf = embedding_near_dup_blocked(spark, str(tmp_path)).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{tmp_path}/embeddings.parquet/*.parquet'"
+    )
+    odf = con.execute(
+        entrymod.oracle_sql()["embedding_near_dup_blocked"]
+    ).df()
+    con.close()
+    assert len(sdf) == len(odf) and len(sdf) > 0
+    assert sorted(sdf.columns) == sorted(odf.columns)
+    assert co.normalize(sdf) == co.normalize(odf)
