@@ -140,11 +140,11 @@ QUADRATIC_OUTPUT_OPS = {
     ),
     "embedding_near_dup_blocked": (
         "banded LSH candidates are Sigma bucket^2; r7 derives the band "
-        "width from corpus size so bucket occupancy stays ~constant, "
-        "and r8 caps the output at top-K matches per vector (the 552x "
-        "qualifying-pair growth measured at 30x was the last unbounded "
-        "term) — candidate verification still rides corpus density, "
-        "output no longer does."
+        "width from corpus size so bucket occupancy stays ~constant on "
+        "uncorrelated data, and r8 bounds the two terms density skew "
+        "still drove: an id-ordered within-bucket pairing window "
+        "(candidates O(N*bands*W) under any skew) and a per-vector "
+        "top-K output cap (result O(N*K))."
     ),
 }
 
@@ -247,12 +247,14 @@ SF3_DIAGNOSES_RAW = {
         "auto-scaled LSH geometry (r7): band width derives from corpus "
         "size (bits=11 at sf3.0 vs the old fixed 8 — measured 17.55M "
         "-> 8.65M candidate join rows, 2.03x), cutting the r6 "
-        "fixed-geometry 21x curve. r8 (VERDICT r7 #3) closes the last "
-        "unbounded term: qualifying pairs grew 552x at 30x data on the "
-        "cosine-correlated scale corpus, so the op now caps output at "
-        "the top-K strongest matches per vector (JVM window over the "
-        "4-dp rounded cosine, K mirrored into the oracle) — result "
-        "size is O(N*K) regardless of corpus density."
+        "fixed-geometry 21x curve. r8 (VERDICT r7 #3) bounds the two "
+        "remaining density-driven terms, both mirrored in the oracle: "
+        "candidates — correlated vectors collide at any width "
+        "(measured 8.65M -> 73.6M join rows = 8.5x for 3.33x more "
+        "vectors, max bucket 147 -> 438), so bucket members rank by "
+        "vec_id and pair only with their next 16 (O(N*bands*W) under "
+        "any skew); output — qualifying pairs grew 552x at 30x, so "
+        "each vector keeps its top-8 strongest matches (O(N*K))."
     ),
     "dedup_components": (
         "pair generation now uses the exact prefix+size-filtered "
@@ -353,11 +355,16 @@ SF10_DIAGNOSES_RAW = {
         "short of fewer iterations."
     ),
     "embedding_near_dup_blocked": (
-        "auto-scaled LSH geometry + the r8 per-vector top-K output "
-        "cap at 100x: candidates stay occupancy-bounded and the "
-        "result is O(N*K) rows regardless of corpus density — the "
-        "two levers that make a pair-emitting op 100 TB-safe, "
-        "measured two decades up."
+        "auto-scaled LSH geometry + the r8 bounded-candidate bucket "
+        "window (O(N*bands*W) join rows under any density skew — "
+        "uncapped, candidates measured 8.5x for 3.33x more vectors "
+        "and the sf10 wall was 156.3s; with the window it is 28.0s) "
+        "+ the r8 per-vector top-K output cap (O(N*K) result): the "
+        "levers that make a pair-emitting op 100 TB-safe, measured "
+        "two decades up. The ratio's denominator is a 1.3s sf0.1 "
+        "base with almost no amortizable overhead — per "
+        "core-unit-of-data the 100x point is ~0.11x, the most "
+        "sub-linear sf10 row."
     ),
 }
 
