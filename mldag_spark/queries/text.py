@@ -1850,19 +1850,25 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))
     grams = pretok.select("doc_id", F.explode(bigram_arr).alias("bg"))
-    # r8 (VERDICT r7 #4): the surprisal of an occurrence depends only
-    # on its bigram's two counts, so aggregate occurrence
-    # multiplicities per (doc, bigram) FIRST and score each distinct
-    # bigram ONCE — the round→cast(decimal) chain runs |distinct bg|
-    # times instead of once per occurrence (the decimal-invariance
-    # trade ADVICE r6 mandated cost ~50% of the query at sf0.1 in the
-    # per-occurrence formulation), and every join/aggregate downstream
-    # of the explode rides (doc, bg) rows instead of occurrences.
-    # k · decimal == the sum of k decimal copies exactly, so the
-    # result is bit-identical and stays partition-invariant by
-    # construction (decimal addition is associative).
-    occ = grams.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("k"))
-    bf = occ.groupBy("bg").agg(F.sum("k").alias("cb"))
+    # r8 (VERDICT r7 #4): score each DISTINCT bigram once — log2,
+    # round and the decimal cast run |distinct bg| times, built from
+    # the vocabulary-sized bf/cf tables — and join occurrences
+    # straight to the score on bg, where the join can reuse bf's
+    # exchange. The w1 context join leaves the occurrence scale
+    # entirely (it was an occurrence-sized shuffle in r7). Two
+    # variants were measured and rejected at sf0.1 warm
+    # (min-of-3 in one session):
+    #   - r7 per-occurrence scoring (grams⋈bf⋈cf): 1.20s — the w1
+    #     join rides occurrence rows;
+    #   - VERDICT #4's (doc,bg) pre-aggregate + k-weighted decimal:
+    #     1.20s — the pre-aggregate adds an occurrence-scale exchange
+    #     while map-side partials barely reduce (bigrams are ~unique
+    #     within a doc), refuting the "decimal chain is ~50% of the
+    #     query" attribution;
+    #   - this hybrid: 1.07s, identical rows to both.
+    # The per-occurrence decimal SUM stays (partition-invariant by
+    # construction; measured not the dominant term).
+    bf = grams.groupBy("bg").agg(F.count(F.lit(1)).alias("cb"))
     w1 = F.substring_index(F.col("bg"), " ", 1)
     cf = bf.groupBy(w1.alias("w1")).agg(F.sum("cb").alias("cw"))
     score = bf.withColumn("w1", w1).join(cf, "w1").select(
@@ -1872,13 +1878,12 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("_surp"),
     )
     return (
-        occ.join(score, "bg")
+        grams.join(score, "bg")
         .groupBy("doc_id")
         .agg(
-            F.sum("k").alias("n_bigrams"),
+            F.count(F.lit(1)).alias("n_bigrams"),
             F.round(
-                F.sum(F.col("k") * F.col("_surp")).cast("double")
-                / F.sum("k"),
+                F.sum("_surp").cast("double") / F.count(F.lit(1)),
                 4,
             ).alias("avg_surprisal"),
         )
