@@ -336,3 +336,29 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         assert got == want
     finally:
         spark.sql("DROP DATABASE IF EXISTS plan_bucket CASCADE")
+
+
+def test_embedding_near_dup_window_rides_join_exchange(spark, registry):
+    """r8: the bucket-window rank and the per-vector top-K cap must not
+    add data exchanges beyond the ones the plan already needed.
+
+    The within-bucket ROW_NUMBER partitions by exactly the band-join
+    keys, so each self-join side carries ONE (label, band, bucket)
+    exchange serving both its window and its join input; the top-K
+    window adds the single vec_a exchange the output cap requires.
+    Pinned at the measured shape (ADVICE r7: measured counts, not
+    headroom) so a silently added exchange is a conscious diff.
+    """
+    df = registry["embedding_near_dup_blocked"](spark, SF_DIR)
+    plan = _plan(df)
+    # formatted mode lists each Exchange's partitioning on its own
+    # "Arguments: hashpartitioning(...)" line
+    part_args = [
+        l
+        for l in plan.splitlines()
+        if l.startswith("Arguments: hashpartitioning")
+    ]
+    bucket_ex = [l for l in part_args if "band" in l]
+    assert len(bucket_ex) == 2, plan  # one per self-join side, window rides it
+    assert len(part_args) == 4, plan  # + pair-distinct + vec_a top-K window
+    assert "CartesianProduct" not in plan
