@@ -53,6 +53,18 @@ def minhash_signatures_rows(
     trip entirely when the caller already has element rows (e.g.
     ``functions.shingle_rows``), and when those rows are already
     hash-partitioned by ``id`` the groupBy adds no exchange.
+
+    Probed and rejected (r8): hashing a pre-hashed 8-byte long per
+    seed (``xxhash64(xxhash64(elem), seed_i)``) instead of re-scanning
+    the element bytes ``num_hashes`` times. In isolation the signature
+    stage drops 1.00s → 0.59s at sf0.1 warm, but in the full LSH query
+    it is a net LOSS or a wash: a pre-hash projection gets pushed
+    below the id-keyed repartition, splitting the exchange the
+    signature and verification branches share (full query 3.41s →
+    3.74s), and the nested-expression form that preserves the shared
+    exchange measures 3.12s vs 3.13s — the signature stage is not the
+    full query's bottleneck (verification + shuffles are). Same-seed
+    string hashing kept: simplest, and fingerprints stay stable.
     """
     mins = [
         F.min(F.xxhash64(elem_col, F.lit(i))).alias(f"_h{i}")
