@@ -153,7 +153,7 @@ def _lsh_bits(n: int) -> int:
 # quantization, Knuth-hash weights, dot>0 bits, bit-packed band
 # buckets — exact integer arithmetic end to end, so no float drift
 # between Spark and DuckDB is possible at ANY corpus size
-_NEAR_DUP_ORACLE = f"""
+_NEAR_DUP_CTES = f"""
     WITH params AS (
         SELECT COALESCE(MIN(b), {_LSH_MAX_BITS}) AS bits
         FROM generate_series({_LSH_MIN_BITS}, {_LSH_MAX_BITS}) t(b)
@@ -194,8 +194,7 @@ _NEAR_DUP_ORACLE = f"""
           ON a.label = b.label AND a.band = b.band AND a.bucket = b.bucket
          AND a.vec_id < b.vec_id
          AND b.bi - a.bi <= {_LSH_BUCKET_WINDOW}
-    )
-    SELECT vec_a, vec_b, label, cos FROM (
+    ), qualifying AS (
         SELECT c.vec_a, c.vec_b, c.label,
                ROUND(list_cosine_similarity(
                    CAST(ea.embedding AS DOUBLE[]),
@@ -207,10 +206,49 @@ _NEAR_DUP_ORACLE = f"""
                    CAST(ea.embedding AS DOUBLE[]),
                    CAST(eb.embedding AS DOUBLE[])) >= 0.4
     )
+"""
+
+_NEAR_DUP_ORACLE = (
+    _NEAR_DUP_CTES
+    + f"""
+    SELECT vec_a, vec_b, label, cos FROM qualifying
     QUALIFY ROW_NUMBER() OVER (
         PARTITION BY vec_a ORDER BY cos DESC, vec_b
     ) <= {_NEAR_DUP_TOPK}
 """
+)
+
+# histogram mode (r8 — the other bounded-output form VERDICT r7 #3
+# named): per-label near-dup structure WITHOUT enumerating pairs —
+# output is |labels| rows of integer counts no matter how dense the
+# corpus. Shares every CTE with the pair query, so the two modes
+# cannot drift apart.
+_NEAR_DUP_STATS_ORACLE = (
+    _NEAR_DUP_CTES
+    + """
+    , deg AS (
+        SELECT label, v, COUNT(*) AS d
+        FROM (
+            SELECT label, vec_a AS v FROM qualifying
+            UNION ALL
+            SELECT label, vec_b AS v FROM qualifying
+        )
+        GROUP BY label, v
+    )
+    SELECT l.label,
+           l.n_vectors,
+           COALESCE(p.n_pairs, 0) AS n_pairs,
+           COALESCE(d.n_dup, 0) AS n_dup_vectors,
+           COALESCE(d.mx, 0) AS max_degree
+    FROM (SELECT label, COUNT(*) AS n_vectors FROM embeddings GROUP BY label) l
+    LEFT JOIN (
+        SELECT label, COUNT(*) AS n_pairs FROM qualifying GROUP BY label
+    ) p USING (label)
+    LEFT JOIN (
+        SELECT label, COUNT(*) AS n_dup, MAX(d) AS mx FROM deg GROUP BY label
+    ) d USING (label)
+"""
+)
 
 
 @register("embedding_near_dup_blocked", oracle=_NEAR_DUP_ORACLE)
@@ -263,6 +301,28 @@ def embedding_near_dup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast of corpus-sized data; no CartesianProduct (pinned by
     test_plans).
     """
+    qualifying = _near_dup_qualifying(spark, sf_dir)
+    # r8 (VERDICT r7 #3): bounded-output mode — each vec_a keeps only
+    # its _NEAR_DUP_TOPK strongest matches, so the result is O(N·K)
+    # rows no matter how dense the corpus (552x qualifying-pair growth
+    # measured at 30x data with no cap). Ranking uses the 4-dp rounded
+    # cosine (the exact value the gate hash-compares, so Spark and
+    # DuckDB rank identically) with vec_b as a total-order tiebreak;
+    # the window is JVM-side over pairs already thresholded, and its
+    # vec_a shuffle is the only added exchange.
+    w = Window.partitionBy("vec_a").orderBy(F.desc("cos"), F.asc("vec_b"))
+    return (
+        qualifying.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= _NEAR_DUP_TOPK)
+        .drop("_rk")
+    )
+
+
+def _near_dup_qualifying(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared subplan of the near-dup pair and stats queries: the
+    bounded-candidate LSH join plus exact cosine verification —
+    (vec_a, vec_b, label, cos) rows at cos >= 0.4, before any
+    output cap."""
     from mldag_spark.operators.similarity import banded_signature_udf
 
     emb = load(spark, sf_dir, "embeddings")
@@ -303,22 +363,51 @@ def embedding_near_dup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_b",
     )
     cos = cosine_similarity(F.col("va"), F.col("vb"))
-    qualifying = pairs.filter(cos >= 0.4).select(
+    return pairs.filter(cos >= 0.4).select(
         "vec_a", "vec_b", "label", F.round(cos, 4).alias("cos")
     )
-    # r8 (VERDICT r7 #3): bounded-output mode — each vec_a keeps only
-    # its _NEAR_DUP_TOPK strongest matches, so the result is O(N·K)
-    # rows no matter how dense the corpus (552x qualifying-pair growth
-    # measured at 30x data with no cap). Ranking uses the 4-dp rounded
-    # cosine (the exact value the gate hash-compares, so Spark and
-    # DuckDB rank identically) with vec_b as a total-order tiebreak;
-    # the window is JVM-side over pairs already thresholded, and its
-    # vec_a shuffle is the only added exchange.
-    w = Window.partitionBy("vec_a").orderBy(F.desc("cos"), F.asc("vec_b"))
+
+
+@register("embedding_near_dup_stats", oracle=_NEAR_DUP_STATS_ORACLE)
+def embedding_near_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label near-dup structure WITHOUT enumerating pairs — the
+    histogram form of the bounded-output playbook (VERDICT r7 #3 named
+    both: a per-vector top-K cap, shipped as
+    :func:`embedding_near_dup_blocked`, and a count/stats mode, this).
+
+    Output is |labels| rows of integer counts regardless of corpus
+    density: vectors per label, qualifying pairs, vectors with at
+    least one near-dup, and the maximum per-vector near-dup degree
+    (counting both pair roles). Shares the bounded-candidate +
+    verification subplan — and every oracle CTE — with the pair
+    query, so the two modes cannot drift apart. All aggregates are
+    label-bounded; the degree union is two projections of the
+    qualifying pairs."""
+    qualifying = _near_dup_qualifying(spark, sf_dir)
+    emb = load(spark, sf_dir, "embeddings")
+    labels = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_vectors"))
+    pair_counts = qualifying.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    deg = (
+        qualifying.select("label", F.col("vec_a").alias("v"))
+        .unionByName(qualifying.select("label", F.col("vec_b").alias("v")))
+        .groupBy("label", "v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    deg_stats = deg.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_dup"), F.max("d").alias("mx")
+    )
     return (
-        qualifying.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= _NEAR_DUP_TOPK)
-        .drop("_rk")
+        labels.join(pair_counts, "label", "left")
+        .join(deg_stats, "label", "left")
+        .select(
+            "label",
+            "n_vectors",
+            F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+            F.coalesce("n_dup", F.lit(0)).alias("n_dup_vectors"),
+            F.coalesce("mx", F.lit(0)).alias("max_degree"),
+        )
     )
 
 
