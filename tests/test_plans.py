@@ -80,6 +80,9 @@ def test_no_cartesian_products_anywhere(spark, registry):
         "q22_idle_rich_customers",
         "join_range_parts_in_price_band",
         "embedding_near_dup_blocked",
+        # r8: the histogram mode shares the subplan but adds its own
+        # label-keyed outer joins
+        "embedding_near_dup_stats",
         # r7: the funnel's corpus-total join must stay a broadcast
         # 1-row aggregate, never a cartesian
         "text_filter_funnel",
