@@ -851,3 +851,74 @@ def dq_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in checks[1:]:
         out = out.unionByName(c)
     return out
+
+
+_PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+_PROFILE_ORACLE = """
+    WITH agg AS (
+        SELECT
+            COUNT(*) AS n_rows,
+%s
+        FROM lineitem
+    )
+    SELECT col, n_rows, n_null, n_distinct, min_val, max_val, avg_val
+    FROM (
+%s
+    )
+""" % (
+    ",\n".join(
+        f"""            CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS {c}_null,
+            CAST(COUNT(DISTINCT {c}) AS BIGINT) AS {c}_distinct,
+            ROUND(MIN(CAST({c} AS DOUBLE)), 4) AS {c}_min,
+            ROUND(MAX(CAST({c} AS DOUBLE)), 4) AS {c}_max,
+            ROUND(AVG(CAST({c} AS DOUBLE)), 4) AS {c}_avg"""
+        for c in _PROFILE_COLS
+    ),
+    "\n        UNION ALL ".join(
+        f"SELECT '{c}' AS col, n_rows, {c}_null AS n_null, "
+        f"{c}_distinct AS n_distinct, {c}_min AS min_val, "
+        f"{c}_max AS max_val, {c}_avg AS avg_val FROM agg"
+        for c in _PROFILE_COLS
+    ),
+)
+
+
+@register("dq_column_profile", oracle=_PROFILE_ORACLE)
+def dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data profile of lineitem's numeric measures — the
+    audit a pipeline runs before trusting a new table drop: null
+    count, exact distinct cardinality, min/max/avg. ONE scan: every
+    metric is an aggregate expression in a single pass (Spark plans
+    the multi-column exact COUNT(DISTINCT) via Expand — one shuffle
+    whose width is |columns|, not a scan per column), then a stack()
+    unpivot to the (col, metrics...) contract rows. At 100 TB swap
+    the exact distincts for approx_count_distinct and drop the
+    oracle-exactness — the plan shape is unchanged; the exact form
+    is kept here because DuckDB can mirror it bit-for-bit."""
+    li = load(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"{c}_null"),
+            F.count_distinct(F.col(c)).alias(f"{c}_distinct"),
+            F.round(F.min(F.col(c).cast("double")), 4).alias(f"{c}_min"),
+            F.round(F.max(F.col(c).cast("double")), 4).alias(f"{c}_max"),
+            F.round(F.avg(F.col(c).cast("double")), 4).alias(f"{c}_avg"),
+        ]
+    agg = li.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}_null, {c}_distinct, {c}_min, {c}_max, {c}_avg"
+        for c in _PROFILE_COLS
+    )
+    return agg.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack}) AS "
+            "(col, n_null, n_distinct, min_val, max_val, avg_val)"
+        ),
+        "n_rows",
+    ).select(
+        "col", "n_rows", "n_null", "n_distinct", "min_val", "max_val", "avg_val"
+    )
