@@ -386,28 +386,32 @@ def embedding_near_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     qualifying = _near_dup_qualifying(spark, sf_dir)
     emb = load(spark, sf_dir, "embeddings")
     labels = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_vectors"))
-    pair_counts = qualifying.groupBy("label").agg(
-        F.count(F.lit(1)).alias("n_pairs")
-    )
+    # ONE reference to the qualifying subtree: explode each pair into
+    # its two member rows; every downstream stat derives from the
+    # degree table (n_pairs = Σ degree / 2 within a label — each pair
+    # contributes exactly two in-label degree entries, so the div is
+    # integer-exact). A union of two projections would re-execute the
+    # whole LSH + verification subplan per branch — measured 22.0s vs
+    # the pair query's 6.7s at sf3.0 before this restructure.
     deg = (
-        qualifying.select("label", F.col("vec_a").alias("v"))
-        .unionByName(qualifying.select("label", F.col("vec_b").alias("v")))
+        qualifying.select(
+            "label",
+            F.explode(F.array(F.col("vec_a"), F.col("vec_b"))).alias("v"),
+        )
         .groupBy("label", "v")
         .agg(F.count(F.lit(1)).alias("d"))
     )
     deg_stats = deg.groupBy("label").agg(
-        F.count(F.lit(1)).alias("n_dup"), F.max("d").alias("mx")
+        F.count(F.lit(1)).alias("n_dup"),
+        F.max("d").alias("mx"),
+        F.expr("sum(d) div 2").alias("n_pairs_sum"),
     )
-    return (
-        labels.join(pair_counts, "label", "left")
-        .join(deg_stats, "label", "left")
-        .select(
-            "label",
-            "n_vectors",
-            F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
-            F.coalesce("n_dup", F.lit(0)).alias("n_dup_vectors"),
-            F.coalesce("mx", F.lit(0)).alias("max_degree"),
-        )
+    return labels.join(deg_stats, "label", "left").select(
+        "label",
+        "n_vectors",
+        F.coalesce("n_pairs_sum", F.lit(0)).alias("n_pairs"),
+        F.coalesce("n_dup", F.lit(0)).alias("n_dup_vectors"),
+        F.coalesce("mx", F.lit(0)).alias("max_degree"),
     )
 
 

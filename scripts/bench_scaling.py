@@ -67,6 +67,9 @@ QUERIES = (
     # r7: the exact prefix-filtered similarity join (the former
     # inverted-index quadratic curve, now the candidate-bounded plan)
     "dedup_ngram_jaccard",
+    # r8: the near-dup histogram mode and the one-pass column profile
+    "embedding_near_dup_stats",
+    "dq_column_profile",
 )
 
 # VERDICT r6 #6: every scale row now gets a 30x datapoint (was 12/26)
@@ -101,6 +104,8 @@ SF3_QUERIES = (
     # iterative graph kernel at 30x: per-iteration shuffle scaling
     "graph_pagerank_bipartite",
     "embedding_near_dup_blocked",
+    "embedding_near_dup_stats",
+    "dq_column_profile",
     # ...heaviest (prefix-join + closure) last: even with per-query
     # session recovery, a JVM death costs every later row its warm cache
     "dedup_ngram_jaccard",
@@ -306,6 +311,15 @@ SF3_DIAGNOSES_RAW = {
     "pack_token_budget_batches": (
         "quantile-bucketed prefix sum; the only growing stage is the "
         "per-bucket local cumsum."
+    ),
+    "embedding_near_dup_stats": (
+        "the histogram mode of the bounded near-dup op: shares the "
+        "bounded-candidate subplan, then label-keyed integer "
+        "aggregates — output |labels| rows at any density."
+    ),
+    "dq_column_profile": (
+        "one scan, one Expand-width shuffle for the multi-column "
+        "exact distincts; reduce side is |columns|-bounded."
     ),
 }
 
