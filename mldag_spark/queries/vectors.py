@@ -668,6 +668,200 @@ def embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# k-means over embeddings (r8): the second iterative flagship kernel
+# (PageRank being the first) — corpus clustering is the standard
+# pre-step for diversity sampling / stratified mixing of training
+# data, and the Lloyd iteration is the canonical "broadcast a bounded
+# model, shuffle once per iteration" Spark shape.
+#
+# Determinism contract (both engines, exact at any partitioning):
+# - components quantized to 6 dp up front (ROUND on identical doubles);
+# - every distance is a sum of per-dimension squares cast to
+#   DECIMAL(20,12) — decimal addition is exact and order-free, so
+#   assignment argmin (tie-break lower cid) is partition-invariant;
+# - centroid updates are exact DECIMAL(18,6) component sums divided
+#   by the member count in double, re-rounded to 6 dp — the identical
+#   float op sequence in Spark, Python (driver), and DuckDB;
+# - empty clusters keep their previous centroid (COALESCE both sides).
+_KM_K = 8
+_KM_ITERS = 3
+
+
+def _km_oracle() -> str:
+    """Unrolled-Lloyd DuckDB oracle: seeds = the _KM_K lowest vec_ids,
+    then _KM_ITERS exact (assign, update) rounds and a final
+    assignment — the same decimal arithmetic the Spark side uses, so
+    the gate is exact at any corpus size."""
+    ctes = [
+        f"""
+    WITH v AS (
+        SELECT vec_id, u - 1 AS pos,
+               ROUND(CAST(embedding[u] AS DOUBLE), 6) AS x
+        FROM (SELECT vec_id, embedding,
+                     unnest(generate_series(1, len(embedding))) AS u
+              FROM embeddings)
+    ), seedids AS (
+        SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid
+        FROM embeddings ORDER BY vec_id LIMIT {_KM_K}
+    ), c0 AS (
+        SELECT s.cid, v.pos, v.x AS c
+        FROM seedids s JOIN v ON v.vec_id = s.vec_id
+    )"""
+    ]
+    for i in range(1, _KM_ITERS + 1):
+        ctes.append(
+            f""", d{i} AS (
+        SELECT v.vec_id, c.cid,
+               SUM(CAST((v.x - c.c) * (v.x - c.c) AS DECIMAL(20,12))) AS d
+        FROM v JOIN c{i - 1} c ON v.pos = c.pos
+        GROUP BY v.vec_id, c.cid
+    ), a{i} AS (
+        SELECT vec_id, cid, d FROM d{i}
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1
+    ), c{i} AS (
+        SELECT o.cid, o.pos, COALESCE(n.c, o.c) AS c
+        FROM c{i - 1} o LEFT JOIN (
+            SELECT a.cid, v.pos,
+                   ROUND(CAST(SUM(CAST(v.x AS DECIMAL(18,6))) AS DOUBLE)
+                         / COUNT(*), 6) AS c
+            FROM a{i} a JOIN v ON v.vec_id = a.vec_id
+            GROUP BY a.cid, v.pos
+        ) n ON n.cid = o.cid AND n.pos = o.pos
+    )"""
+        )
+    last = _KM_ITERS
+    ctes.append(
+        f""", dF AS (
+        SELECT v.vec_id, c.cid,
+               SUM(CAST((v.x - c.c) * (v.x - c.c) AS DECIMAL(20,12))) AS d
+        FROM v JOIN c{last} c ON v.pos = c.pos
+        GROUP BY v.vec_id, c.cid
+    ), aF AS (
+        SELECT vec_id, cid, d FROM dF
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1
+    )
+    SELECT CAST(cid AS INT) AS cid,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           ROUND(CAST(SUM(d) AS DOUBLE), 4) AS inertia
+    FROM aF GROUP BY cid ORDER BY cid"""
+    )
+    return "".join(ctes)
+
+
+_KM_ORACLE = _km_oracle()
+
+
+def _km_dist(cent: list[float]):
+    """Exact squared-L2 distance of the quantized vector column ``v``
+    to a centroid literal: per-dimension squares cast to
+    DECIMAL(20,12) folded with exact decimal addition — order-free, so
+    the value (and every comparison on it) is partition-invariant and
+    engine-identical. The centroid rides along as a k·d-bounded
+    literal array: the "broadcast the model" half of the Lloyd shape
+    (never a corpus-sized join side)."""
+    carr = F.array(*[F.lit(float(c)) for c in cent])
+    terms = F.zip_with(
+        F.col("v"), carr,
+        lambda x, c: ((x - c) * (x - c)).cast("decimal(20,12)"),
+    )
+    return F.aggregate(
+        terms,
+        F.lit(0).cast("decimal(24,12)"),
+        lambda acc, t: (acc + t).cast("decimal(24,12)"),
+    )
+
+
+def _km_assign(df: DataFrame, cents: list[list[float]]) -> DataFrame:
+    """argmin over the k centroids via array_min on (d, cid) structs —
+    lexicographic struct comparison = exact-decimal distance argmin
+    with lower-cid tie-break, all JVM-side codegen."""
+    amin = F.array_min(
+        F.array(*[
+            F.struct(_km_dist(c).alias("d"), F.lit(j).alias("c"))
+            for j, c in enumerate(cents)
+        ])
+    )
+    return df.select(
+        "vec_id", "v", amin["c"].alias("cid"), amin["d"].alias("d")
+    )
+
+
+@register("kmeans_embedding_clusters", oracle=_KM_ORACLE)
+def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means over the embedding corpus (k=8, 3 exact
+    iterations, seeds = the k lowest vec_ids): per-cluster member
+    counts and inertia — the clustering pre-step for diversity-aware
+    sampling of training corpora.
+
+    Scale shape — the textbook Spark Lloyd iteration:
+
+    - the model (k·d = 512 doubles) moves, the data does not: each
+      iteration's assignment is a map-only pass with centroids inlined
+      as literal arrays, and the update is ONE shuffle of k keys with
+      map-side partial aggregation (64 exact DECIMAL(18,6) component
+      sums + a count per cluster), so reduce-side traffic is
+      |partitions|·k rows regardless of corpus size;
+    - the per-iteration ``collect()`` is ≤ k rows of 64 sums — the
+      bounded-aggregate law (cluster-width bound, never corpus bound);
+    - the quantized projection is persisted across the three
+      iterations and released before the final assignment, whose
+      returned plan rebuilds from the parquet scan (no cache leak into
+      the long-lived gate session).
+
+    Determinism: every distance and component sum is exact decimal
+    arithmetic over 6-dp-quantized components (see the module note),
+    so results are partition-invariant and the unrolled-SQL oracle is
+    exact — no convergence tolerance anywhere."""
+    emb = load(spark, sf_dir, "embeddings")
+    vec = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.round(x, 6),
+        ).alias("v"),
+    )
+    cents = [
+        list(r["v"]) for r in vec.orderBy("vec_id").limit(_KM_K).collect()
+    ]
+    work = vec.persist()
+    try:
+        for _ in range(_KM_ITERS):
+            stats = (
+                _km_assign(work, cents)
+                .groupBy("cid")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    *[
+                        F.sum(
+                            F.element_at("v", i + 1).cast("decimal(18,6)")
+                        ).alias(f"s{i}")
+                        for i in range(_DIM)
+                    ],
+                )
+                .collect()
+            )
+            new = {
+                r["cid"]: [
+                    round(float(r[f"s{i}"]) / r["n"], 6)
+                    for i in range(_DIM)
+                ]
+                for r in stats
+            }
+            cents = [new.get(j, c) for j, c in enumerate(cents)]
+    finally:
+        work.unpersist()
+    return (
+        _km_assign(vec, cents)
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.round(F.sum("d").cast("double"), 4).alias("inertia"),
+        )
+        .orderBy("cid")
+    )
+
+
 @register("embedding_effective_rank")  # rows-only: eigendecomposition
 # is not SQL-expressible; numpy-pinned + partition-invariant in pytest
 def embedding_effective_rank(spark: SparkSession, sf_dir: str) -> DataFrame:

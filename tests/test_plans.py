@@ -365,3 +365,24 @@ def test_embedding_near_dup_window_rides_join_exchange(spark, registry):
     assert len(bucket_ex) == 2, plan  # one per self-join side, window rides it
     assert len(part_args) == 4, plan  # + pair-distinct + vec_a top-K window
     assert "CartesianProduct" not in plan
+
+
+def test_kmeans_is_map_only_plus_one_bounded_shuffle(spark, registry):
+    """The Lloyd kernel's scale contract (r8): centroids move as k·d
+    literal arrays, the corpus never joins anything — the returned
+    plan must be scan → map-only assignment → partial aggregate →
+    ONE k-key exchange (+ the cosmetic output sort). Any Join node,
+    Python eval, or extra data shuffle means the "broadcast the model,
+    not the data" shape regressed."""
+    plan = _plan(registry["kmeans_embedding_clusters"](spark, SF_DIR))
+    assert "Join" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    data_shuffles = [
+        l for l in plan.splitlines()
+        if l.startswith("Arguments: hashpartitioning")
+    ]
+    assert len(data_shuffles) == 1, plan  # the k-key update/stats agg
+    # scan reads only (vec_id, embedding) — label is not referenced
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "label" not in read, read

@@ -268,3 +268,33 @@ def test_effective_rank_matches_numpy_and_partitioning(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     assert again == got
+
+
+def test_kmeans_partition_invariant_and_exhaustive(spark):
+    """The k-means contract: exact decimal distances/updates make the
+    result byte-identical at any shuffle-partition count, every vector
+    lands in exactly one cluster, and inertia is non-negative."""
+    from mldag_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        runs = []
+        for n_parts in ("3", old):
+            spark.conf.set("spark.sql.shuffle.partitions", n_parts)
+            rows = sorted(
+                tuple(r)
+                for r in REGISTRY["kmeans_embedding_clusters"](
+                    spark, sf
+                ).collect()
+            )
+            runs.append(rows)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    a, b = runs
+    assert a == b, "kmeans differs across shuffle partition counts"
+    from mldag_spark.queries.tables import load
+
+    n_vecs = load(spark, sf, "embeddings").count()
+    assert sum(r[1] for r in a) == n_vecs  # exhaustive, disjoint
+    assert all(r[2] >= 0.0 for r in a)
