@@ -469,6 +469,99 @@ def jaccard_prefix_pairs(
     )
 
 
+def overlap_prefix_pairs(
+    rows: DataFrame,
+    id_col: str,
+    elem_col: str,
+    min_overlap: int,
+) -> DataFrame:
+    """EXACT overlap-similarity join: pairs with |A∩B| >= ``min_overlap``
+    common elements, via prefix filtering — the T-overlap join of
+    Chaudhuri et al. (ICDE'06 §3; same family as
+    :func:`jaccard_prefix_pairs`, which normalizes by the union).
+
+    An ABSOLUTE shared-element count is the right contract for
+    shared-passage detection (quotes, templated boilerplate,
+    copy-paste spans): whole-document Jaccard dilutes a long document
+    that contains a short one's text, but their common-shingle COUNT
+    is the length of the shared span regardless of either document's
+    size. This is the exact, oracle-checkable cousin of the winnowing
+    fingerprint overlap (``text_winnow_overlap``), whose sampled
+    fingerprints are hash-specific and only rows-only checkable.
+
+    Prefix bound (simpler than Jaccard's — the threshold is already
+    an integer, no rational arithmetic needed): order elements by the
+    global (df, element) rarity order; if |A∩B| >= c then at most
+    c - 1 common elements can be missing from A's prefix of size
+    |A| - c + 1, so the globally-smallest common element lies in BOTH
+    prefixes of size |X| - c + 1. Joining prefixes is exact; the size
+    filter is just |X| >= c (a smaller document cannot reach the
+    overlap at all). Verification counts intersections over the full
+    element rows — codegen'd merge joins, spillable, the same
+    row-based kernel as the Jaccard path (no per-document arrays).
+
+    Returns (doc_a < doc_b, n_common) with n_common >= min_overlap.
+    """
+    from pyspark.sql.window import Window
+
+    if min_overlap < 1:
+        raise ValueError(f"min_overlap must be >= 1 (got {min_overlap})")
+    c = int(min_overlap)
+
+    # one id-keyed exchange serves distinct + rank window + sizes
+    # (the _lsh_pairs_impl / jaccard_prefix_pairs law)
+    ex = (
+        rows.select(F.col(id_col), F.col(elem_col).alias("_e"))
+        .repartition(F.col(id_col))
+        .distinct()
+    )
+    df_tbl = ex.groupBy("_e").agg(F.count(F.lit(1)).alias("_df"))
+    w_rank = Window.partitionBy(id_col).orderBy(F.asc("_df"), F.asc("_e"))
+    w_all = Window.partitionBy(id_col)
+    prefix = (
+        ex.join(df_tbl.hint("merge"), "_e")
+        .select(
+            F.col(id_col),
+            "_e",
+            F.row_number().over(w_rank).alias("_rn"),
+            F.count(F.lit(1)).over(w_all).alias("_n"),
+        )
+        .filter(
+            (F.col("_n") >= F.lit(c))
+            & (F.col("_rn") <= F.col("_n") - F.lit(c) + F.lit(1))
+        )
+        .select(id_col, "_e")
+    )
+    a = prefix.alias("a")
+    b = prefix.hint("merge").alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a._e") == F.col("b._e"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .distinct()
+    )
+    # verification: count common elements per candidate pair over the
+    # SAME distinct element-row subtree (ReusedExchange), keep >= c.
+    # Merge hints for the repo-wide reason: post-aggregate size
+    # estimates are garbage and a broadcast of corpus element rows is
+    # fatal at scale.
+    ra = ex.select(F.col(id_col).alias("doc_a"), "_e").hint("merge")
+    rb = ex.select(F.col(id_col).alias("doc_b"), "_e").hint("merge")
+    return (
+        candidates.join(ra, "doc_a")
+        .join(rb, ["doc_b", "_e"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= c)
+    )
+
+
 def connected_components(
     edges: DataFrame, src: str = "doc_a", dst: str = "doc_b",
     max_iter: int = 25,

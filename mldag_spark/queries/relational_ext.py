@@ -922,3 +922,85 @@ def dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "col", "n_rows", "n_null", "n_distinct", "min_val", "max_val", "avg_val"
     )
+
+
+# ---------------------------------------------------------------------------
+# Record linkage: blocked fuzzy matching (entity resolution)
+# ---------------------------------------------------------------------------
+@register(
+    "link_fuzzy_part_names",
+    oracle="""
+    WITH names AS (
+        SELECT p_name,
+               COUNT(*) AS n_parts,
+               string_split(p_name, ' ')[1] AS w1,
+               string_split(p_name, ' ')[2] AS w2
+        FROM part GROUP BY p_name
+    ), blocked AS (
+        SELECT a.p_name AS name_a, b.p_name AS name_b,
+               a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+        FROM names a JOIN names b
+          ON a.w1 = b.w1 AND a.p_name < b.p_name
+        UNION
+        SELECT a.p_name, b.p_name, a.n_parts, b.n_parts
+        FROM names a JOIN names b
+          ON a.w2 = b.w2 AND a.p_name < b.p_name
+    )
+    SELECT name_a, name_b,
+           levenshtein(name_a, name_b) AS edit_dist,
+           n_parts_a, n_parts_b
+    FROM blocked
+    WHERE levenshtein(name_a, name_b) <= 3
+    """,
+)
+def link_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution via multi-pass blocking + edit-distance
+    verification: near-identical part names (Levenshtein <= 3) found
+    WITHOUT an all-pairs comparison.
+
+    The canonical record-linkage plan (Fellegi-Sunter blocking; the
+    same shape Dedupe/Splink run on Spark): candidate pairs are
+    generated only WITHIN blocks — here two passes, one keyed on the
+    name's first token and one on its second — then verified with the
+    expensive string metric. Each pass is an equi-join on the block
+    key (shuffle-partitionable, skew-saltable like any other join);
+    the N² comparison never happens. Multi-pass blocking is the
+    standard recall repair for single-key blocking: a pair disagreeing
+    in one token still shares the other pass's block. UNION (set)
+    dedups pairs caught by both passes.
+
+    ``F.levenshtein`` and DuckDB ``levenshtein`` compute the same
+    classic edit distance, so the verification is oracle-exact. At
+    100 TB the names table is the DISTINCT key set (already
+    aggregated, orders of magnitude smaller than the fact table);
+    per-block fan-out is bounded by block cardinality — the operative
+    scale knob is block-key choice, not corpus size."""
+    p = load(spark, sf_dir, "part")
+    names = (
+        p.groupBy("p_name")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .withColumn("w1", F.split("p_name", " ").getItem(0))
+        .withColumn("w2", F.split("p_name", " ").getItem(1))
+    )
+
+    def _pass(key: str) -> DataFrame:
+        a = names.alias("a")
+        b = names.alias("b")
+        return a.join(
+            b,
+            (F.col(f"a.{key}") == F.col(f"b.{key}"))
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        ).select(
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            F.col("a.n_parts").alias("n_parts_a"),
+            F.col("b.n_parts").alias("n_parts_b"),
+        )
+
+    blocked = _pass("w1").union(_pass("w2")).distinct()
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        blocked.withColumn("edit_dist", dist)
+        .filter(F.col("edit_dist") <= 3)
+        .select("name_a", "name_b", "edit_dist", "n_parts_a", "n_parts_b")
+    )

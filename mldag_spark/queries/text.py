@@ -340,6 +340,56 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Exact shared-passage detection: absolute common-shingle count.
+_OVERLAP_ORACLE = """
+    WITH t AS (
+        SELECT doc_id,
+               list_distinct(
+                 CASE WHEN len(toks) <= 3
+                      THEN [array_to_string(toks, ' ')]
+                      ELSE list_transform(range(1, len(toks) - 1),
+                           i -> array_to_string(toks[i:i+2], ' '))
+                 END) AS sh
+        FROM (
+            SELECT doc_id,
+                   string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+                       AS toks
+            FROM documents
+        )
+    ), exploded AS (
+        SELECT doc_id, unnest(sh) AS shingle FROM t
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+    FROM exploded a JOIN exploded b
+      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 20
+"""
+
+
+@register("dedup_overlap_pairs", oracle=_OVERLAP_ORACLE)
+def dedup_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-passage pairs: documents with >= 20 common distinct
+    3-gram shingles, via the exact prefix-filtered T-overlap join
+    (``operators.dedup.overlap_prefix_pairs``).
+
+    The ABSOLUTE-count contract complements the Jaccard near-dup
+    family: a long document quoting a short one wholesale has low
+    whole-document Jaccard (the union is dominated by the long doc)
+    but a common-shingle count equal to the quoted span's length —
+    exactly what contamination / quote / boilerplate-span detection
+    needs. Same scale shape as ``dedup_ngram_jaccard``: prefix size
+    |X| - c + 1 over the global rarity order keeps candidate fan-out
+    on rare shingles; verification is the row-based spillable
+    intersection count (no arrays, no broadcasts)."""
+    from mldag_spark.functions import shingle_rows
+    from mldag_spark.operators.dedup import overlap_prefix_pairs
+
+    d = load(spark, sf_dir, "documents")
+    rows = shingle_rows(d, "doc_id", "text", 3)
+    return overlap_prefix_pairs(rows, "doc_id", "shingle", min_overlap=20)
+
+
 @register("text_winnow_overlap")  # no oracle: fingerprint selection is hash-specific
 def text_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partial-overlap detection via winnowing fingerprints: doc pairs
@@ -920,6 +970,102 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.avg(F.log(F.col("c").cast("double") / F.col("t"))), 4
             ).alias("avg_logprob"),
         )
+    )
+
+
+@register(
+    "text_bm25_topk",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))
+                   AS w
+        FROM documents
+    ), dl AS (
+        SELECT doc_id, COUNT(*) AS ndl FROM tok GROUP BY doc_id
+    ), stats AS (
+        SELECT (SELECT COUNT(*) FROM documents) AS n,
+               (SELECT CAST(SUM(ndl) AS DOUBLE) / COUNT(*) FROM dl) AS avgdl
+    ), tf AS (
+        SELECT doc_id, w, COUNT(*) AS tf FROM tok
+        WHERE w IN ('dup', 'spark', 'window', 'merge')
+        GROUP BY doc_id, w
+    ), df AS (
+        SELECT w, COUNT(*) AS df FROM tf GROUP BY w
+    ), scored AS (
+        SELECT tf.doc_id,
+               COUNT(*) AS n_terms,
+               SUM(
+                   ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                   * tf.tf * 2.2
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * dl.ndl / s.avgdl))
+               ) AS score
+        FROM tf
+        JOIN df USING (w)
+        JOIN dl USING (doc_id), stats s
+        GROUP BY tf.doc_id
+    )
+    SELECT doc_id, n_terms, ROUND(score, 4) AS bm25
+    FROM scored
+    ORDER BY score DESC, doc_id
+    LIMIT 15
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval: top-15 documents for the query terms
+    {dup, spark, window, merge} under Okapi BM25 (k1=1.2, b=0.75,
+    idf = ln(1 + (N-df+0.5)/(df+0.5)) — the Lucene/Robertson-Spärck
+    Jones variant, always positive). 'dup' appears in <1% of
+    documents, so its idf dominates — the ranking demonstrably
+    rewards the rare term, not raw term count.
+
+    The retrieval plan, Spark-shaped: one token explode feeds BOTH
+    per-doc lengths and the query-term tf table (Catalyst reuses the
+    scan); df and the (N, avgdl) corpus stats are tiny aggregates
+    broadcast to the tf rows (|terms| and 1 row); scoring is pure
+    codegen arithmetic; top-15 is TakeOrderedAndProject (per-partition
+    heap + driver merge of 15-row heads — no global sort shuffle). At
+    100 TB this is exactly a scatter-gather query over an inverted
+    index: the tf table is the posting-list scan, df/avgdl the
+    precomputed index stats."""
+    d = load(spark, sf_dir, "documents")
+    terms = ["dup", "spark", "window", "merge"]
+    tok = d.select("doc_id", F.explode(tokenize(F.col("text"))).alias("w"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("ndl"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n"))
+    avgdl = dl.agg(
+        (F.sum("ndl").cast("double") / F.count(F.lit(1))).alias("avgdl")
+    )
+    tf = (
+        tok.filter(F.col("w").isin(terms))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_tbl = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1)
+        + (F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    term_score = idf * F.col("tf") * F.lit(2.2) / (
+        F.col("tf")
+        + F.lit(1.2)
+        * (F.lit(0.25) + F.lit(0.75) * F.col("ndl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(df_tbl), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(n_docs))
+        .crossJoin(F.broadcast(avgdl))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum(term_score).alias("score"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(15)
+        .select("doc_id", "n_terms", F.round("score", 4).alias("bm25"))
     )
 
 

@@ -817,3 +817,80 @@ def test_embedding_near_dup_bucket_window_matches_oracle_dense(spark, tmp_path):
     assert len(sdf) == len(odf) and len(sdf) > 0
     assert sorted(sdf.columns) == sorted(odf.columns)
     assert co.normalize(sdf) == co.normalize(odf)
+
+
+def test_overlap_prefix_pairs_exact_vs_bruteforce(spark):
+    """The prefix-filtered T-overlap join must equal the O(n²)
+    brute-force common-element count at several thresholds, including
+    c = 1 (degenerates to 'any shared element' — the full inverted
+    index) and c = max set size (only exact-equal sets qualify)."""
+    import itertools
+
+    from mldag_spark.operators.dedup import overlap_prefix_pairs
+
+    corpora = {
+        1: {"a", "b", "c", "d", "e"},
+        2: {"a", "b", "c", "d", "x"},       # |∩1|=4
+        3: {"a", "b", "c", "d", "e"},       # dup of 1: |∩|=5
+        4: {"c", "d", "e", "f", "g", "h"},  # |∩1|=3
+        5: {"p", "q", "r"},
+        6: {"p", "q", "r", "s"},            # |∩5|=3
+        7: {"zz"},
+        8: {"zz"},                          # |∩|=1
+    }
+    rows = spark.createDataFrame(
+        [(i, e) for i, es in corpora.items() for e in es],
+        ["doc_id", "elem"],
+    )
+    for c in (1, 2, 3, 4, 5):
+        want = sorted(
+            (a, b, len(corpora[a] & corpora[b]))
+            for a, b in itertools.combinations(sorted(corpora), 2)
+            if len(corpora[a] & corpora[b]) >= c
+        )
+        got = sorted(
+            (r["doc_a"], r["doc_b"], r["n_common"])
+            for r in overlap_prefix_pairs(rows, "doc_id", "elem", c).collect()
+        )
+        assert got == want, (c, got, want)
+
+
+def test_overlap_prefix_pairs_partition_invariant(spark):
+    from mldag_spark.operators.dedup import overlap_prefix_pairs
+
+    rows = spark.createDataFrame(
+        [(i, f"e{j}") for i in range(20) for j in range(i, i + 8)],
+        ["doc_id", "elem"],
+    )
+    one = sorted(
+        map(tuple, overlap_prefix_pairs(
+            rows.coalesce(1), "doc_id", "elem", 3).collect())
+    )
+    many = sorted(
+        map(tuple, overlap_prefix_pairs(
+            rows.repartition(13), "doc_id", "elem", 3).collect())
+    )
+    assert one == many
+    assert one, "fixture must produce at least one pair"
+
+
+def test_link_fuzzy_multipass_blocking_recall(spark):
+    """Multi-pass blocking must catch a pair that single-key blocking
+    on the FIRST token misses: 'hot rod' vs 'old rod' disagree in
+    token 1 (so pass 1 never pairs them) but share token 2, and their
+    edit distance is 3 <= 3 — the second pass is load-bearing."""
+    from mldag_spark.queries.relational_ext import link_fuzzy_part_names
+
+    d = spark.createDataFrame(
+        [(1, "hot rod"), (2, "old rod"), (3, "blue gear")],
+        ["p_partkey", "p_name"],
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        d.write.mode("overwrite").parquet(f"{td}/part.parquet")
+        got = {
+            (r.name_a, r.name_b, r.edit_dist)
+            for r in link_fuzzy_part_names(spark, td).collect()
+        }
+    assert got == {("hot rod", "old rod", 3)}

@@ -87,6 +87,11 @@ def test_no_cartesian_products_anywhere(spark, registry):
         # 1-row aggregate, never a cartesian
         "text_filter_funnel",
         "dedup_cluster_stats",
+        # r8: BM25's (N, avgdl) corpus stats are broadcast 1-row
+        # aggregates; the overlap/fuzzy joins are equi-keyed
+        "text_bm25_topk",
+        "dedup_overlap_pairs",
+        "link_fuzzy_part_names",
     ):
         plan = _plan(registry[name](spark, SF_DIR))
         assert "CartesianProduct" not in plan, name
