@@ -70,6 +70,11 @@ QUERIES = (
     # r8: the near-dup histogram mode and the one-pass column profile
     "embedding_near_dup_stats",
     "dq_column_profile",
+    # r8 late additions: BM25 retrieval, exact T-overlap join, blocked
+    # fuzzy linkage
+    "text_bm25_topk",
+    "dedup_overlap_pairs",
+    "link_fuzzy_part_names",
 )
 
 # VERDICT r6 #6: every scale row now gets a 30x datapoint (was 12/26)
@@ -106,6 +111,9 @@ SF3_QUERIES = (
     "embedding_near_dup_blocked",
     "embedding_near_dup_stats",
     "dq_column_profile",
+    "text_bm25_topk",
+    "dedup_overlap_pairs",
+    "link_fuzzy_part_names",
     # ...heaviest (prefix-join + closure) last: even with per-query
     # session recovery, a JVM death costs every later row its warm cache
     "dedup_ngram_jaccard",
