@@ -469,16 +469,18 @@ def jaccard_prefix_pairs(
     )
 
 
-def overlap_prefix_pairs(
+def overlap_pairs(
     rows: DataFrame,
     id_col: str,
     elem_col: str,
     min_overlap: int,
 ) -> DataFrame:
     """EXACT overlap-similarity join: pairs with |A∩B| >= ``min_overlap``
-    common elements, via prefix filtering — the T-overlap join of
-    Chaudhuri et al. (ICDE'06 §3; same family as
-    :func:`jaccard_prefix_pairs`, which normalizes by the union).
+    common elements, via the inverted-index pair count (Sarawagi &
+    Kirpal, SIGMOD'04): join element rows to themselves on the
+    element, count rows per (doc_a < doc_b), keep counts >= c. One
+    equality join + one pair-keyed aggregate — no candidate set, no
+    verification pass.
 
     An ABSOLUTE shared-element count is the right contract for
     shared-passage detection (quotes, templated boilerplate,
@@ -489,73 +491,55 @@ def overlap_prefix_pairs(
     fingerprint overlap (``text_winnow_overlap``), whose sampled
     fingerprints are hash-specific and only rows-only checkable.
 
-    Prefix bound (simpler than Jaccard's — the threshold is already
-    an integer, no rational arithmetic needed): order elements by the
-    global (df, element) rarity order; if |A∩B| >= c then at most
-    c - 1 common elements can be missing from A's prefix of size
-    |A| - c + 1, so the globally-smallest common element lies in BOTH
-    prefixes of size |X| - c + 1. Joining prefixes is exact; the size
-    filter is just |X| >= c (a smaller document cannot reach the
-    overlap at all). Verification counts intersections over the full
-    element rows — codegen'd merge joins, spillable, the same
-    row-based kernel as the Jaccard path (no per-document arrays).
+    Why NOT the prefix-filtered plan that serves the Jaccard join
+    (:func:`jaccard_prefix_pairs`) — measured, r8 at sf1.0 (50k docs,
+    2.6M element rows): prefix filtering degenerates for an absolute
+    threshold. The prefix bound is |X| - c + 1 — with c fixed and
+    |X| ~ 52 elements that is ~90% of every document, and the
+    positional filter (Xiao et al. WWW'08) is *implied* by the prefix
+    condition for absolute thresholds (rn <= n - c + 1 iff
+    1 + (n - rn) >= c), i.e. provably prunes nothing: join rows were
+    identical (5,960,315) with and without it. The candidate set was
+    5.46M pairs of which 9,550 qualify — 99.8% of the verification
+    join (Σ |A| over candidates ≈ 280M rows) was waste, and its
+    spill-file merge OOMed a 2 GiB heap. The direct count does the
+    intersection counting ONCE, on Σ C(df,2) join rows (31.9M there):
+    16.7s in the same 2 GiB session that the prefix plan killed.
+
+    Scale contract (the honest one): work is Σ C(df,2) over element
+    document frequencies. On corpora where df is bounded (shingles
+    rare outside shared passages) that is linear in corpus size. When
+    high-df elements come from passages shared by m documents, those
+    C(m,2) pairs genuinely satisfy the predicate once the span is
+    >= c shingles — the OUTPUT is quadratic, so no exact algorithm
+    does better; cap the blowup upstream (drop elements with
+    df > cap, which bounds the result to spans rarer than the cap) or
+    use the sampled winnowing variant. Both joins are merge-hinted:
+    post-explode/post-aggregate size estimates are garbage and a
+    broadcast of corpus element rows is fatal at scale (repo-wide
+    law).
 
     Returns (doc_a < doc_b, n_common) with n_common >= min_overlap.
     """
-    from pyspark.sql.window import Window
-
     if min_overlap < 1:
         raise ValueError(f"min_overlap must be >= 1 (got {min_overlap})")
     c = int(min_overlap)
 
-    # one id-keyed exchange serves distinct + rank window + sizes
-    # (the _lsh_pairs_impl / jaccard_prefix_pairs law)
+    # one id-keyed exchange serves distinct + both join sides
+    # (ReusedExchange; the _lsh_pairs_impl law)
     ex = (
         rows.select(F.col(id_col), F.col(elem_col).alias("_e"))
         .repartition(F.col(id_col))
         .distinct()
     )
-    df_tbl = ex.groupBy("_e").agg(F.count(F.lit(1)).alias("_df"))
-    w_rank = Window.partitionBy(id_col).orderBy(F.asc("_df"), F.asc("_e"))
-    w_all = Window.partitionBy(id_col)
-    prefix = (
-        ex.join(df_tbl.hint("merge"), "_e")
-        .select(
-            F.col(id_col),
-            "_e",
-            F.row_number().over(w_rank).alias("_rn"),
-            F.count(F.lit(1)).over(w_all).alias("_n"),
-        )
-        .filter(
-            (F.col("_n") >= F.lit(c))
-            & (F.col("_rn") <= F.col("_n") - F.lit(c) + F.lit(1))
-        )
-        .select(id_col, "_e")
-    )
-    a = prefix.alias("a")
-    b = prefix.hint("merge").alias("b")
-    candidates = (
+    a = ex.select(F.col(id_col).alias("doc_a"), "_e").hint("merge").alias("a")
+    b = ex.select(F.col(id_col).alias("doc_b"), "_e").hint("merge").alias("b")
+    return (
         a.join(
             b,
             (F.col("a._e") == F.col("b._e"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            & (F.col("doc_a") < F.col("doc_b")),
         )
-        .select(
-            F.col(f"a.{id_col}").alias("doc_a"),
-            F.col(f"b.{id_col}").alias("doc_b"),
-        )
-        .distinct()
-    )
-    # verification: count common elements per candidate pair over the
-    # SAME distinct element-row subtree (ReusedExchange), keep >= c.
-    # Merge hints for the repo-wide reason: post-aggregate size
-    # estimates are garbage and a broadcast of corpus element rows is
-    # fatal at scale.
-    ra = ex.select(F.col(id_col).alias("doc_a"), "_e").hint("merge")
-    rb = ex.select(F.col(id_col).alias("doc_b"), "_e").hint("merge")
-    return (
-        candidates.join(ra, "doc_a")
-        .join(rb, ["doc_b", "_e"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
         .filter(F.col("n_common") >= c)

@@ -370,24 +370,26 @@ _OVERLAP_ORACLE = """
 @register("dedup_overlap_pairs", oracle=_OVERLAP_ORACLE)
 def dedup_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared-passage pairs: documents with >= 20 common distinct
-    3-gram shingles, via the exact prefix-filtered T-overlap join
-    (``operators.dedup.overlap_prefix_pairs``).
+    3-gram shingles, via the exact inverted-index T-overlap join
+    (``operators.dedup.overlap_pairs``).
 
     The ABSOLUTE-count contract complements the Jaccard near-dup
     family: a long document quoting a short one wholesale has low
     whole-document Jaccard (the union is dominated by the long doc)
     but a common-shingle count equal to the quoted span's length —
     exactly what contamination / quote / boilerplate-span detection
-    needs. Same scale shape as ``dedup_ngram_jaccard``: prefix size
-    |X| - c + 1 over the global rarity order keeps candidate fan-out
-    on rare shingles; verification is the row-based spillable
-    intersection count (no arrays, no broadcasts)."""
+    needs. NOT the prefix-filtered shape of ``dedup_ngram_jaccard``:
+    for an absolute threshold the prefix is |X| - c + 1 ≈ the whole
+    document and prefix filtering provably degenerates (measured at
+    sf1.0 — see the operator docstring), so the plan is the direct
+    index count: one shingle equality join + one pair-keyed
+    aggregate, work Σ C(df,2) over shingle document frequencies."""
     from mldag_spark.functions import shingle_rows
-    from mldag_spark.operators.dedup import overlap_prefix_pairs
+    from mldag_spark.operators.dedup import overlap_pairs
 
     d = load(spark, sf_dir, "documents")
     rows = shingle_rows(d, "doc_id", "text", 3)
-    return overlap_prefix_pairs(rows, "doc_id", "shingle", min_overlap=20)
+    return overlap_pairs(rows, "doc_id", "shingle", min_overlap=20)
 
 
 @register("text_winnow_overlap")  # no oracle: fingerprint selection is hash-specific

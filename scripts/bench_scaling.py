@@ -71,10 +71,12 @@ QUERIES = (
     "embedding_near_dup_stats",
     "dq_column_profile",
     # r8 late additions: BM25 retrieval, exact T-overlap join, blocked
-    # fuzzy linkage
+    # fuzzy linkage, exact-decimal Lloyd (fixed 5 iterations — the row
+    # measures per-iteration shuffle growth, like pagerank)
     "text_bm25_topk",
     "dedup_overlap_pairs",
     "link_fuzzy_part_names",
+    "kmeans_embedding_clusters",
 )
 
 # VERDICT r6 #6: every scale row now gets a 30x datapoint (was 12/26)
@@ -114,6 +116,7 @@ SF3_QUERIES = (
     "text_bm25_topk",
     "dedup_overlap_pairs",
     "link_fuzzy_part_names",
+    "kmeans_embedding_clusters",
     # ...heaviest (prefix-join + closure) last: even with per-query
     # session recovery, a JVM death costs every later row its warm cache
     "dedup_ngram_jaccard",
@@ -158,6 +161,16 @@ QUADRATIC_OUTPUT_OPS = {
         "still drove: an id-ordered within-bucket pairing window "
         "(candidates O(N*bands*W) under any skew) and a per-vector "
         "top-K output cap (result O(N*K))."
+    ),
+    "dedup_overlap_pairs": (
+        "exact T-overlap work is Sigma C(df,2) over shingle document "
+        "frequencies, and when a passage >= c shingles is shared by m "
+        "documents all C(m,2) pairs genuinely qualify — the OUTPUT is "
+        "quadratic in passage multiplicity, so no exact algorithm does "
+        "better (prefix filtering measured degenerate for absolute "
+        "thresholds; see operators/dedup.py:overlap_pairs). Bound it "
+        "upstream with a df cap (bounds results to spans rarer than "
+        "the cap) or the sampled winnowing variant."
     ),
 }
 

@@ -819,14 +819,14 @@ def test_embedding_near_dup_bucket_window_matches_oracle_dense(spark, tmp_path):
     assert co.normalize(sdf) == co.normalize(odf)
 
 
-def test_overlap_prefix_pairs_exact_vs_bruteforce(spark):
+def test_overlap_pairs_exact_vs_bruteforce(spark):
     """The prefix-filtered T-overlap join must equal the O(n²)
     brute-force common-element count at several thresholds, including
     c = 1 (degenerates to 'any shared element' — the full inverted
     index) and c = max set size (only exact-equal sets qualify)."""
     import itertools
 
-    from mldag_spark.operators.dedup import overlap_prefix_pairs
+    from mldag_spark.operators.dedup import overlap_pairs
 
     corpora = {
         1: {"a", "b", "c", "d", "e"},
@@ -850,24 +850,24 @@ def test_overlap_prefix_pairs_exact_vs_bruteforce(spark):
         )
         got = sorted(
             (r["doc_a"], r["doc_b"], r["n_common"])
-            for r in overlap_prefix_pairs(rows, "doc_id", "elem", c).collect()
+            for r in overlap_pairs(rows, "doc_id", "elem", c).collect()
         )
         assert got == want, (c, got, want)
 
 
-def test_overlap_prefix_pairs_partition_invariant(spark):
-    from mldag_spark.operators.dedup import overlap_prefix_pairs
+def test_overlap_pairs_partition_invariant(spark):
+    from mldag_spark.operators.dedup import overlap_pairs
 
     rows = spark.createDataFrame(
         [(i, f"e{j}") for i in range(20) for j in range(i, i + 8)],
         ["doc_id", "elem"],
     )
     one = sorted(
-        map(tuple, overlap_prefix_pairs(
+        map(tuple, overlap_pairs(
             rows.coalesce(1), "doc_id", "elem", 3).collect())
     )
     many = sorted(
-        map(tuple, overlap_prefix_pairs(
+        map(tuple, overlap_pairs(
             rows.repartition(13), "doc_id", "elem", 3).collect())
     )
     assert one == many
