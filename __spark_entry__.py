@@ -54,40 +54,37 @@ _GATE_ORDER = [
     "text_top_terms",
     # Deduplication (r8: + the r7-new cluster histogram, first gating,
     # and the never-gated representative-keep variant)
-    "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_components",
     "dedup_cluster_stats",
     "dedup_keep_representatives",
+    "dedup_overlap_pairs",
     "sample_deterministic_split",
     # Similarity search / embeddings
     "ann_cosine_topk",
     "embedding_near_dup_blocked",
+    "embedding_near_dup_stats",
     "knn_label_vote",
+    "kmeans_embedding_clusters",
     # Structured Streaming (r7: stream_hourly_rollup banked green and
     # rotated out for the never-gated stream_static_enrich; r8 adds
     # stream_sliding_counts — the single oldest never-gated query)
     "stream_sessionization",
-    "stream_user_totals",
-    "stream_dedup_keys",
     "stream_stream_join",
     "stream_incremental_dedup",
     "stream_static_enrich",
     "stream_sliding_counts",
     # Multimodal
     "multimodal_media_stats",
-    "multimodal_frame_samples",
     "multimodal_feature_extract",
     # Events (scalar breadth / as-of / Arrow UDF; events_sessionization
     # banked green r1-r6 and rotated out in r7)
     "events_json_extract",
-    "events_asof_latest_order",
     "events_grouped_zscore",
     # Relational: scans, filters, scalar functions (q5 banked green and
     # rotated out in r7; r8 banks q20/q21 — both hash-green in r7 —
     # and keeps q1/q11 for category coverage)
-    "q1_pricing_summary",
     "q11_part_value_concentration",
     "scalar_expressions",
     # Joins (r7: semi/anti banked green, rotated out for the
@@ -126,6 +123,17 @@ _GATE_ORDER = [
     # Set ops + sort/limit
     "setop_except_all_multiset",
     "sort_top15_orders",
+    # Late-r8 rotation: six MORE never-gated queries added the same
+    # round they were written (bm25 / fuzzy linkage / column profile,
+    # plus the overlap join, near-dup histogram and exact-decimal
+    # Lloyd slotted into their categories above). Displaced to make
+    # room, all banked green in every gated round since r1 and under
+    # the continuous sf0.001 sweep: dedup_exact, stream_user_totals,
+    # stream_dedup_keys, q1_pricing_summary (bench headline daily),
+    # events_asof_latest_order (bench headline), multimodal_frame_samples.
+    "text_bm25_topk",
+    "link_fuzzy_part_names",
+    "dq_column_profile",
 ]
 
 
