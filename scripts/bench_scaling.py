@@ -342,6 +342,37 @@ SF3_DIAGNOSES_RAW = {
         "one scan, one Expand-width shuffle for the multi-column "
         "exact distincts; reduce side is |columns|-bounded."
     ),
+    "text_bm25_topk": (
+        "one token explode feeds doc-lengths and query-term tf; df / "
+        "(N, avgdl) are broadcast 1-row aggregates, scoring is "
+        "codegen, top-15 is TakeOrderedAndProject. sf0.1->sf1.0 was "
+        "x1.09 (pure overhead amortization), so the 30x ratio is "
+        "~(30x tokens) x (half-core session) over a ~1.5s constant — "
+        "tokens-linear."
+    ),
+    "dedup_overlap_pairs": (
+        "direct inverted-index count (Sigma C(df,2) join rows + one "
+        "pair-keyed aggregate — the prefix-filtered plan measured "
+        "degenerate for absolute thresholds and OOMed at sf1.0, see "
+        "operators/dedup.py:overlap_pairs). The 30x ratio is the "
+        "documented quadratic-OUTPUT term: replica-shared shingles' "
+        "df grows with corpus so C(df,2) pairs — which genuinely "
+        "qualify — grow ~R^2; first attempt hit the 4g managed-memory "
+        "ceiling in the pair aggregate, fresh-JVM retry passed."
+    ),
+    "link_fuzzy_part_names": (
+        "block joins on name tokens over the DISTINCT p_name table, "
+        "which is ~capped by the TPC-H name vocabulary — per-block "
+        "fan-out, not corpus size, is the knob; Levenshtein runs on "
+        "blocked candidates only."
+    ),
+    "kmeans_embedding_clusters": (
+        "fixed 3 Lloyd iterations: map-only assignment with k*d "
+        "centroid literals + one k-keyed shuffle of "
+        "|partitions|*k partial rows per iteration; driver collects "
+        "<= k rows of 64 decimal sums per iteration (bounded-aggregate "
+        "law). Growth is the per-iteration scan — data-linear."
+    ),
 }
 
 SF10_SESSION = (
