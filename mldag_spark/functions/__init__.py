@@ -84,50 +84,65 @@ def shingle_rows(df, id_col: str, text_col: str, k: int = 3):
     """(id, shingle) rows — k-word shingles per doc, possibly with
     duplicates (dedup happens in whatever aggregate consumes them).
 
-    Formulated for scale: posexplode the tokens, window-``lead`` the
-    next k-1 tokens. Every expression is codegen'd (no interpreted
-    lambdas), and the output is hash-partitioned by ``id`` (the
-    window's partitioning), so downstream per-id aggregates —
-    ``collect_set`` in :func:`shingle_sets`, the groupBy-min in
-    ``minhash_signatures_rows`` — add NO further exchange.
-    """
-    from pyspark.sql.window import Window
+    Formulation (r8, replacing the r2 posexplode + window-``lead``
+    shape): zip the token array against its own k-1 shifted slices
+    (``arrays_zip(slice(t,1,m), slice(t,2,m), ...)``, m = n-k+1) and
+    explode the zipped structs — a MAP-ONLY pipeline. The window
+    version shuffled every (id, pos, token) row and ran a per-doc
+    sort just to line up adjacent tokens that ``slice`` lines up for
+    free; measured on the full ``dedup_minhash_lsh`` at sf0.1
+    (steady-state, order-controlled A/B): 3.97-4.2s window vs
+    2.74-2.9s zip. The window's one redeeming feature — output
+    arriving id-partitioned — is moot: every heavy consumer
+    (``_lsh_pairs_impl``, ``jaccard_prefix_pairs``,
+    ``overlap_pairs``) repartitions by id explicitly, and
+    :func:`shingle_sets` now does the same, so exchange counts are
+    unchanged while the sort disappears.
 
-    toks = df.select(
-        F.col(id_col),
-        F.posexplode(tokenize(F.col(text_col))).alias("_pos", "_t"),
+    ``arrays_zip``/``slice``/``concat_ws`` are ordinary JVM
+    expressions (per-row loops, no per-element interpreted lambdas —
+    the trap :func:`shingles` documents). One branch handles every
+    document length (NOT a short/long filter union — that would scan
+    the source once per branch per consumer subtree, and the plan pin
+    caught FileScan 2 → 4): with m = max(n-k+1, 1) slices, a doc
+    shorter than k slices past its end, ``arrays_zip`` null-pads the
+    single zipped struct, and ``concat_ws`` skips the nulls — the
+    full-text shingle, exactly the window shape's short-doc semantics
+    (``tokenize("")`` is ``[""]``, so even an empty doc yields one
+    empty shingle). Byte-identical multiset to the window
+    formulation, pinned by
+    ``test_sources.py::test_shingle_rows_zip_equals_reference``.
+    """
+    base = df.select(F.col(id_col), tokenize(F.col(text_col)).alias("_t"))
+    n = F.size("_t")
+    m = F.greatest(n - F.lit(k) + 1, F.lit(1))
+    slices = [F.slice("_t", i + 1, m) for i in range(k)]
+    return (
+        base.select(
+            F.col(id_col), F.explode(F.arrays_zip(*slices)).alias("_z")
+        )
+        .select(
+            F.col(id_col),
+            F.concat_ws(
+                " ", *[F.col(f"_z.{i}") for i in range(k)]
+            ).alias("shingle"),
+        )
     )
-    w = Window.partitionBy(id_col).orderBy("_pos")
-    leads = [F.col("_t")] + [
-        F.lead("_t", i).over(w) for i in range(1, k)
-    ]
-    n = F.count(F.lit(1)).over(Window.partitionBy(id_col))
-    return toks.select(
-        F.col(id_col),
-        # concat_ws skips NULL leads, so for docs shorter than k the
-        # pos==0 row degrades to the full-text shingle — the same
-        # short-doc semantics as shingles()
-        F.concat_ws(" ", *leads).alias("shingle"),
-        F.col("_pos").alias("_pos"),
-        n.alias("_n"),
-    ).filter(
-        (F.col("_pos") <= F.col("_n") - k)
-        | ((F.col("_n") <= k) & (F.col("_pos") == 0))
-    ).select(id_col, "shingle")
 
 
 def shingle_sets(df, id_col: str, text_col: str, k: int = 3):
     """(id, sh: array<string>) — DISTINCT k-word shingle sets per doc.
 
     Same semantics as ``array_distinct(shingles(tokenize(text), k))``
-    but built from :func:`shingle_rows`; the window there and the
-    ``collect_set`` here share one hash partitioning on ``id`` — a
-    single shuffle whose rows are (id, token), after which all
-    downstream work is parallel even when the source parquet arrives
-    as one partition.
+    but built from :func:`shingle_rows`. The explicit id repartition
+    pins the single-shuffle contract the r2 window formulation used to
+    provide implicitly: one exchange of (id, shingle) rows, after
+    which all downstream work is parallel even when the source
+    parquet arrives as one partition.
     """
     return (
         shingle_rows(df, id_col, text_col, k)
+        .repartition(F.col(id_col))
         .groupBy(id_col)
         .agg(F.collect_set("shingle").alias("sh"))
     )

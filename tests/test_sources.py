@@ -271,3 +271,61 @@ def test_bucketed_table_one_file_per_bucket(spark, tmp_path):
         assert len(files) == 8, sorted(files)
     finally:
         spark.sql("DROP DATABASE IF EXISTS src_bucket CASCADE")
+
+
+def test_shingle_rows_zip_equals_reference(spark):
+    """The r8 zip-slice shingle builder must produce the byte-identical
+    ROW MULTISET of the r2 posexplode + window-lead formulation it
+    replaced (including edge docs: empty, whitespace-only, shorter
+    than k, exactly k, k+1 tokens, and internal duplicate shingles)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from mldag_spark.functions import shingle_rows, tokenize
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),
+            (2, "a b"),                      # shorter than k
+            (3, "a b c"),                    # exactly k
+            (4, "a b c d"),                  # k + 1
+            (5, ""),                         # empty: single "" shingle
+            (6, "   "),                      # whitespace-only: same
+            (7, "x y z x y z x y z"),        # duplicate shingles kept
+            (8, "solo"),
+        ],
+        ["doc_id", "text"],
+    )
+    k = 3
+
+    # reference: the replaced window formulation, inlined verbatim
+    toks = docs.select(
+        "doc_id", F.posexplode(tokenize(F.col("text"))).alias("_pos", "_t")
+    )
+    w = Window.partitionBy("doc_id").orderBy("_pos")
+    leads = [F.col("_t")] + [F.lead("_t", i).over(w) for i in range(1, k)]
+    n = F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+    ref = (
+        toks.select(
+            "doc_id",
+            F.concat_ws(" ", *leads).alias("shingle"),
+            F.col("_pos").alias("_pos"),
+            n.alias("_n"),
+        )
+        .filter(
+            (F.col("_pos") <= F.col("_n") - k)
+            | ((F.col("_n") <= k) & (F.col("_pos") == 0))
+        )
+        .select("doc_id", "shingle")
+    )
+
+    got = sorted(map(tuple, shingle_rows(docs, "doc_id", "text", k).collect()))
+    want = sorted(map(tuple, ref.collect()))
+    assert got == want
+    assert (1, "a b c") in got and (1, "d e f") in got
+    assert (2, "a b") in got and (8, "solo") in got
+    # tokenize("") yields [""], so empty/whitespace docs produce one
+    # empty-string shingle in BOTH formulations (parity, not policy —
+    # dedup consumers treat it as any other shingle value)
+    assert got.count((5, "")) == 1 and got.count((6, "")) == 1
+    assert got.count((7, "x y z")) == 3  # duplicates preserved
