@@ -80,7 +80,14 @@ def shingles(tokens, k: int = 3) -> Column:
     )
 
 
-def shingle_rows(df, id_col: str, text_col: str, k: int = 3):
+def shingle_rows(
+    df,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    carry: tuple = (),
+    complete_only: bool = False,
+):
     """(id, shingle) rows — k-word shingles per doc, possibly with
     duplicates (dedup happens in whatever aggregate consumes them).
 
@@ -112,17 +119,34 @@ def shingle_rows(df, id_col: str, text_col: str, k: int = 3):
     empty shingle). Byte-identical multiset to the window
     formulation, pinned by
     ``test_sources.py::test_shingle_rows_zip_equals_reference``.
+
+    ``carry``: extra columns passed through unchanged (e.g. a source
+    or split-bucket column) — saves consumers a join back to the doc
+    table. ``complete_only=True`` keeps only full k-grams: docs
+    shorter than k tokens yield NO rows instead of their full-text
+    shingle (the decontamination contract, where a partial tail gram
+    must not alias a real one).
     """
-    base = df.select(F.col(id_col), tokenize(F.col(text_col)).alias("_t"))
+    carry_cols = [F.col(c) for c in carry]
+    base = df.select(
+        F.col(id_col), *carry_cols, tokenize(F.col(text_col)).alias("_t")
+    )
     n = F.size("_t")
-    m = F.greatest(n - F.lit(k) + 1, F.lit(1))
+    if complete_only:
+        base = base.filter(n >= k)
+        m = n - F.lit(k) + 1
+    else:
+        m = F.greatest(n - F.lit(k) + 1, F.lit(1))
     slices = [F.slice("_t", i + 1, m) for i in range(k)]
     return (
         base.select(
-            F.col(id_col), F.explode(F.arrays_zip(*slices)).alias("_z")
+            F.col(id_col),
+            *carry_cols,
+            F.explode(F.arrays_zip(*slices)).alias("_z"),
         )
         .select(
             F.col(id_col),
+            *carry_cols,
             F.concat_ws(
                 " ", *[F.col(f"_z.{i}") for i in range(k)]
             ).alias("shingle"),

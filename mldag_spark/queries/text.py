@@ -815,7 +815,7 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``dedup_ngram_jaccard``, join fan-out grows with shingle document
     frequency; at 100 TB run the same check over MinHash signatures
     first and verify only candidates."""
-    from pyspark.sql.window import Window as W
+    from mldag_spark.functions import shingle_rows
 
     d = load(spark, sf_dir, "documents")
     bucket = (
@@ -823,17 +823,12 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         % 100
     )
-    toks = d.select("doc_id", bucket.alias("bucket"),
-                    F.posexplode(tokenize(F.col("text"))).alias("_pos", "_t"))
-    w = W.partitionBy("doc_id").orderBy("_pos")
-    leads = [F.col("_t")] + [F.lead("_t", i).over(w) for i in range(1, 5)]
     sh = (
-        toks.select(
-            "doc_id", "bucket", F.concat_ws(" ", *leads).alias("s"),
-            leads[-1].alias("_last"),
+        shingle_rows(
+            d.withColumn("bucket", bucket), "doc_id", "text", 5,
+            carry=("bucket",), complete_only=True,
         )
-        .filter(F.col("_last").isNotNull())  # complete 5-grams only
-        .select("doc_id", "bucket", "s")
+        .select("doc_id", "bucket", F.col("shingle").alias("s"))
         .distinct()
     )
     test = sh.filter(F.col("bucket") >= 90).select(
@@ -1283,25 +1278,11 @@ def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     #sources² regardless of corpus size; per-source set sizes are a
     #sources-row aggregate, broadcast back. No per-document pair
     blow-up anywhere: documents disappear after the distinct."""
+    from mldag_spark.functions import shingle_rows
+
     d = load(spark, sf_dir, "documents")
-    toks = d.select(
-        "source", F.posexplode(tokenize(F.col("text"))).alias("_pos", "_t"),
-        F.col("doc_id"),
-    )
-    w = Window.partitionBy("doc_id").orderBy("_pos")
-    leads = [F.col("_t")] + [F.lead("_t", i).over(w) for i in range(1, 3)]
-    n = F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
     sh = (
-        toks.select(
-            "source",
-            F.concat_ws(" ", *leads).alias("shingle"),
-            F.col("_pos"),
-            n.alias("_n"),
-        )
-        .filter(
-            (F.col("_pos") <= F.col("_n") - 3)
-            | ((F.col("_n") <= 3) & (F.col("_pos") == 0))
-        )
+        shingle_rows(d, "doc_id", "text", 3, carry=("source",))
         .select("source", "shingle")
         .distinct()
     )
