@@ -266,6 +266,15 @@ def _verify_pairs_by_rows(
     warm min-of-3: 4.28s vs 3.63s merge — the sort of the shared
     id-keyed exchange is reused across the merge joins, and SHJ's
     per-join re-shuffles cost more than the sorts they avoid.
+
+    Also probed and rejected (r8, ``scripts/probe_lsh_size_prefilter``):
+    a size-ratio prefilter on candidates before the element join
+    (jac <= min/max, so den*min(nA,nB) >= num*max(nA,nB) is necessary).
+    At threshold 0.8 with r=4 bands the LSH candidates are already
+    almost all true pairs — measured 256/256 candidates survive the
+    filter at sf0.1 (0% pruning) while the extra early sizes joins
+    cost +1.2s. The filter only has teeth at low thresholds/shallow
+    bands, where candidate false-positive rates are material.
     """
     ex = (
         rows.select(F.col(id_col), F.col(elem_col).alias("_e"))
