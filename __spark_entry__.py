@@ -70,7 +70,6 @@ _GATE_ORDER = [
     # Structured Streaming (r7: stream_hourly_rollup banked green and
     # rotated out for the never-gated stream_static_enrich; r8 adds
     # stream_sliding_counts — the single oldest never-gated query)
-    "stream_sessionization",
     "stream_stream_join",
     "stream_incremental_dedup",
     "stream_static_enrich",
@@ -134,6 +133,10 @@ _GATE_ORDER = [
     "text_bm25_topk",
     "link_fuzzy_part_names",
     "dq_column_profile",
+    # text_decontaminate_filter (the filter half of contamination_check)
+    # gated in ITS debut too; stream_sessionization (banked green
+    # r1-r7) displaced, streaming keeps four gated entries
+    "text_decontaminate_filter",
 ]
 
 

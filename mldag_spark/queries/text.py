@@ -851,6 +851,96 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The filter half of decontamination: the surviving TRAIN split.
+_DECON_ORACLE = """
+    WITH t AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                 % 100 AS bucket,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+                   AS toks
+        FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id, bucket,
+               array_to_string(toks[u:u+4], ' ') AS s
+        FROM (SELECT doc_id, bucket, toks,
+                     unnest(generate_series(1, len(toks) - 4)) AS u
+              FROM t)
+    ), dirty AS (
+        SELECT tr.doc_id AS train_doc
+        FROM (SELECT * FROM sh WHERE bucket >= 90) te
+        JOIN (SELECT * FROM sh WHERE bucket < 80) tr USING (s)
+        GROUP BY te.doc_id, tr.doc_id
+        HAVING COUNT(*) >= 3
+    )
+    SELECT d.doc_id, d.source, d.n_chars
+    FROM documents d
+    JOIN t ON t.doc_id = d.doc_id
+    WHERE t.bucket < 80
+      AND d.doc_id NOT IN (SELECT DISTINCT train_doc FROM dirty)
+"""
+
+
+@register("text_decontaminate_filter", oracle=_DECON_ORACLE)
+def text_decontaminate_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontaminated TRAIN split — the filter half of
+    ``contamination_check``: drop every train-bucket document sharing
+    >= 3 distinct 5-gram shingles with ANY test-bucket document and
+    return the survivors (doc_id, source, n_chars). This is the op a
+    training pipeline actually runs before export; the check variant
+    is the audit report.
+
+    Same split and shingle contract as the check (md5-bucket 90+ =
+    test, < 80 = train, complete 5-grams only via
+    ``shingle_rows(complete_only=True)``), so the two queries agree
+    on which documents are contaminated. Plan: one inverted-index
+    equality join between the two split projections of one shingle
+    build (never test x train pairs), a >= 3 HAVING on the pair
+    aggregate, then LEFT ANTI join back to the train docs — at 100 TB
+    the anti join's right side is the contaminated-id set (small by
+    construction), broadcastable; the shingle join is the same
+    df-driven fan-out as the check, MinHash-prescreened in production
+    (see the check's docstring)."""
+    from mldag_spark.functions import shingle_rows
+
+    d = load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    docs = d.withColumn("bucket", bucket)
+    sh = (
+        shingle_rows(docs, "doc_id", "text", 5,
+                     carry=("bucket",), complete_only=True)
+        .select("doc_id", "bucket", F.col("shingle").alias("s"))
+        .distinct()
+    )
+    test = sh.filter(F.col("bucket") >= 90).select(
+        F.col("doc_id").alias("test_doc"), "s"
+    )
+    train = sh.filter(F.col("bucket") < 80).select(
+        F.col("doc_id").alias("train_doc"), "s"
+    )
+    dirty = (
+        test.join(train, "s")
+        .groupBy("test_doc", "train_doc")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= 3)
+        .select("train_doc")
+        .distinct()
+    )
+    return (
+        docs.filter(F.col("bucket") < 80)
+        .join(
+            dirty.withColumnRenamed("train_doc", "doc_id"),
+            "doc_id",
+            "left_anti",
+        )
+        .select("doc_id", "source", "n_chars")
+    )
+
+
 @register(
     "pack_token_budget_batches",
     oracle="""

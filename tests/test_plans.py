@@ -92,6 +92,9 @@ def test_no_cartesian_products_anywhere(spark, registry):
         "text_bm25_topk",
         "dedup_overlap_pairs",
         "link_fuzzy_part_names",
+        # the anti-join decontamination filter: its shingle join and
+        # anti join are both equi-keyed
+        "text_decontaminate_filter",
     ):
         plan = _plan(registry[name](spark, SF_DIR))
         assert "CartesianProduct" not in plan, name
