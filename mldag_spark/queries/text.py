@@ -2059,16 +2059,21 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     pretok = d.select("doc_id", tokenize(F.col("text")).alias("toks"))
     toks = F.col("toks")
     n = F.size(toks)
-    bigram_arr = F.when(
-        n >= 2,
-        F.transform(
-            F.sequence(F.lit(0), n - 2),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    grams = pretok.select("doc_id", F.explode(bigram_arr).alias("bg"))
+    # bigrams by zipping the token array against its own 1-shifted
+    # slice (the r8 shingle_rows shape, k=2): ordinary JVM expressions
+    # instead of a per-element interpreted transform() lambda; a
+    # 1-token doc slices to two empty arrays and yields no rows, same
+    # as the replaced when(n >= 2, ...) guard
+    m = n - 1
+    grams = pretok.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(F.slice(toks, 1, m), F.slice(toks, 2, m))
+        ).alias("_z"),
+    ).select(
+        "doc_id",
+        F.concat_ws(" ", F.col("_z.0"), F.col("_z.1")).alias("bg"),
+    )
     # r8 (VERDICT r7 #4): score each DISTINCT bigram once — log2,
     # round and the decimal cast run |distinct bg| times, built from
     # the vocabulary-sized bf/cf tables — and join occurrences
@@ -2309,17 +2314,16 @@ def corpus_bigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     pretok = d.select(tokenize(F.col("text")).alias("toks"))
     toks = F.col("toks")
     n = F.size(toks)
-    bigram_arr = F.when(
-        n >= 2,
-        F.transform(
-            F.sequence(F.lit(0), n - 2),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # zip-slice bigrams (the shingle_rows shape, k=2) — codegen, no
+    # interpreted transform() lambda; 1-token docs yield no rows
+    m = n - 1
     freq = (
-        pretok.select(F.explode(bigram_arr).alias("bg"))
+        pretok.select(
+            F.explode(
+                F.arrays_zip(F.slice(toks, 1, m), F.slice(toks, 2, m))
+            ).alias("_z")
+        )
+        .select(F.concat_ws(" ", F.col("_z.0"), F.col("_z.1")).alias("bg"))
         .groupBy("bg")
         .agg(F.count(F.lit(1)).alias("n"))
     )
