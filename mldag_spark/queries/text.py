@@ -1970,7 +1970,13 @@ def text_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     pretok = d.select("doc_id", tokenize(F.col("text")).alias("toks"))
     toks = F.col("toks")
     n_full = (F.size(toks) / _BP_W).cast("int")
-    # sequence(0, -1) counts DOWN in Spark, so guard the <W-token doc
+    # sequence(0, -1) counts DOWN in Spark, so guard the <W-token doc.
+    # Probed and rejected (r8): explode(sequence) + per-row codegen
+    # slice instead of this transform() lambda — interleaved A/B at
+    # sf0.1 measured 0.67s HOF vs 0.75s explode (chunks are few per
+    # doc, and the explode row carries the whole token array per
+    # chunk); the zip-slice rewrite that paid off for k-gram shingles
+    # does not transfer to stride-W chunking.
     chunk_arr = F.when(
         n_full > 0,
         F.transform(
