@@ -97,9 +97,12 @@ def shingle_rows(
     explode the zipped structs — a MAP-ONLY pipeline. The window
     version shuffled every (id, pos, token) row and ran a per-doc
     sort just to line up adjacent tokens that ``slice`` lines up for
-    free; measured on the full ``dedup_minhash_lsh`` at sf0.1
-    (steady-state, order-controlled A/B): 3.97-4.2s window vs
-    2.74-2.9s zip. The window's one redeeming feature — output
+    free; measured on the full ``dedup_minhash_lsh`` at sf0.1:
+    block-ordered A/B 3.97-4.2s window vs 2.74-2.9s zip, and an
+    interleaved ABAB re-check on a noisier host min 5.64s vs 4.80s —
+    consistently faster, honest effect ~15% (the block numbers were
+    partly host-drift-flattered). The window's one redeeming feature
+    — output
     arriving id-partitioned — is moot: every heavy consumer
     (``_lsh_pairs_impl``, ``jaccard_prefix_pairs``,
     ``overlap_pairs``) repartitions by id explicitly, and
