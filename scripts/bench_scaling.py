@@ -182,6 +182,15 @@ SF3_SESSION = (
 )
 
 NOTES = {
+    "dedup_minhash_lsh": (
+        "measured BEFORE the late-r8 zip-slice shingle rewrite "
+        "(functions.shingle_rows), which interleaved-A/B'd ~15% "
+        "faster on this exact query at sf0.1 — the recorded walls "
+        "for every shingle consumer (minhash, ngram_jaccard, "
+        "components, overlap, incremental dedup) are therefore "
+        "conservative; ratios are unaffected (the rewrite is "
+        "data-size-neutral: same rows, same exchanges, no sort)."
+    ),
     "stream_incremental_dedup": (
         "r7 probe (VERDICT r6 #5), measured rejection: the per-batch "
         "commit mechanism is NOT the cost — A/B at sf1.0 warm gave "
