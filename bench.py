@@ -349,7 +349,31 @@ def main() -> int:
     # ~20 s and materially tightens the min on a bursty host
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_REPEATS", "4")))
     runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    # Per-PASS host probes (r8): the session-start calibration measured
+    # a CLEAN host while the query passes still came out 1.2-1.9x
+    # inflated — this guest's steal bursts arrive mid-run, invisible
+    # to a start-only probe. Two fixed-work probes before each pass
+    # stamp it with its own anchor: the 10M-int Python spin (~0.7s
+    # clean, single-thread) and the range(1e9) codegen aggregate
+    # (~0.33s clean, all cores). Measured r8: a burst window showed
+    # pass spins [0.69, 0.94, 0.79, 1.12] while the same passes' JVM
+    # queries inflated 3x — the contention hits MULTICORE JVM work
+    # far harder than a single Python thread, so the spark probe is
+    # the one that predicts query-pass quality; the spin is kept to
+    # separate interpreter-side from executor-side degradation.
+    pass_spin: list[float] = []
+    pass_spark: list[float] = []
     for _ in range(repeats):
+        t0 = time.time()
+        acc = 0
+        for i in range(10_000_000):
+            acc += i * i
+        pass_spin.append(round(time.time() - t0, 3))
+        t0 = time.time()
+        spark.range(1_000_000_000).selectExpr(
+            "sum((id * id) % 1000003)"
+        ).collect()
+        pass_spark.append(round(time.time() - t0, 3))
         for name in HEADLINE:
             fn = qs[name]
             t0 = time.time()
@@ -395,6 +419,8 @@ def main() -> int:
                 "shard_write": shard_write,
                 "load_guard": load_guard,
                 "calibration": calibration,
+                "pass_py_spin": pass_spin,
+                "pass_spark_range": pass_spark,
                 "loadavg_1m": round(os.getloadavg()[0], 2),
             }
         )
