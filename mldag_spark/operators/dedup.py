@@ -483,6 +483,7 @@ def overlap_pairs(
     id_col: str,
     elem_col: str,
     min_overlap: int,
+    df_cap: int | None = None,
 ) -> DataFrame:
     """EXACT overlap-similarity join: pairs with |A∩B| >= ``min_overlap``
     common elements, via the inverted-index pair count (Sarawagi &
@@ -521,26 +522,50 @@ def overlap_pairs(
     high-df elements come from passages shared by m documents, those
     C(m,2) pairs genuinely satisfy the predicate once the span is
     >= c shingles — the OUTPUT is quadratic, so no exact algorithm
-    does better; cap the blowup upstream (drop elements with
-    df > cap, which bounds the result to spans rarer than the cap) or
-    use the sampled winnowing variant. Both joins are merge-hinted:
-    post-explode/post-aggregate size estimates are garbage and a
-    broadcast of corpus element rows is fatal at scale (repo-wide
-    law).
+    does better. ``df_cap`` is the prescribed bound (VERDICT r8 #3):
+    drop elements with document frequency > ``df_cap`` BEFORE the
+    self-join, which bounds join work to Σ_{df<=cap} C(df,2) <=
+    cap·|element rows| / 2 — linear in corpus size for a fixed cap —
+    and bounds the output to pairs sharing >= c elements each rarer
+    than the cap (templated boilerplate shared by thousands of
+    documents no longer detonates the op; genuinely rare shared
+    passages still match exactly). The df filter is a count window
+    over the SAME element-keyed partitioning the self-join needs, so
+    the cap costs no extra exchange. ``df_cap=None`` keeps the exact
+    uncapped contract for small/bounded-df corpora. Both joins are
+    merge-hinted: post-explode/post-aggregate size estimates are
+    garbage and a broadcast of corpus element rows is fatal at scale
+    (repo-wide law).
 
     Returns (doc_a < doc_b, n_common) with n_common >= min_overlap.
     """
     if min_overlap < 1:
         raise ValueError(f"min_overlap must be >= 1 (got {min_overlap})")
+    if df_cap is not None and df_cap < 1:
+        raise ValueError(f"df_cap must be >= 1 or None (got {df_cap})")
     c = int(min_overlap)
 
-    # one id-keyed exchange serves distinct + both join sides
-    # (ReusedExchange; the _lsh_pairs_impl law)
+    # the id-keyed exchange serves the distinct; the merge join below
+    # is keyed on _e and gets its own _e exchange, shared across both
+    # join sides (and the df-cap window) via ReusedExchange
     ex = (
         rows.select(F.col(id_col), F.col(elem_col).alias("_e"))
         .repartition(F.col(id_col))
         .distinct()
     )
+    if df_cap is not None:
+        from pyspark.sql.window import Window
+
+        # document frequency over the distinct element rows, as a count
+        # window partitioned by _e — the join's own key, so Catalyst
+        # plans ONE _e exchange for the window and both merge-join
+        # sides read it back (no extra shuffle for the cap)
+        w = Window.partitionBy("_e")
+        ex = (
+            ex.withColumn("_df", F.count(F.lit(1)).over(w))
+            .filter(F.col("_df") <= int(df_cap))
+            .drop("_df")
+        )
     a = ex.select(F.col(id_col).alias("doc_a"), "_e").hint("merge").alias("a")
     b = ex.select(F.col(id_col).alias("doc_b"), "_e").hint("merge").alias("b")
     return (

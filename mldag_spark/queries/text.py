@@ -358,9 +358,17 @@ _OVERLAP_ORACLE = """
         )
     ), exploded AS (
         SELECT doc_id, unnest(sh) AS shingle FROM t
+    ), capped AS (
+        -- mirror of overlap_pairs(df_cap=64): drop shingles whose
+        -- document frequency exceeds the cap before the self-join
+        SELECT doc_id, shingle FROM (
+            SELECT doc_id, shingle,
+                   COUNT(*) OVER (PARTITION BY shingle) AS df
+            FROM exploded
+        ) WHERE df <= 64
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-    FROM exploded a JOIN exploded b
+    FROM capped a JOIN capped b
       ON a.shingle = b.shingle AND a.doc_id < b.doc_id
     GROUP BY 1, 2
     HAVING COUNT(*) >= 20
@@ -383,13 +391,21 @@ def dedup_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     document and prefix filtering provably degenerates (measured at
     sf1.0 — see the operator docstring), so the plan is the direct
     index count: one shingle equality join + one pair-keyed
-    aggregate, work Σ C(df,2) over shingle document frequencies."""
+    aggregate, work Σ C(df,2) over shingle document frequencies.
+
+    ``df_cap=64`` (mirrored in the oracle's ``capped`` CTE) bounds
+    that Σ C(df,2) to 32·|shingle rows| — linear in corpus size —
+    by dropping shingles shared by more than 64 documents before the
+    self-join: exactly the upstream cap the scale contract
+    prescribes. Templated boilerplate spans shared corpus-wide stop
+    contributing quadratic pairs; a passage shared by <= 64 docs
+    (real contamination/quotes) still matches exactly."""
     from mldag_spark.functions import shingle_rows
     from mldag_spark.operators.dedup import overlap_pairs
 
     d = load(spark, sf_dir, "documents")
     rows = shingle_rows(d, "doc_id", "text", 3)
-    return overlap_pairs(rows, "doc_id", "shingle", min_overlap=20)
+    return overlap_pairs(rows, "doc_id", "shingle", min_overlap=20, df_cap=64)
 
 
 @register("text_winnow_overlap")  # no oracle: fingerprint selection is hash-specific
@@ -1094,7 +1110,11 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id, n_terms, ROUND(score, 4) AS bm25
     FROM scored
-    ORDER BY score DESC, doc_id
+    -- rank by the ROUNDED score (ADVICE r8): Spark's partial-sum order
+    -- and DuckDB's summation can differ in the last ulps, so a
+    -- sub-1e-4 near-tie at the rank-15/16 boundary must not flip the
+    -- gate between engines
+    ORDER BY ROUND(score, 4) DESC, doc_id
     LIMIT 15
     """,
 )
@@ -1149,10 +1169,16 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(term_score).alias("score"),
         )
     )
+    # rank by the ROUNDED score (ADVICE r8): float summation order can
+    # differ between Spark and the DuckDB oracle in the last ulps; with
+    # unrounded ranking a near-tie at the rank-15/16 boundary could
+    # flip between engines even though every DISPLAYED value matches
     return (
-        scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        scored.select(
+            "doc_id", "n_terms", F.round("score", 4).alias("bm25")
+        )
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(15)
-        .select("doc_id", "n_terms", F.round("score", 4).alias("bm25"))
     )
 
 

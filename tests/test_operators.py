@@ -820,7 +820,7 @@ def test_embedding_near_dup_bucket_window_matches_oracle_dense(spark, tmp_path):
 
 
 def test_overlap_pairs_exact_vs_bruteforce(spark):
-    """The prefix-filtered T-overlap join must equal the O(n²)
+    """The inverted-index T-overlap join must equal the O(n²)
     brute-force common-element count at several thresholds, including
     c = 1 (degenerates to 'any shared element' — the full inverted
     index) and c = max set size (only exact-equal sets qualify)."""
@@ -853,6 +853,59 @@ def test_overlap_pairs_exact_vs_bruteforce(spark):
             for r in overlap_pairs(rows, "doc_id", "elem", c).collect()
         )
         assert got == want, (c, got, want)
+
+
+def test_overlap_pairs_df_cap_vs_bruteforce(spark):
+    """Capped mode (VERDICT r8 #3) must equal brute force computed
+    over the df-filtered element universe: drop every element whose
+    document frequency exceeds the cap, THEN count intersections.
+    Cap high enough to keep everything == the uncapped exact result;
+    cap 1 kills every shared element (no pairs at any threshold)."""
+    import itertools
+
+    from mldag_spark.operators.dedup import overlap_pairs
+
+    corpora = {
+        1: {"a", "b", "c", "d", "e"},
+        2: {"a", "b", "c", "d", "x"},
+        3: {"a", "b", "c", "d", "e"},       # a-d have df 3; e df 2
+        4: {"c", "d", "e", "f", "g", "h"},  # c,d df 4; e df 3
+        5: {"p", "q", "r"},
+        6: {"p", "q", "r", "s"},            # p,q,r df 2
+        7: {"zz"},
+        8: {"zz"},                          # zz df 2
+    }
+    rows = spark.createDataFrame(
+        [(i, e) for i, es in corpora.items() for e in es],
+        ["doc_id", "elem"],
+    )
+    all_elems = {e for es in corpora.values() for e in es}
+    df = {e: sum(e in es for es in corpora.values()) for e in all_elems}
+    for cap in (1, 2, 3, 100):
+        kept = {i: {e for e in es if df[e] <= cap}
+                for i, es in corpora.items()}
+        for c in (1, 2, 3):
+            want = sorted(
+                (a, b, len(kept[a] & kept[b]))
+                for a, b in itertools.combinations(sorted(corpora), 2)
+                if len(kept[a] & kept[b]) >= c
+            )
+            got = sorted(
+                (r["doc_a"], r["doc_b"], r["n_common"])
+                for r in overlap_pairs(
+                    rows, "doc_id", "elem", c, df_cap=cap
+                ).collect()
+            )
+            assert got == want, (cap, c, got, want)
+    # cap=100 keeps every element: capped == uncapped exactly
+    uncapped = sorted(
+        map(tuple, overlap_pairs(rows, "doc_id", "elem", 2).collect())
+    )
+    capped = sorted(
+        map(tuple,
+            overlap_pairs(rows, "doc_id", "elem", 2, df_cap=100).collect())
+    )
+    assert capped == uncapped
 
 
 def test_overlap_pairs_partition_invariant(spark):
