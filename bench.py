@@ -19,6 +19,11 @@ import sys
 import time
 
 
+# Clean-host anchor for the range(1e9) codegen probe: 0.34 s measured
+# solo on this 32-cpu box (r8 investigation; see BASELINE.md). Pass
+# probes are compared against this to gate/normalize query timings.
+PROBE_ANCHOR_SEC = 0.34
+
 # The headline set: one per operator family, weighted toward the
 # shuffling/joining queries that dominate at scale.
 HEADLINE = (
@@ -326,7 +331,11 @@ def main() -> int:
     #      per-query MIN reported — min-of-3 cuts the one-slow-pass
     #      tail the r7 run pairs showed (10-40% spread).
     #   3. all raw passes + loadavg before AND after are in the line.
-    load_max = float(os.environ.get("SPARK_GRAFT_LOAD_MAX", "6.0"))
+    # r9: default tightened 6.0 -> 3.0 (VERDICT r8 #2: the official r8
+    # run started at loadavg 5.05 and its pass probes read up to 3x the
+    # clean anchor — a guard at 6.0 on a 32-cpu box is near-vacuous for
+    # JVM-parallel work).
+    load_max = float(os.environ.get("SPARK_GRAFT_LOAD_MAX", "3.0"))
     load_wait = float(os.environ.get("SPARK_GRAFT_LOAD_WAIT", "600"))
     waited = 0.0
     while os.getloadavg()[0] > load_max and waited < load_wait:
@@ -361,19 +370,49 @@ def main() -> int:
     # far harder than a single Python thread, so the spark probe is
     # the one that predicts query-pass quality; the spin is kept to
     # separate interpreter-side from executor-side degradation.
+    # r9 (VERDICT r8 #2): the probe is now a GATE, not just a stamp — a
+    # pass whose range(1e9) probe exceeds PROBE_RETRY_FACTOR x the clean
+    # anchor (PROBE_ANCHOR_SEC, the 0.34 s measured on this box solo,
+    # documented in BASELINE.md) is deferred: sleep and re-probe up to
+    # SPARK_GRAFT_PROBE_WAIT seconds (default 300 per pass) before
+    # timing queries, so a steal burst delays the pass instead of
+    # poisoning it. All probe attempts land in the detail file.
+    # Protocol note (ADVICE r8 #4): the probes run immediately BEFORE
+    # each pass (they must — the retry gate needs the reading before the
+    # pass starts), which adds ~1 s of JVM warm work pre-r8 passes did
+    # not have; PARITY records this alongside the repeats 3->4 change.
+    probe_anchor = float(
+        os.environ.get("SPARK_GRAFT_PROBE_ANCHOR", str(PROBE_ANCHOR_SEC))
+    )
+    probe_limit = probe_anchor * float(
+        os.environ.get("SPARK_GRAFT_PROBE_FACTOR", "1.25")
+    )
+    probe_wait = float(os.environ.get("SPARK_GRAFT_PROBE_WAIT", "300"))
     pass_spin: list[float] = []
     pass_spark: list[float] = []
+    probe_attempts: list[list[float]] = []
+
+    def _spark_probe() -> float:
+        t0 = time.time()
+        spark.range(1_000_000_000).selectExpr(
+            "sum((id * id) % 1000003)"
+        ).collect()
+        return round(time.time() - t0, 3)
+
     for _ in range(repeats):
         t0 = time.time()
         acc = 0
         for i in range(10_000_000):
             acc += i * i
         pass_spin.append(round(time.time() - t0, 3))
-        t0 = time.time()
-        spark.range(1_000_000_000).selectExpr(
-            "sum((id * id) % 1000003)"
-        ).collect()
-        pass_spark.append(round(time.time() - t0, 3))
+        attempts = [_spark_probe()]
+        waited_probe = 0.0
+        while attempts[-1] > probe_limit and waited_probe < probe_wait:
+            time.sleep(15.0)
+            waited_probe += 15.0
+            attempts.append(_spark_probe())
+        probe_attempts.append(attempts)
+        pass_spark.append(attempts[-1])
         for name in HEADLINE:
             fn = qs[name]
             t0 = time.time()
@@ -401,31 +440,61 @@ def main() -> int:
         print(f"bench error in shard write: {e}", file=sys.stderr)
         shard_write = {"error": str(e)[:200]}
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # Probe-normalized total (VERDICT r8 #8): value x (anchor /
+    # measured probe). The per-query values are minimums, drawn from
+    # the cleanest pass, so the matching probe reading is the MINIMUM
+    # pass probe; the anchor constant is documented in BASELINE.md.
+    probe_min = min(pass_spark) if pass_spark else None
+    value_norm = (
+        round(total * probe_anchor / probe_min, 3)
+        if probe_min and probe_min > 0
+        else None
+    )
+    # Diagnostics go to a side file (VERDICT r8 #1: the enriched r8
+    # line outgrew the driver's 2000-char tail capture and parsed as
+    # null — the driver-facing line below stays compact and is the
+    # LAST stdout line).
+    detail_path = os.environ.get("SPARK_GRAFT_DETAIL", "BENCH_DETAIL.json")
+    detail = {
+        "runs": runs,
+        "layout": layout,
+        "shard_write": shard_write,
+        "load_guard": load_guard,
+        "calibration": calibration,
+        "pass_py_spin": pass_spin,
+        "pass_spark_range": pass_spark,
+        "probe_attempts": probe_attempts,
+        "probe_anchor_sec": probe_anchor,
+        "probe_retry_limit_sec": round(probe_limit, 3),
+        "loadavg_1m": round(os.getloadavg()[0], 2),
+    }
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1)
+    except OSError as e:
+        print(f"bench error writing {detail_path}: {e}", file=sys.stderr)
+    spark.stop()
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_sec",
                 "value": total,
+                # total x (probe anchor / min pass probe): the host-
+                # speed-corrected number for round-over-round compares
+                "value_normalized": value_norm,
                 "unit": "sec",
                 "queries": times,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "repeats": repeats,
-                "runs": runs,
                 # -1.0 entries are EXCLUDED from the headline sum so the
                 # total stays comparable across rounds; failures are
                 # named here instead of silently shrinking the metric
                 "failed": failed,
-                "layout": layout,
-                "shard_write": shard_write,
-                "load_guard": load_guard,
-                "calibration": calibration,
-                "pass_py_spin": pass_spin,
-                "pass_spark_range": pass_spark,
-                "loadavg_1m": round(os.getloadavg()[0], 2),
+                "probe_min_sec": probe_min,
+                "detail_file": detail_path,
             }
         )
     )
-    spark.stop()
     return 0
 
 
