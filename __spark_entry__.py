@@ -60,43 +60,59 @@ _GATE_ORDER = [
     "dedup_cluster_stats",
     "dedup_keep_representatives",
     "dedup_overlap_pairs",
+    # r9 rotation: the LSH band-index incremental batch — oldest
+    # never-gated dedup query (verified hash-green at sf0.01 via
+    # scripts/check_oracle.py before rotating in, as always)
+    "dedup_incremental_batch",
     "sample_deterministic_split",
+    # r9: global-shuffle sample rotated in (never-gated; also keeps a
+    # total-order/sort pattern in the window after sort_top15_orders
+    # banks out below)
+    "sample_global_shuffle",
     # Similarity search / embeddings
     "ann_cosine_topk",
     "embedding_near_dup_blocked",
     "embedding_near_dup_stats",
-    "knn_label_vote",
+    # r9: per-label norm stats rotated in (never-gated); knn_label_vote
+    # banked after two green gated rounds
+    "embedding_norm_by_label",
     "kmeans_embedding_clusters",
     # Structured Streaming (r7: stream_hourly_rollup banked green and
     # rotated out for the never-gated stream_static_enrich; r8 adds
     # stream_sliding_counts — the single oldest never-gated query)
     "stream_stream_join",
     "stream_incremental_dedup",
-    "stream_static_enrich",
     "stream_sliding_counts",
     # Multimodal
     "multimodal_media_stats",
     "multimodal_feature_extract",
     # Events (scalar breadth / as-of / Arrow UDF; events_sessionization
-    # banked green r1-r6 and rotated out in r7)
+    # banked green r1-r6 and rotated out in r7; r9 rotates in the three
+    # never-gated event-series patterns — MAD anomaly flags, recursive
+    # EWMA, and hourly gap-fill)
     "events_json_extract",
     "events_grouped_zscore",
+    "events_anomaly_mad",
+    "events_ewma_value",
+    "events_gapfill_hourly",
     # Relational: scans, filters, scalar functions (q5 banked green and
-    # rotated out in r7; r8 banks q20/q21 — both hash-green in r7 —
-    # and keeps q1/q11 for category coverage)
-    "q11_part_value_concentration",
+    # rotated out in r7; r8 banked q20/q21; r9 banks q11 — green in
+    # every gated round since r1 — keeping scalar_expressions for
+    # category coverage)
     "scalar_expressions",
+    # Data quality (r9: both never-gated DQ patterns rotated in —
+    # the expectations scorecard and the FK orphan anti-join audit)
+    "dq_lineitem_expectations",
+    "dq_orphan_audit",
     # Joins (r7: semi/anti banked green, rotated out for the
-    # never-gated full-outer and right-outer patterns)
+    # never-gated full-outer and right-outer patterns; r9 banks the
+    # right-outer after two green gated rounds, full-outer stays)
     "join_full_outer_daily_activity",
-    "join_right_customer_ordercounts",
     "join_range_parts_in_price_band",
     "join_salted_nation_volume",
-    # Windows (+ the never-gated supplier-balance ranks, rotated in r7)
+    # Windows (supplier-balance ranks banked after two green gated
+    # rounds r7/r8)
     "window_topk_orders_per_customer",
-    "window_supplier_balance_ranks",
-    # Unpivot (never-gated until r7)
-    "unpivot_revenue_components",
     # Aggregations (r8: + the oldest never-gated agg pattern)
     "agg_rollup_flag_status",
     "agg_salted_returnflag_totals",
@@ -119,9 +135,19 @@ _GATE_ORDER = [
     # corpus ops and the five OLDEST never-gated queries (VERDICT r7
     # #2; ledger 44 -> 36). Everything rotated out stays under the
     # continuous sf0.001 oracle sweep (tests/test_oracle_full.py).
-    # Set ops + sort/limit
-    "setop_except_all_multiset",
-    "sort_top15_orders",
+    # r9 rotation: eight OLDEST never-gated queries rotated in
+    # (VERDICT r8 #5; each verified hash-green at sf0.01 via
+    # scripts/check_oracle.py first): dedup_incremental_batch,
+    # dq_lineitem_expectations, dq_orphan_audit, events_anomaly_mad,
+    # events_ewma_value, events_gapfill_hourly, embedding_norm_by_label,
+    # sample_global_shuffle — ledger 36 -> 28. Banked to make room,
+    # every one green in >= 2 gated rounds and all staying under the
+    # continuous sf0.001 oracle sweep (tests/test_oracle_full.py):
+    # q11_part_value_concentration, join_right_customer_ordercounts,
+    # window_supplier_balance_ranks, unpivot_revenue_components (green
+    # r7+r8), stream_static_enrich (green r7+r8), knn_label_vote,
+    # setop_except_all_multiset, sort_top15_orders (global-order
+    # coverage continues via sample_global_shuffle above).
     # Late-r8 rotation: six MORE never-gated queries added the same
     # round they were written (bm25 / fuzzy linkage / column profile,
     # plus the overlap join, near-dup histogram and exact-decimal
