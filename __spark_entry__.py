@@ -52,6 +52,16 @@ _GATE_ORDER = [
     "corpus_bigram_coverage",
     "text_fingerprint",
     "text_top_terms",
+    # r9 NEW ops, gated in their debut round (verified hash-green at
+    # sf0.01 via scripts/check_oracle.py first, the standing norm):
+    # DSIR importance weights and per-doc shingle novelty. Displaced
+    # to make room: events_json_extract and join_salted_nation_volume,
+    # both green in every gated round they appeared in and under the
+    # continuous sf0.001 sweep (skew coverage stays via
+    # agg_salted_returnflag_totals; events scalar coverage via the
+    # three r9-rotated event-series queries).
+    "text_dsir_weights",
+    "text_shingle_novelty",
     # Deduplication (r8: + the r7-new cluster histogram, first gating,
     # and the never-gated representative-keep variant)
     "dedup_ngram_jaccard",
@@ -80,17 +90,14 @@ _GATE_ORDER = [
     # Structured Streaming (r7: stream_hourly_rollup banked green and
     # rotated out for the never-gated stream_static_enrich; r8 adds
     # stream_sliding_counts — the single oldest never-gated query)
-    "stream_stream_join",
     "stream_incremental_dedup",
     "stream_sliding_counts",
     # Multimodal
     "multimodal_media_stats",
-    "multimodal_feature_extract",
     # Events (scalar breadth / as-of / Arrow UDF; events_sessionization
     # banked green r1-r6 and rotated out in r7; r9 rotates in the three
     # never-gated event-series patterns — MAD anomaly flags, recursive
     # EWMA, and hourly gap-fill)
-    "events_json_extract",
     "events_grouped_zscore",
     "events_anomaly_mad",
     "events_ewma_value",
@@ -109,7 +116,6 @@ _GATE_ORDER = [
     # right-outer after two green gated rounds, full-outer stays)
     "join_full_outer_daily_activity",
     "join_range_parts_in_price_band",
-    "join_salted_nation_volume",
     # Windows (supplier-balance ranks banked after two green gated
     # rounds r7/r8)
     "window_topk_orders_per_customer",
@@ -146,8 +152,14 @@ _GATE_ORDER = [
     # q11_part_value_concentration, join_right_customer_ordercounts,
     # window_supplier_balance_ranks, unpivot_revenue_components (green
     # r7+r8), stream_static_enrich (green r7+r8), knn_label_vote,
-    # setop_except_all_multiset, sort_top15_orders (global-order
-    # coverage continues via sample_global_shuffle above).
+    # stream_stream_join, multimodal_feature_extract — plus
+    # events_json_extract and join_salted_nation_volume for the two
+    # r9-NEW debut-gated ops above (salted-skew coverage stays via
+    # agg_salted_returnflag_totals).
+    # Set ops + sort/limit (category coverage pinned by
+    # tests/test_gate_window.py)
+    "setop_except_all_multiset",
+    "sort_top15_orders",
     # Late-r8 rotation: six MORE never-gated queries added the same
     # round they were written (bm25 / fuzzy linkage / column profile,
     # plus the overlap join, near-dup histogram and exact-decimal

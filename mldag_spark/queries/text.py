@@ -957,6 +957,223 @@ def text_decontaminate_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DSIR feature space: hashed bigram buckets. 4096 keeps the
+# log-ratio table broadcast-trivial at ANY corpus size (the paper
+# uses 10^4; the bucket count is a quality/κ-variance knob, not a
+# scale knob — the table is |B| rows no matter how many documents).
+_DSIR_BUCKETS = 4096
+# target split: the in-domain exemplar bucket (sources src0-src3,
+# ~20% of the corpus) standing in for the paper's "formal text"
+# target sample
+_DSIR_TARGET = "source IN ('src0', 'src1', 'src2', 'src3')"
+
+_DSIR_ORACLE = f"""
+    WITH t AS (
+        SELECT doc_id, source,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS arr
+        FROM documents
+    ), grams AS (
+        SELECT doc_id, source,
+               ('0x' || substr(md5(arr[i] || ' ' || arr[i+1]), 1, 8))::BIGINT
+                 % {_DSIR_BUCKETS} AS f
+        FROM t, unnest(generate_series(1, len(arr) - 1)) AS s(i)
+    ), df AS (
+        SELECT doc_id, f, COUNT(*) AS c FROM grams GROUP BY 1, 2
+    ), raw AS (
+        SELECT f, COUNT(*) AS cr FROM grams GROUP BY 1
+    ), tgt AS (
+        SELECT f, COUNT(*) AS ct FROM grams
+        WHERE {_DSIR_TARGET} GROUP BY 1
+    ), totals AS (
+        SELECT (SELECT SUM(cr) FROM raw) AS nr,
+               (SELECT COALESCE(SUM(ct), 0) FROM tgt) AS nt
+    ), lr AS (
+        SELECT raw.f,
+               CAST(ROUND(
+                   ln((COALESCE(tgt.ct, 0) + 1.0) / (totals.nt + {_DSIR_BUCKETS}))
+                 - ln((raw.cr + 1.0) / (totals.nr + {_DSIR_BUCKETS})), 6)
+               AS DECIMAL(18,6)) AS lr
+        FROM raw LEFT JOIN tgt USING (f) CROSS JOIN totals
+    )
+    SELECT df.doc_id,
+           CAST(SUM(df.c) AS BIGINT) AS n_bigrams,
+           ROUND(CAST(SUM(df.c * lr.lr) AS DOUBLE) / SUM(df.c), 4)
+               AS dsir_logratio
+    FROM df JOIN lr USING (f)
+    GROUP BY df.doc_id
+"""
+
+
+@register("text_dsir_weights", oracle=_DSIR_ORACLE)
+def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document
+    by the average log-likelihood ratio of its hashed bigram features
+    under a target-domain unigram-feature model vs the raw-corpus
+    model — the published recipe for selecting pre-training data that
+    looks like a trusted exemplar set. Positive ``dsir_logratio``
+    means "more target-like than the corpus average"; resampling
+    proportional to exp(weight) is the paper's selection step (the
+    weights are the engine-side deliverable; sampling composes with
+    ``sample_weighted_mix``).
+
+    Model: hashed bigrams into ``_DSIR_BUCKETS`` buckets (md5-derived
+    bucket id, the repo's cross-engine hash), add-1 smoothed bucket
+    unigram models p(f) = (c(f)+1)/(N+B) for the target split (an
+    in-domain source bucket here) and the full corpus. Per-feature
+    log ratios are rounded to 6dp and cast DECIMAL(18,6) so the
+    per-document SUM is exact integer-scaled arithmetic — partition-
+    order-invariant and engine-agreed (the ``text_bigram_surprisal``
+    law); only the final length-normalized division returns to float.
+
+    Plan shape (100 TB): the bigram explode is the map-only zip-slice
+    pipeline; doc-feature counts shuffle once on (doc_id, f); the
+    raw/target models re-aggregate those counts into at most B rows
+    each, so the log-ratio table is broadcast-sized BY CONSTRUCTION —
+    the per-document scoring join ships ≤4096 rows to every executor
+    and the final rollup rides the doc-keyed aggregate. With a FIXED
+    reference target (the production case) the lr table is a
+    published artifact and the whole query is one explode + two
+    shuffles."""
+    d = load(spark, sf_dir, "documents")
+    pretok = d.select(
+        "doc_id", "source", tokenize(F.col("text")).alias("toks")
+    )
+    toks = F.col("toks")
+    m = F.size(toks) - 1
+    grams = pretok.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.arrays_zip(F.slice(toks, 1, m), F.slice(toks, 2, m))
+        ).alias("_z"),
+    ).select(
+        "doc_id",
+        "source",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(" ", F.col("_z.0"), F.col("_z.1"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _DSIR_BUCKETS
+        ).alias("f"),
+    )
+    # one (doc_id, f) shuffle; the raw model re-aggregates ITS output
+    # (so the occurrence rows are shuffled exactly once), the target
+    # model needs the source filter so it re-counts from grams
+    df_counts = grams.groupBy("doc_id", "f").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    raw = df_counts.groupBy("f").agg(F.sum("c").alias("cr"))
+    tgt = (
+        grams.filter(F.expr(_DSIR_TARGET))
+        .groupBy("f")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    totals = raw.agg(F.sum("cr").alias("nr")).crossJoin(
+        F.broadcast(
+            tgt.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("nt"))
+        )
+    )
+    b = F.lit(_DSIR_BUCKETS)
+    lr = (
+        raw.join(tgt, "f", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "f",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + 1.0)
+                    / (F.col("nt") + b)
+                )
+                - F.log((F.col("cr") + 1.0) / (F.col("nr") + b)),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("lr"),
+        )
+    )
+    # lr is <= _DSIR_BUCKETS rows by construction — broadcast it
+    return (
+        df_counts.join(F.broadcast(lr), "f")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("c") * F.col("lr")).cast("double")
+                / F.sum("c"),
+                4,
+            ).alias("dsir_logratio"),
+        )
+    )
+
+
+@register(
+    "text_shingle_novelty",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS arr
+        FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id,
+               CASE WHEN len(arr) <= 3 THEN array_to_string(arr, ' ')
+                    ELSE array_to_string(arr[u:u+2], ' ') END AS shingle
+        FROM t, unnest(generate_series(1, GREATEST(len(arr) - 2, 1))) AS s(u)
+    ), first AS (
+        SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY 1
+    )
+    SELECT sh.doc_id,
+           COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN first.first_doc = sh.doc_id
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           ROUND(SUM(CASE WHEN first.first_doc = sh.doc_id
+                          THEN 1.0 ELSE 0 END) / COUNT(*), 4) AS novelty
+    FROM sh JOIN first USING (shingle)
+    GROUP BY sh.doc_id
+    """,
+)
+def text_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the share of a document's distinct
+    3-shingles that appear in NO earlier document (corpus order =
+    doc_id) — the first-occurrence attribution used to measure how
+    much genuinely new text each crawl increment contributes (novelty
+    ~1 = fresh content, ~0 = restatement of what the corpus already
+    has). The corpus-wide aggregate of ``n_novel`` over snapshots is
+    the dedup-rate curve; this is its per-document form.
+
+    Plan: distinct (doc, shingle) pairs from the map-only zip-slice
+    shingle build, a shingle-keyed MIN(doc_id) ("who said it first" —
+    an aggregate, never a pairwise join), a merge join of the pair
+    rows back to the first-occurrence table on the same shingle key
+    (exchange reuse), and a doc-keyed rollup. Every stage is linear
+    in the shingle rows; nothing is pairwise, so — unlike the overlap
+    join — novelty is quadratic-proof at any multiplicity."""
+    from mldag_spark.functions import shingle_rows
+
+    d = load(spark, sf_dir, "documents")
+    sh = shingle_rows(d, "doc_id", "text", 3).distinct()
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    return (
+        sh.hint("merge")
+        .join(first.hint("merge"), "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(novel).cast("long").alias("n_novel"),
+            F.round(
+                F.sum(novel).cast("double") / F.count(F.lit(1)), 4
+            ).alias("novelty"),
+        )
+    )
+
+
 @register(
     "pack_token_budget_batches",
     oracle="""

@@ -323,6 +323,18 @@ def _near_dup_qualifying(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded-candidate LSH join plus exact cosine verification —
     (vec_a, vec_b, label, cos) rows at cos >= 0.4, before any
     output cap."""
+    return _near_dup_frames(spark, sf_dir)["qualifying"]
+
+
+def _near_dup_frames(spark: SparkSession, sf_dir: str) -> dict:
+    """The near-dup subplan's stage frames, exposed for the scaling
+    stage-split probe (scripts/probe_neardup_stages.py, VERDICT r8
+    #4): 'signatures' (banded signature explode + the bucket-window
+    rank), 'candidates' (windowed self-join + pair distinct), and
+    'qualifying' (verify joins + exact cosine threshold). The
+    production queries consume 'qualifying', so the probe times
+    exactly the frames the gate runs — the split cannot drift from
+    the product."""
     from mldag_spark.operators.similarity import banded_signature_udf
 
     emb = load(spark, sf_dir, "embeddings")
@@ -363,9 +375,10 @@ def _near_dup_qualifying(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_b",
     )
     cos = cosine_similarity(F.col("va"), F.col("vb"))
-    return pairs.filter(cos >= 0.4).select(
+    qualifying = pairs.filter(cos >= 0.4).select(
         "vec_a", "vec_b", "label", F.round(cos, 4).alias("cos")
     )
+    return {"signatures": s, "candidates": cand, "qualifying": qualifying}
 
 
 @register("embedding_near_dup_stats", oracle=_NEAR_DUP_STATS_ORACLE)

@@ -48,16 +48,24 @@ def test_gate_window_covers_all_categories():
     assert any_with("stream_")        # structured streaming
     assert any_with("multimodal_")    # multimodal columns
     assert "sample_deterministic_split" in window
-    assert any_with("join_")          # joins incl. range + salted
+    assert any_with("join_")          # joins incl. range
     assert "join_range_parts_in_price_band" in window
-    assert "join_salted_nation_volume" in window
+    # salted-skew coverage (r9: join_salted_nation_volume banked after
+    # multi-round green; the salted AGGREGATE keeps the skew category
+    # in-window)
+    assert "agg_salted_returnflag_totals" in window
     assert any_with("window_")        # window functions
     assert any_with("agg_")           # aggregations
     assert any_with("setop_")         # set operations
     assert any_with(["sort_top15_orders"])  # sort/limit
     assert any_with(["scalar_expressions"])  # projection/scalar fns
     assert any_with(["events_grouped_zscore"])  # grouped z-score (JVM window plan)
-    assert any_with(["events_json_extract"])  # scalar fn breadth (json)
+    # scalar/event-series breadth (r9: events_json_extract banked after
+    # eight green gated rounds; the three r9-rotated event-series
+    # queries carry the events category)
+    assert any_with([
+        "events_anomaly_mad", "events_ewma_value", "events_gapfill_hourly",
+    ])
 
 
 def test_all_registered_queries_still_reachable():
