@@ -95,9 +95,28 @@ def test_no_cartesian_products_anywhere(spark, registry):
         # the anti-join decontamination filter: its shingle join and
         # anti join are both equi-keyed
         "text_decontaminate_filter",
+        # r9: DSIR's totals/log-ratio joins are broadcast 1-row /
+        # <=4096-row tables; novelty's first-occurrence join is
+        # shingle-equi-keyed
+        "text_dsir_weights",
+        "text_shingle_novelty",
     ):
         plan = _plan(registry[name](spark, SF_DIR))
         assert "CartesianProduct" not in plan, name
+
+
+def test_dsir_scoring_join_is_broadcast(spark, registry):
+    """text_dsir_weights' scale claim is that the log-ratio table is
+    broadcast BY CONSTRUCTION (<= _DSIR_BUCKETS rows regardless of
+    corpus size): the per-document scoring join must plan as a
+    BroadcastHashJoin, never a shuffled join of the doc-feature rows
+    against the model."""
+    plan = _plan(registry["text_dsir_weights"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    # the corpus-scale side (doc-feature counts joined to lr) must not
+    # sort-merge: a SortMergeJoin would mean the broadcast hint lost
+    # and the model table is being shuffled with the corpus
+    assert "SortMergeJoin" not in plan
 
 
 def test_new_text_queries_prune_scans(spark, registry):
