@@ -70,6 +70,11 @@ _GATE_ORDER = [
     "dedup_cluster_stats",
     "dedup_keep_representatives",
     "dedup_overlap_pairs",
+    # r9 NEW: near-containment pairs (sub-document inclusion — the
+    # dedup pass Jaccard structurally misses), debut-gated after
+    # sf0.001+sf0.01 hash-green; join_full_outer_daily_activity
+    # (green r7+r8) banks to make room, joins keep the range join
+    "dedup_containment_pairs",
     # r9 rotation: the LSH band-index incremental batch — oldest
     # never-gated dedup query (verified hash-green at sf0.01 via
     # scripts/check_oracle.py before rotating in, as always)
@@ -112,9 +117,8 @@ _GATE_ORDER = [
     "dq_lineitem_expectations",
     "dq_orphan_audit",
     # Joins (r7: semi/anti banked green, rotated out for the
-    # never-gated full-outer and right-outer patterns; r9 banks the
-    # right-outer after two green gated rounds, full-outer stays)
-    "join_full_outer_daily_activity",
+    # never-gated full-outer and right-outer patterns; r9 banks both
+    # after two green gated rounds — the range join keeps the category)
     "join_range_parts_in_price_band",
     # Windows (supplier-balance ranks banked after two green gated
     # rounds r7/r8)

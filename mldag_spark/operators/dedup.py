@@ -541,13 +541,26 @@ def overlap_pairs(
     """
     if min_overlap < 1:
         raise ValueError(f"min_overlap must be >= 1 (got {min_overlap})")
+    c = int(min_overlap)
+    ex = _distinct_capped_elements(rows, id_col, elem_col, df_cap)
+    return (
+        _common_element_counts(ex, id_col)
+        .filter(F.col("n_common") >= c)
+    )
+
+
+def _distinct_capped_elements(
+    rows: DataFrame, id_col: str, elem_col: str, df_cap: int | None
+) -> DataFrame:
+    """Distinct (id, _e) element rows, optionally df-capped — the
+    shared front half of :func:`overlap_pairs` and
+    :func:`containment_pairs`. The id-keyed exchange serves the
+    distinct; the df-cap count window is keyed on ``_e`` — the
+    downstream self-join's own key — so the cap costs no extra
+    exchange (the window's _e exchange is the one both join sides
+    read back via ReusedExchange)."""
     if df_cap is not None and df_cap < 1:
         raise ValueError(f"df_cap must be >= 1 or None (got {df_cap})")
-    c = int(min_overlap)
-
-    # the id-keyed exchange serves the distinct; the merge join below
-    # is keyed on _e and gets its own _e exchange, shared across both
-    # join sides (and the df-cap window) via ReusedExchange
     ex = (
         rows.select(F.col(id_col), F.col(elem_col).alias("_e"))
         .repartition(F.col(id_col))
@@ -556,16 +569,20 @@ def overlap_pairs(
     if df_cap is not None:
         from pyspark.sql.window import Window
 
-        # document frequency over the distinct element rows, as a count
-        # window partitioned by _e — the join's own key, so Catalyst
-        # plans ONE _e exchange for the window and both merge-join
-        # sides read it back (no extra shuffle for the cap)
         w = Window.partitionBy("_e")
         ex = (
             ex.withColumn("_df", F.count(F.lit(1)).over(w))
             .filter(F.col("_df") <= int(df_cap))
             .drop("_df")
         )
+    return ex
+
+
+def _common_element_counts(ex: DataFrame, id_col: str) -> DataFrame:
+    """(doc_a < doc_b, n_common) distinct-common-element counts via
+    the merge-hinted element self-join + pair aggregate (see
+    :func:`overlap_pairs` for why size estimates after an explode
+    make broadcast fatal here)."""
     a = ex.select(F.col(id_col).alias("doc_a"), "_e").hint("merge").alias("a")
     b = ex.select(F.col(id_col).alias("doc_b"), "_e").hint("merge").alias("b")
     return (
@@ -576,7 +593,69 @@ def overlap_pairs(
         )
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
-        .filter(F.col("n_common") >= c)
+    )
+
+
+def containment_pairs(
+    rows: DataFrame,
+    id_col: str,
+    elem_col: str,
+    min_overlap: int,
+    min_containment: float,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """Near-CONTAINMENT join: pairs where the smaller document's
+    element set is (almost) a subset of the larger's —
+    |A∩B| / min(|A|, |B|) >= ``min_containment`` — the sub-document
+    inclusion detector (a quoted or embedded document, a page that
+    wraps another page plus boilerplate). Jaccard misses these by
+    construction: a 100-shingle doc fully contained in a 10,000-
+    shingle doc has Jaccard ~0.01 but containment 1.0.
+
+    Same machinery as :func:`overlap_pairs` (shared helpers — one
+    distinct element build, the merge-hinted inverted-index
+    self-join, the pair-keyed count), plus per-document element
+    totals joined back to the (small) surviving pair set. With
+    ``df_cap`` set, BOTH the intersection count and the totals are
+    computed over the capped element space, so containment keeps its
+    [0, 1] meaning ("share of the smaller doc's rare elements also in
+    the larger") and the join work stays linear in corpus size —
+    the :func:`overlap_pairs` scale contract. ``min_overlap`` prunes
+    the pair aggregate before the totals join (tiny shared spans are
+    never containment candidates).
+
+    Returns (doc_a < doc_b, n_common, n_small, containment) with
+    containment rounded to 4dp.
+    """
+    if not (0.0 < min_containment <= 1.0):
+        raise ValueError(
+            f"min_containment must be in (0, 1] (got {min_containment})"
+        )
+    ex = _distinct_capped_elements(rows, id_col, elem_col, df_cap)
+    totals = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
+    pairs = _common_element_counts(ex, id_col).filter(
+        F.col("n_common") >= int(min_overlap)
+    )
+    # the surviving pair set is output-sized; totals is |docs| rows —
+    # two equi-joins on the pair ids (AQE picks sides at runtime)
+    joined = pairs.join(
+        totals.select(F.col(id_col).alias("doc_a"), F.col("_n").alias("_na")),
+        "doc_a",
+    ).join(
+        totals.select(F.col(id_col).alias("doc_b"), F.col("_n").alias("_nb")),
+        "doc_b",
+    )
+    n_small = F.least(F.col("_na"), F.col("_nb"))
+    containment = F.col("n_common") / n_small
+    return (
+        joined.filter(containment >= float(min_containment))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            n_small.alias("n_small"),
+            F.round(containment, 4).alias("containment"),
+        )
     )
 
 

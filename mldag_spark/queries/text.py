@@ -341,7 +341,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Exact shared-passage detection: absolute common-shingle count.
-_OVERLAP_ORACLE = """
+# shared CTE prefix of the T-overlap and containment oracles: distinct
+# 3-shingles per doc, df-capped at 64 (the overlap_pairs(df_cap=64)
+# mirror) — the two pair queries cannot drift apart on the element
+# space they count over
+_OVERLAP_CTES = """
     WITH t AS (
         SELECT doc_id,
                list_distinct(
@@ -367,12 +371,41 @@ _OVERLAP_ORACLE = """
             FROM exploded
         ) WHERE df <= 64
     )
+"""
+
+_OVERLAP_ORACLE = (
+    _OVERLAP_CTES
+    + """
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
     FROM capped a JOIN capped b
       ON a.shingle = b.shingle AND a.doc_id < b.doc_id
     GROUP BY 1, 2
     HAVING COUNT(*) >= 20
 """
+)
+
+_CONTAINMENT_ORACLE = (
+    _OVERLAP_CTES
+    + """
+    , totals AS (
+        SELECT doc_id, COUNT(*) AS n FROM capped GROUP BY 1
+    ), pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM capped a JOIN capped b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 10
+    )
+    SELECT doc_a, doc_b, n_common,
+           LEAST(ta.n, tb.n) AS n_small,
+           ROUND(CAST(n_common AS DOUBLE) / LEAST(ta.n, tb.n), 4)
+               AS containment
+    FROM pairs
+    JOIN totals ta ON ta.doc_id = doc_a
+    JOIN totals tb ON tb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) / LEAST(ta.n, tb.n) >= 0.9
+"""
+)
 
 
 @register("dedup_overlap_pairs", oracle=_OVERLAP_ORACLE)
@@ -406,6 +439,33 @@ def dedup_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     rows = shingle_rows(d, "doc_id", "text", 3)
     return overlap_pairs(rows, "doc_id", "shingle", min_overlap=20, df_cap=64)
+
+
+@register("dedup_containment_pairs", oracle=_CONTAINMENT_ORACLE)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-containment pairs over the documents corpus: the smaller
+    document's (df-capped) distinct 3-shingle set is >= 90% inside the
+    larger's — the sub-document INCLUSION detector (quoted or embedded
+    documents, wrapper pages). Jaccard-based dedup structurally misses
+    these: a short doc fully quoted inside a long one has near-zero
+    Jaccard but containment 1.0, which is why corpus curation runs a
+    containment pass alongside the similarity pass.
+
+    Same scale contract as ``dedup_overlap_pairs`` (shared operator
+    helpers AND a shared oracle CTE prefix): df_cap=64 bounds the
+    inverted-index self-join to rare shingles, min_overlap=10 prunes
+    the pair aggregate before the per-document totals join back, and
+    the totals are counted over the SAME capped element space so
+    containment keeps its [0,1] meaning."""
+    from mldag_spark.functions import shingle_rows
+    from mldag_spark.operators.dedup import containment_pairs
+
+    d = load(spark, sf_dir, "documents")
+    rows = shingle_rows(d, "doc_id", "text", 3)
+    return containment_pairs(
+        rows, "doc_id", "shingle",
+        min_overlap=10, min_containment=0.9, df_cap=64,
+    )
 
 
 @register("text_winnow_overlap")  # no oracle: fingerprint selection is hash-specific

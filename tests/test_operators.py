@@ -908,6 +908,58 @@ def test_overlap_pairs_df_cap_vs_bruteforce(spark):
     assert capped == uncapped
 
 
+def test_containment_pairs_vs_bruteforce(spark):
+    """containment_pairs must equal brute force over the (optionally
+    df-capped) element universe: |A∩B| / min(|A|,|B|) at several
+    thresholds, including the full-containment case (a strict subset
+    document) and the Jaccard-blind case (tiny doc inside a huge
+    one)."""
+    import itertools
+
+    from mldag_spark.operators.dedup import containment_pairs
+
+    corpora = {
+        1: set("abcdefghij"),          # 10 elements
+        2: {"a", "b", "c"},            # strict subset of 1 -> cont 1.0
+        3: {"a", "b", "x"},            # 2/3 in 1 -> cont 0.667
+        4: set("abcdefghij") | {"z"},  # 1 is 10/10 inside 4
+        5: {"p", "q"},
+        6: {"p", "q", "r", "s", "t"},  # 5 fully inside 6
+    }
+    rows = spark.createDataFrame(
+        [(i, e) for i, es in corpora.items() for e in es],
+        ["doc_id", "elem"],
+    )
+    for cap in (None, 3):
+        if cap is None:
+            kept = corpora
+        else:
+            df = {}
+            for es in corpora.values():
+                for e in es:
+                    df[e] = df.get(e, 0) + 1
+            kept = {i: {e for e in es if df[e] <= cap}
+                    for i, es in corpora.items()}
+        for c, t in ((1, 0.9), (2, 0.6), (1, 1.0)):
+            want = sorted(
+                (a, b, len(kept[a] & kept[b]),
+                 min(len(kept[a]), len(kept[b])),
+                 round(len(kept[a] & kept[b])
+                       / min(len(kept[a]), len(kept[b])), 4))
+                for a, b in itertools.combinations(sorted(corpora), 2)
+                if min(len(kept[a]), len(kept[b])) > 0
+                and len(kept[a] & kept[b]) >= c
+                and len(kept[a] & kept[b])
+                / min(len(kept[a]), len(kept[b])) >= t
+            )
+            got = sorted(
+                map(tuple, containment_pairs(
+                    rows, "doc_id", "elem", c, t, df_cap=cap
+                ).collect())
+            )
+            assert got == want, (cap, c, t, got, want)
+
+
 def test_overlap_pairs_partition_invariant(spark):
     from mldag_spark.operators.dedup import overlap_pairs
 
