@@ -81,6 +81,10 @@ QUERIES = (
     # filter is a core 100 TB pipeline op and had no scale row
     "contamination_check",
     "text_decontaminate_filter",
+    # r9 new ops: DSIR weights, shingle novelty, containment pairs
+    "text_dsir_weights",
+    "text_shingle_novelty",
+    "dedup_containment_pairs",
 )
 
 # VERDICT r6 #6: every scale row now gets a 30x datapoint (was 12/26)
@@ -123,6 +127,9 @@ SF3_QUERIES = (
     "kmeans_embedding_clusters",
     "contamination_check",
     "text_decontaminate_filter",
+    "text_dsir_weights",
+    "text_shingle_novelty",
+    "dedup_containment_pairs",
     # ...heaviest (prefix-join + closure) last: even with per-query
     # session recovery, a JVM death costs every later row its warm cache
     "dedup_ngram_jaccard",
@@ -418,6 +425,29 @@ SF3_DIAGNOSES_RAW = {
         "against the contaminated-id set (small by construction, "
         "broadcast at scale) — the op a pipeline actually runs "
         "before export."
+    ),
+    "text_dsir_weights": (
+        "bigram explode is map-only; ONE (doc_id, f) shuffle of "
+        "occurrence rows; the raw/target models re-aggregate into "
+        "<= 4096 hashed-bucket rows so the log-ratio table is "
+        "broadcast BY CONSTRUCTION (plan-pinned: the scoring join "
+        "must be a BroadcastHashJoin) — growth is the explode + one "
+        "shuffle, data-linear."
+    ),
+    "text_shingle_novelty": (
+        "distinct (doc, shingle) pairs, a shingle-keyed MIN(doc_id) "
+        "aggregate, and the merge join back on the same shingle key "
+        "— nothing pairwise, so novelty is quadratic-proof at any "
+        "passage multiplicity; all three stages linear in shingle "
+        "rows."
+    ),
+    "dedup_containment_pairs": (
+        "shares the capped overlap join's front half (df_cap=64 "
+        "bounds join work to 32x the element rows) plus two "
+        "equi-joins of per-doc totals against the PRUNED pair set "
+        "(output-sized, never corpus x corpus) — same linear work "
+        "term as the capped overlap row, plus a |docs|-row totals "
+        "aggregate."
     ),
 }
 
