@@ -445,9 +445,16 @@ def main() -> int:
     # the cleanest pass, so the matching probe reading is the MINIMUM
     # pass probe; the anchor constant is documented in BASELINE.md.
     probe_min = min(pass_spark) if pass_spark else None
+    # Linear host-speed correction is only meaningful for MILD drift:
+    # the probe is embarrassingly parallel codegen while real queries
+    # mix shuffle/IO/GC, so on a severely degraded host (r9 measured a
+    # 7.49s probe — 22x — while queries inflated only ~2x) the linear
+    # model overcorrects into a flattering number. Beyond 2x the
+    # anchor the honest answer is "not normalizable": emit null and
+    # let the raw value + probe stamps tell the story.
     value_norm = (
         round(total * probe_anchor / probe_min, 3)
-        if probe_min and probe_min > 0
+        if probe_min and 0 < probe_min <= 2.0 * probe_anchor
         else None
     )
     # Diagnostics go to a side file (VERDICT r8 #1: the enriched r8
