@@ -979,6 +979,27 @@ def test_overlap_pairs_partition_invariant(spark):
     assert one, "fixture must produce at least one pair"
 
 
+def test_containment_pairs_partition_invariant(spark):
+    from mldag_spark.operators.dedup import containment_pairs
+
+    rows = spark.createDataFrame(
+        [(i, f"e{j}") for i in range(20) for j in range(i, i + 8)],
+        ["doc_id", "elem"],
+    )
+    one = sorted(
+        map(tuple, containment_pairs(
+            rows.coalesce(1), "doc_id", "elem", 3, 0.3, df_cap=6
+        ).collect())
+    )
+    many = sorted(
+        map(tuple, containment_pairs(
+            rows.repartition(13), "doc_id", "elem", 3, 0.3, df_cap=6
+        ).collect())
+    )
+    assert one == many
+    assert one, "fixture must produce at least one pair"
+
+
 def test_link_fuzzy_multipass_blocking_recall(spark):
     """Multi-pass blocking must catch a pair that single-key blocking
     on the FIRST token misses: 'hot rod' vs 'old rod' disagree in

@@ -97,9 +97,11 @@ def test_no_cartesian_products_anywhere(spark, registry):
         "text_decontaminate_filter",
         # r9: DSIR's totals/log-ratio joins are broadcast 1-row /
         # <=4096-row tables; novelty's first-occurrence join is
-        # shingle-equi-keyed
+        # shingle-equi-keyed; containment's totals joins are
+        # id-equi-keyed against the pruned pair set
         "text_dsir_weights",
         "text_shingle_novelty",
+        "dedup_containment_pairs",
     ):
         plan = _plan(registry[name](spark, SF_DIR))
         assert "CartesianProduct" not in plan, name
