@@ -204,15 +204,24 @@ NOTES = {
     "dedup_minhash_lsh": (
         "r9 re-measure of every shingle consumer (minhash, "
         "ngram_jaccard, components, overlap, incremental dedup) "
-        "AFTER the late-r8 zip-slice shingle rewrite, replacing the "
-        "r8 rows that predated it (VERDICT r8 #7 — the r8 "
-        "post-rewrite re-measure had been rejected for "
-        "burst-corrupted rows). Every r9 row carries its own "
-        "probe_sf* stamp: the fixed-work range(1e9) probe reading "
-        "taken immediately before the measurement, gated at 1.25x "
-        "the clean anchor (0.34s x 32/cores) with sleep-and-retry — "
-        "the mechanism that makes a burst delay the row instead of "
-        "corrupting it."
+        "AFTER the late-r8 zip-slice shingle rewrite (VERDICT r8 "
+        "#7), every row stamped with its probe_sf* reading (the "
+        "fixed-work range(1e9) probe taken immediately before the "
+        "measurement, gated at 1.25x the core-scaled clean anchor "
+        "with sleep-and-retry). CAVEAT on the sf10 column: the sf10 "
+        "phase of the r9 run slid into a ~2x host-degradation epoch "
+        "mid-phase — rows measured later read progressively worse "
+        "vs their r8 walls (minhash 1.33x, stream 1.37x, jaccard "
+        "2.6x, components 2.3x) while row-START probes still read "
+        "clean (a 6-12 min row can degrade mid-flight). A "
+        "control-validated re-measure was attempted and ABORTED "
+        "(sf10_remeasure_r9 block): the unchanged-code control "
+        "(pagerank) read 1.64x its r8 wall, proving the window, not "
+        "the code. The r9 sf10 walls for these four queries are "
+        "therefore UPPER BOUNDS; the r8 clean-epoch walls (minhash "
+        "54.7, stream 33.4, jaccard 132.3, components 141.9 — "
+        "pre-rewrite code the rewrite measured neutral-to-faster at "
+        "sf0.1/sf3.0) remain the best clean-epoch estimates."
     ),
     "stream_incremental_dedup": (
         "r7 probe (VERDICT r6 #5), measured rejection: the per-batch "
