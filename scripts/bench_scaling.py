@@ -510,12 +510,21 @@ SF10_DIAGNOSES_RAW = {
         "window (O(N*bands*W) join rows under any density skew — "
         "uncapped, candidates measured 8.5x for 3.33x more vectors "
         "and the sf10 wall was 156.3s; with the window it is 28.0s) "
-        "+ the r8 per-vector top-K output cap (O(N*K) result): the "
-        "levers that make a pair-emitting op 100 TB-safe, measured "
-        "two decades up. The ratio's denominator is a 1.3s sf0.1 "
-        "base with almost no amortizable overhead — per "
-        "core-unit-of-data the 100x point is ~0.11x, the most "
-        "sub-linear sf10 row."
+        "+ the r8 per-vector top-K output cap (O(N*K) result). The "
+        "r9 stage split (scripts/probe_neardup_stages.py, "
+        "NEARDUP_STAGES_r09.json — run on the production frames via "
+        "_near_dup_frames) answers VERDICT r8 #4 with numbers: at "
+        "sf10 the candidate count is 12.28M = 123 per vector, "
+        "within 4% of the 8x16=128 design budget (the window bound "
+        "HOLDS at 100x), qualifying output is 95,248 pairs (well "
+        "under the N*K cap), and the stage shares are signatures "
+        "~4%, candidate join ~10%, verify joins+cosine ~86%, top-K "
+        "~0 — the wall is the verification of the BOUNDED candidate "
+        "set (two id-keyed merge joins shipping 12.3M pairs against "
+        "the vector table on 16 cores). The 21.39 ratio is that "
+        "linear verify term x100 over a 1.3s constant-heavy sf0.1 "
+        "base on half the cores — per core-unit-of-data ~0.11x, "
+        "the most sub-linear sf10 row; no super-linear stage exists."
     ),
     "text_bm25_topk": (
         "the second-decade datapoint VERDICT r8 #6 asked for: one "
