@@ -5,7 +5,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
-from mldag_spark.functions import cosine_similarity
 from mldag_spark.operators.similarity import (
     brute_force_topk,
     brute_force_topk_arrow,
@@ -367,14 +366,35 @@ def _near_dup_frames(spark: SparkSession, sf_dir: str) -> dict:
         )
         .distinct()
     )
+    # r9 (stage-split follow-up): verification is ~86% of the sf10
+    # wall (NEARDUP_STAGES_r09.json) and the old per-pair
+    # cosine_similarity(va, vb) recomputed BOTH vectors' norms inside
+    # every candidate pair — 3x the interpreted-HOF work the dot
+    # product needs (dot + 2 norm folds = ~192 element ops/pair over
+    # 12.3M pairs at sf10). Precompute each vector's norm ONCE in the
+    # projection (N folds, not 2x|candidates|) and carry it through
+    # the verify joins: same fold over the same doubles, same final
+    # division — bit-identical cosines (hash-pinned by the oracle gate
+    # and the dense-corpus cross-engine test), strictly less work.
+    from mldag_spark.functions import dot, l2_norm
+
+    vn = v.withColumn("_nrm", l2_norm(F.col("v")))
     pairs = cand.join(
-        v.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va")),
+        vn.select(
+            F.col("vec_id").alias("vec_a"),
+            F.col("v").alias("va"),
+            F.col("_nrm").alias("_na"),
+        ),
         "vec_a",
     ).join(
-        v.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb")),
+        vn.select(
+            F.col("vec_id").alias("vec_b"),
+            F.col("v").alias("vb"),
+            F.col("_nrm").alias("_nb"),
+        ),
         "vec_b",
     )
-    cos = cosine_similarity(F.col("va"), F.col("vb"))
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("_na") * F.col("_nb"))
     qualifying = pairs.filter(cos >= 0.4).select(
         "vec_a", "vec_b", "label", F.round(cos, 4).alias("cos")
     )
