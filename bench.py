@@ -251,6 +251,24 @@ def host_calibration(spark) -> dict:
         ).collect()
         spark_runs.append(round(time.time() - t0, 3))
 
+    # r9: shuffle-sensitive probe. Three same-code bench runs measured
+    # 19.1-20.1s vs the r8 anchored 15.2s while every codegen probe
+    # read CLEAN (0.24-0.42) — this guest's degradation sometimes hits
+    # memory/shuffle bandwidth only, invisible to a pure-compute
+    # probe. Fixed work: 50M rows hash-repartitioned to 64 partitions
+    # then aggregated — one real exchange write+read. First readings
+    # (r9, on the degraded-epoch host whose codegen probe read clean):
+    # 2.9-3.6s min-of-3; the CLEAN anchor must be established on a
+    # host whose minhash sf0.1 matches the 4.49s r8 wall — until then
+    # the probe's value is longitudinal (compare across rounds).
+    shuffle_runs = []
+    for _ in range(2):
+        t0 = time.time()
+        spark.range(50_000_000).repartition(64, "id").selectExpr(
+            "sum(id % 97)"
+        ).collect()
+        shuffle_runs.append(round(time.time() - t0, 3))
+
     def _stat():
         with open("/proc/stat") as f:
             return list(map(int, f.readline().split()[1:9]))
@@ -267,6 +285,8 @@ def host_calibration(spark) -> dict:
         "py_spin_10m_sec": py_spin,
         "spark_range_1e9_sec": min(spark_runs),
         "spark_range_runs": spark_runs,
+        "spark_shuffle_50m_sec": min(shuffle_runs),
+        "spark_shuffle_runs": shuffle_runs,
         "steal_pct": steal_pct,
     }
 
