@@ -201,6 +201,18 @@ SF3_SESSION = (
 )
 
 NOTES = {
+    "embedding_near_dup_blocked": (
+        "an r9 re-measure with the 40-52%-faster norm-precompute "
+        "verify was run and its rows REVERTED by their own probe "
+        "stamps: the window collapsed at row start (probe_sf0.1 read "
+        "1.181 vs the 0.425 gate after the 180s retry budget) and "
+        "every later number was burst-corrupted (sf3.0 read 33.9s "
+        "where the same-code interleaved A/B had just measured min "
+        "8.0s; sf10 read 128.7s vs the 28.0s clean wall). The "
+        "standing rows are therefore the r8 clean-epoch OLD-code "
+        "walls — upper bounds for the current code, whose speedup is "
+        "recorded by the sf3.0 A/B in the diagnosis."
+    ),
     "dedup_minhash_lsh": (
         "r9 re-measure of every shingle consumer (minhash, "
         "ngram_jaccard, components, overlap, incremental dedup) "
