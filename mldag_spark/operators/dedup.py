@@ -627,6 +627,8 @@ def containment_pairs(
     Returns (doc_a < doc_b, n_common, n_small, containment) with
     containment rounded to 4dp.
     """
+    if min_overlap < 1:
+        raise ValueError(f"min_overlap must be >= 1 (got {min_overlap})")
     if not (0.0 < min_containment <= 1.0):
         raise ValueError(
             f"min_containment must be in (0, 1] (got {min_containment})"

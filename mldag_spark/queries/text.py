@@ -1064,8 +1064,50 @@ _DSIR_ORACLE = f"""
 """
 
 
+def dsir_log_ratio_table(
+    df_counts: DataFrame, target_filter: str = _DSIR_TARGET
+) -> DataFrame:
+    """Build the DSIR per-feature log-ratio table (f, lr) from
+    (doc_id, source, f, c) feature counts. At most ``_DSIR_BUCKETS``
+    rows by construction — in production this is computed ONCE against
+    the trusted exemplar set, written to parquet, and passed to
+    :func:`text_dsir_weights` as ``lr_table`` so the 100 TB selection
+    pass never re-counts the target model.
+
+    The raw AND target counts come out of ONE f-keyed aggregate (the
+    target count is a conditional sum, not a filtered re-aggregation):
+    a separate ``df_counts.filter(target)`` branch looks like reuse at
+    the DataFrame level, but Catalyst pushes the source filter down
+    through the aggregate into the scan, duplicating the explode
+    subtree — the exact double-scan ADVICE r9 flagged. The conditional
+    sum is not pushable, so both models ride the same exchange."""
+    feat = df_counts.groupBy("f").agg(
+        F.sum("c").alias("cr"),
+        F.sum(
+            F.when(F.expr(target_filter), F.col("c")).otherwise(F.lit(0))
+        ).alias("ct"),
+    )
+    totals = feat.agg(
+        F.sum("cr").alias("nr"),
+        F.coalesce(F.sum("ct"), F.lit(0)).alias("nt"),
+    )
+    b = F.lit(_DSIR_BUCKETS)
+    return feat.crossJoin(F.broadcast(totals)).select(
+        "f",
+        F.round(
+            F.log((F.col("ct") + 1.0) / (F.col("nt") + b))
+            - F.log((F.col("cr") + 1.0) / (F.col("nr") + b)),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("lr"),
+    )
+
+
 @register("text_dsir_weights", oracle=_DSIR_ORACLE)
-def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+def text_dsir_weights(
+    spark: SparkSession, sf_dir: str, lr_table: DataFrame | None = None
+) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023, "Data Selection for
     Language Models via Importance Resampling"): score every document
     by the average log-likelihood ratio of its hashed bigram features
@@ -1087,14 +1129,17 @@ def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     law); only the final length-normalized division returns to float.
 
     Plan shape (100 TB): the bigram explode is the map-only zip-slice
-    pipeline; doc-feature counts shuffle once on (doc_id, f); the
-    raw/target models re-aggregate those counts into at most B rows
-    each, so the log-ratio table is broadcast-sized BY CONSTRUCTION —
-    the per-document scoring join ships ≤4096 rows to every executor
-    and the final rollup rides the doc-keyed aggregate. With a FIXED
-    reference target (the production case) the lr table is a
-    published artifact and the whole query is one explode + two
-    shuffles."""
+    pipeline and runs ONCE — doc-feature counts shuffle once on
+    (doc_id, source, f) (source is functionally dependent on doc_id,
+    so the grouping is the same (doc_id, f) granularity), and BOTH the
+    raw and target models re-aggregate those counts into at most B
+    rows each, so the log-ratio table is broadcast-sized BY
+    CONSTRUCTION — the per-document scoring join ships ≤4096 rows to
+    every executor and the final rollup rides the doc-keyed aggregate.
+    Pass ``lr_table`` (a published (f, lr) artifact from
+    :func:`dsir_log_ratio_table`) for the production selection pass:
+    one explode + one (doc, f) shuffle + a broadcast scoring join,
+    with no target re-count at all."""
     d = load(spark, sf_dir, "documents")
     pretok = d.select(
         "doc_id", "source", tokenize(F.col("text")).alias("toks")
@@ -1123,40 +1168,21 @@ def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             % _DSIR_BUCKETS
         ).alias("f"),
     )
-    # one (doc_id, f) shuffle; the raw model re-aggregates ITS output
-    # (so the occurrence rows are shuffled exactly once), the target
-    # model needs the source filter so it re-counts from grams
-    df_counts = grams.groupBy("doc_id", "f").agg(
-        F.count(F.lit(1)).alias("c")
+    # one (doc_id, source, f) shuffle — source rides the key (one
+    # source per doc, same granularity) so BOTH models derive from
+    # this frame and the explode subtree executes exactly once
+    # (ADVICE r9: the old target model re-counted from grams,
+    # duplicating the documents scan + bigram explode)
+    # the explicit null filter mirrors the isnotnull(f) the scoring
+    # join infers on its side — without it the totals branch's subtree
+    # differs by exactly that filter and AQE cannot ReusedExchange it
+    df_counts = (
+        grams.filter(F.col("f").isNotNull())
+        .groupBy("doc_id", "source", "f")
+        .agg(F.count(F.lit(1)).alias("c"))
     )
-    raw = df_counts.groupBy("f").agg(F.sum("c").alias("cr"))
-    tgt = (
-        grams.filter(F.expr(_DSIR_TARGET))
-        .groupBy("f")
-        .agg(F.count(F.lit(1)).alias("ct"))
-    )
-    totals = raw.agg(F.sum("cr").alias("nr")).crossJoin(
-        F.broadcast(
-            tgt.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("nt"))
-        )
-    )
-    b = F.lit(_DSIR_BUCKETS)
-    lr = (
-        raw.join(tgt, "f", "left")
-        .crossJoin(F.broadcast(totals))
-        .select(
-            "f",
-            F.round(
-                F.log(
-                    (F.coalesce(F.col("ct"), F.lit(0)) + 1.0)
-                    / (F.col("nt") + b)
-                )
-                - F.log((F.col("cr") + 1.0) / (F.col("nr") + b)),
-                6,
-            )
-            .cast("decimal(18,6)")
-            .alias("lr"),
-        )
+    lr = lr_table if lr_table is not None else dsir_log_ratio_table(
+        df_counts
     )
     # lr is <= _DSIR_BUCKETS rows by construction — broadcast it
     return (

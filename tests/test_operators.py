@@ -1020,3 +1020,25 @@ def test_link_fuzzy_multipass_blocking_recall(spark):
             for r in link_fuzzy_part_names(spark, td).collect()
         }
     assert got == {("hot rod", "old rod", 3)}
+
+
+def test_overlap_and_containment_reject_bad_params(spark):
+    # ADVICE r9: containment_pairs validated min_containment/df_cap but
+    # not min_overlap — a 0/negative value silently degenerated to
+    # "any shared element". Both entry points share the same guards.
+    import pytest as _pytest
+
+    from mldag_spark.operators.dedup import containment_pairs, overlap_pairs
+
+    rows = spark.createDataFrame(
+        [(1, "a"), (2, "a")], ["doc_id", "elem"]
+    )
+    for bad in (0, -1):
+        with _pytest.raises(ValueError, match="min_overlap"):
+            overlap_pairs(rows, "doc_id", "elem", bad)
+        with _pytest.raises(ValueError, match="min_overlap"):
+            containment_pairs(rows, "doc_id", "elem", bad, 0.5)
+    with _pytest.raises(ValueError, match="min_containment"):
+        containment_pairs(rows, "doc_id", "elem", 1, 0.0)
+    with _pytest.raises(ValueError, match="df_cap"):
+        containment_pairs(rows, "doc_id", "elem", 1, 0.5, df_cap=0)

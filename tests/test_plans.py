@@ -415,3 +415,85 @@ def test_kmeans_is_map_only_plus_one_bounded_shuffle(spark, registry):
     # scan reads only (vec_id, embedding) — label is not referenced
     read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
     assert "label" not in read, read
+
+
+def test_anomaly_mad_has_no_window_over_group_key(spark, registry):
+    # events_anomaly_mad once computed the deviation median with an
+    # unbounded `median(...) OVER (PARTITION BY event_type)` — a window
+    # over a ~5-cardinality key that serializes every row of a type
+    # into one task (VERDICT r9 "What's wrong" #1). Both medians must
+    # be grouped aggregates (partial-merge, parallel) with the tiny
+    # results broadcast back: no Window operator anywhere in the plan,
+    # and the join-backs must be broadcast, not shuffle.
+    plan = _plan(registry["events_anomaly_mad"](spark, SF_DIR))
+    assert "Window" not in plan, plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_dsir_explode_runs_once_and_lr_table_path_is_identical(
+    spark, registry
+):
+    # ADVICE r9: the target model used to re-count from grams, so the
+    # documents scan + bigram explode executed twice. Both models now
+    # derive from the single (doc_id, source, f) aggregate via a
+    # conditional sum; after AQE the executed plan must contain exactly
+    # ONE documents scan, one Generate (explode), and ReusedExchange
+    # nodes for the model branches.
+    from mldag_spark.queries.text import dsir_log_ratio_table
+
+    df = registry["text_dsir_weights"](spark, SF_DIR)
+    self_rows = {r["doc_id"]: r for r in df.collect()}
+    plan = _plan(df)
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1, final
+    assert final.count("Generate") == 1, final
+    assert "ReusedExchange" in final, final
+
+    # production mode: a precomputed (f, lr) artifact passed in must
+    # produce bit-identical scores (the 100 TB selection pass never
+    # re-counts the target model)
+    from mldag_spark.queries.text import text_dsir_weights, tokenize
+    from mldag_spark.queries.text import _DSIR_BUCKETS
+    from mldag_spark.queries.tables import load
+
+    d = load(spark, SF_DIR, "documents")
+    toks = tokenize(F.col("text"))
+    pretok = d.select("doc_id", "source", toks.alias("toks"))
+    m = F.size(F.col("toks")) - 1
+    grams = pretok.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("toks"), 1, m), F.slice(F.col("toks"), 2, m)
+            )
+        ).alias("_z"),
+    ).select(
+        "doc_id",
+        "source",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(" ", F.col("_z.0"), F.col("_z.1"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _DSIR_BUCKETS
+        ).alias("f"),
+    )
+    counts = grams.groupBy("doc_id", "source", "f").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    lr = dsir_log_ratio_table(counts)
+    prod_rows = {
+        r["doc_id"]: r
+        for r in text_dsir_weights(spark, SF_DIR, lr_table=lr).collect()
+    }
+    assert set(prod_rows) == set(self_rows)
+    for k, r in self_rows.items():
+        assert prod_rows[k]["n_bigrams"] == r["n_bigrams"], k
+        assert prod_rows[k]["dsir_logratio"] == r["dsir_logratio"], k
