@@ -37,148 +37,103 @@ def entry(spark: SparkSession) -> DataFrame:
 # redundant TPC-H pattern variants demoted past the cutoff and every
 # rows-only (no-oracle) query kept out of the gated window.
 _GATE_ORDER = [
+    # r10 rotation — the ledger-closing round (VERDICT r9 #4 asked
+    # 28 -> <=20; this rotation retires the never-gated ledger to its
+    # floor): ALL 22 remaining oracle-backed never-gated queries enter
+    # the window, each verified hash-green at sf0.01 via
+    # scripts/check_oracle.py this session before entering (the
+    # standing norm). After this round the only never-gated entries
+    # are the six rows-only-by-design queries, which CANNOT gate (the
+    # window admits oracle-backed queries only). Banked to make room —
+    # every one green in >= 2 gated rounds and all staying under the
+    # continuous sf0.001 oracle sweep (tests/test_oracle_full.py):
+    # dag_sql_priority_topk, text_quality_score, text_bigram_surprisal,
+    # text_filter_funnel, corpus_bigram_coverage, text_fingerprint,
+    # text_top_terms, dedup_ngram_jaccard, dedup_cluster_stats,
+    # dedup_keep_representatives, embedding_near_dup_stats,
+    # kmeans_embedding_clusters, stream_sliding_counts,
+    # multimodal_media_stats, agg_rollup_flag_status,
+    # agg_quantity_price_stats, text_boilerplate_chunks,
+    # graph_pagerank_bipartite, pack_token_budget_batches,
+    # text_bm25_topk, link_fuzzy_part_names, text_decontaminate_filter.
+    #
     # DAG engine (fit/transform through the scheduler)
     "dag_pipeline_priority_revenue",
     "dag_ml_standard_scaler",
-    "dag_sql_priority_topk",
-    # Text analysis (r7 rotation: text_token_stats / text_language_id /
-    # text_chunk_sequences banked green r1-r6 and rotated out; the
-    # r8-changed distinct-bigram surprisal stays for driver-level
-    # proof; r8 rotates in the three r7-new corpus ops — gated for the
-    # first time — plus the two OLDEST never-gated text queries)
-    "text_quality_score",
-    "text_bigram_surprisal",
-    "text_filter_funnel",
-    "corpus_bigram_coverage",
-    "text_fingerprint",
-    "text_top_terms",
-    # r9 NEW ops, gated in their debut round (verified hash-green at
-    # sf0.01 via scripts/check_oracle.py first, the standing norm):
-    # DSIR importance weights and per-doc shingle novelty. Displaced
-    # to make room: events_json_extract and join_salted_nation_volume,
-    # both green in every gated round they appeared in and under the
-    # continuous sf0.001 sweep (skew coverage stays via
-    # agg_salted_returnflag_totals; events scalar coverage via the
-    # three r9-rotated event-series queries).
+    # Text analysis — DSIR/novelty stay for driver-level proof of the
+    # r10 single-scan rewrite; unigram logprob rotates in (never-gated)
     "text_dsir_weights",
     "text_shingle_novelty",
-    # Deduplication (r8: + the r7-new cluster histogram, first gating,
-    # and the never-gated representative-keep variant)
-    "dedup_ngram_jaccard",
+    "text_unigram_logprob",
+    # Corpus statistics (r10: the four never-gated corpus ops)
+    "corpus_idf_top_terms",
+    "corpus_pmi_pairs",
+    "corpus_source_overlap",
+    "corpus_zipf_slope",
+    # Decontamination — the summary-stats half rotates in; the filter
+    # half banks after two green gated rounds
+    "contamination_check",
+    # Deduplication (jaccard/cluster-stats/keep-representatives bank
+    # multi-round green; the LSH + components pins stay, the r9-new
+    # pair ops keep their driver proof)
     "dedup_minhash_lsh",
     "dedup_components",
-    "dedup_cluster_stats",
-    "dedup_keep_representatives",
     "dedup_overlap_pairs",
-    # r9 NEW: near-containment pairs (sub-document inclusion — the
-    # dedup pass Jaccard structurally misses), debut-gated after
-    # sf0.001+sf0.01 hash-green; join_full_outer_daily_activity
-    # (green r7+r8) banks to make room, joins keep the range join
     "dedup_containment_pairs",
-    # r9 rotation: the LSH band-index incremental batch — oldest
-    # never-gated dedup query (verified hash-green at sf0.01 via
-    # scripts/check_oracle.py before rotating in, as always)
     "dedup_incremental_batch",
+    # Sampling / splits (r10: the four never-gated sampling patterns)
     "sample_deterministic_split",
-    # r9: global-shuffle sample rotated in (never-gated; also keeps a
-    # total-order/sort pattern in the window after sort_top15_orders
-    # banks out below)
     "sample_global_shuffle",
-    # Similarity search / embeddings
+    "sample_balanced_per_lang",
+    "sample_kfold_assignment",
+    "sample_source_cap",
+    "sample_weighted_mix",
+    # Similarity search / embeddings (r10: the three never-gated
+    # embedding diagnostics rotate in)
     "ann_cosine_topk",
     "embedding_near_dup_blocked",
-    "embedding_near_dup_stats",
-    # r9: per-label norm stats rotated in (never-gated); knn_label_vote
-    # banked after two green gated rounds
     "embedding_norm_by_label",
-    "kmeans_embedding_clusters",
-    # Structured Streaming (r7: stream_hourly_rollup banked green and
-    # rotated out for the never-gated stream_static_enrich; r8 adds
-    # stream_sliding_counts — the single oldest never-gated query)
+    "embedding_centroid_distances",
+    "embedding_dim_variance",
+    "embedding_int8_quantization",
+    # Structured Streaming
     "stream_incremental_dedup",
-    "stream_sliding_counts",
-    # Multimodal
-    "multimodal_media_stats",
-    # Events (scalar breadth / as-of / Arrow UDF; events_sessionization
-    # banked green r1-r6 and rotated out in r7; r9 rotates in the three
-    # never-gated event-series patterns — MAD anomaly flags, recursive
-    # EWMA, and hourly gap-fill)
+    # Multimodal (media_stats banks green r1-r9; the two never-gated
+    # multimodal audits rotate in)
+    "multimodal_payload_chunks",
+    "multimodal_resize_audit",
+    # Events (r10: the four never-gated event-series patterns join the
+    # r9-rotated trio; MAD stays for driver proof of the r10 grouped-
+    # median rewrite)
     "events_grouped_zscore",
     "events_anomaly_mad",
     "events_ewma_value",
     "events_gapfill_hourly",
-    # Relational: scans, filters, scalar functions (q5 banked green and
-    # rotated out in r7; r8 banked q20/q21; r9 banks q11 — green in
-    # every gated round since r1 — keeping scalar_expressions for
-    # category coverage)
+    "events_asof_tolerance_order",
+    "events_json_typed_agg",
+    "events_transition_matrix",
+    "events_user_mode_arrow",
+    # Relational: scans, filters, scalar functions
     "scalar_expressions",
-    # Data quality (r9: both never-gated DQ patterns rotated in —
-    # the expectations scorecard and the FK orphan anti-join audit)
+    # Data quality
     "dq_lineitem_expectations",
     "dq_orphan_audit",
-    # Joins (r7: semi/anti banked green, rotated out for the
-    # never-gated full-outer and right-outer patterns; r9 banks both
-    # after two green gated rounds — the range join keeps the category)
+    "dq_column_profile",
+    # Joins
     "join_range_parts_in_price_band",
-    # Windows (supplier-balance ranks banked after two green gated
-    # rounds r7/r8)
+    # Windows
     "window_topk_orders_per_customer",
-    # Aggregations (r8: + the oldest never-gated agg pattern)
-    "agg_rollup_flag_status",
+    # Aggregations (r10: the three never-gated agg patterns — exact
+    # percentile invariance, partitioned HLL union, equi-width
+    # histogram; rollup/quantity-stats bank multi-round green)
     "agg_salted_returnflag_totals",
-    "agg_quantity_price_stats",
-    # New in r6 (gated in its first round; swapped for
-    # agg_price_percentiles, which banked hash-green rounds r1-r5 and
-    # stays under the continuous sf0.001 oracle sweep)
-    "text_boilerplate_chunks",
-    # Retained from the r5 rotation: both materially changed in r6
-    # (packing got data-derived partition keys; pagerank is this
-    # round's perf-probe target), so they stay gated for driver-level
-    # proof of the new code
-    "graph_pagerank_bipartite",
-    "pack_token_budget_batches",
-    # r8 rotation: the r6-rotated six (sample_temperature_mix,
-    # corpus_dedup_rate_by_source, dag_export_shard_batches,
-    # q15_top_supplier, events_cdc_snapshot_diff, text_pii_redact)
-    # banked TWO green gated rounds and rotate out, plus q20/q21
-    # (banked green in r7) — all eight swapped for the three r7-new
-    # corpus ops and the five OLDEST never-gated queries (VERDICT r7
-    # #2; ledger 44 -> 36). Everything rotated out stays under the
-    # continuous sf0.001 oracle sweep (tests/test_oracle_full.py).
-    # r9 rotation: eight OLDEST never-gated queries rotated in
-    # (VERDICT r8 #5; each verified hash-green at sf0.01 via
-    # scripts/check_oracle.py first): dedup_incremental_batch,
-    # dq_lineitem_expectations, dq_orphan_audit, events_anomaly_mad,
-    # events_ewma_value, events_gapfill_hourly, embedding_norm_by_label,
-    # sample_global_shuffle — ledger 36 -> 28. Banked to make room,
-    # every one green in >= 2 gated rounds and all staying under the
-    # continuous sf0.001 oracle sweep (tests/test_oracle_full.py):
-    # q11_part_value_concentration, join_right_customer_ordercounts,
-    # window_supplier_balance_ranks, unpivot_revenue_components (green
-    # r7+r8), stream_static_enrich (green r7+r8), knn_label_vote,
-    # stream_stream_join, multimodal_feature_extract — plus
-    # events_json_extract and join_salted_nation_volume for the two
-    # r9-NEW debut-gated ops above (salted-skew coverage stays via
-    # agg_salted_returnflag_totals).
+    "agg_approx_percentile_invariant",
+    "agg_hll_partitioned_union",
+    "agg_price_histogram",
     # Set ops + sort/limit (category coverage pinned by
     # tests/test_gate_window.py)
     "setop_except_all_multiset",
     "sort_top15_orders",
-    # Late-r8 rotation: six MORE never-gated queries added the same
-    # round they were written (bm25 / fuzzy linkage / column profile,
-    # plus the overlap join, near-dup histogram and exact-decimal
-    # Lloyd slotted into their categories above). Displaced to make
-    # room, all banked green in every gated round since r1 and under
-    # the continuous sf0.001 sweep: dedup_exact, stream_user_totals,
-    # stream_dedup_keys, q1_pricing_summary (bench headline daily),
-    # events_asof_latest_order (bench headline), multimodal_frame_samples.
-    "text_bm25_topk",
-    "link_fuzzy_part_names",
-    "dq_column_profile",
-    # text_decontaminate_filter (the filter half of contamination_check)
-    # gated in ITS debut too; stream_sessionization (banked green
-    # r1-r7) displaced, streaming keeps four gated entries
-    "text_decontaminate_filter",
 ]
 
 

@@ -23,6 +23,14 @@ import time
 # solo on this 32-cpu box (r8 investigation; see BASELINE.md). Pass
 # probes are compared against this to gate/normalize query timings.
 PROBE_ANCHOR_SEC = 0.34
+# Clean-host anchor for the shuffle-sensitive probe (min-of-2 of the
+# 50M-row repartition(64) aggregate in host_calibration), measured on
+# an idle box in the same session whose minhash sf0.1 wall matched the
+# 4.49s r8 anchored wall (the validity check VERDICT r9 #3 prescribed).
+# None disables the shuffle side of the pass gate (longitudinal-only,
+# the r9 state) — set via SPARK_GRAFT_SHUFFLE_ANCHOR or here once a
+# clean-epoch reading exists.
+SHUFFLE_ANCHOR_SEC: float | None = None
 
 # The headline set: one per operator family, weighted toward the
 # shuffling/joining queries that dominate at scale.
@@ -408,14 +416,42 @@ def main() -> int:
         os.environ.get("SPARK_GRAFT_PROBE_FACTOR", "1.25")
     )
     probe_wait = float(os.environ.get("SPARK_GRAFT_PROBE_WAIT", "300"))
+    # r10 (VERDICT r9 #3): the pass gate now checks BOTH probes — r9's
+    # three same-code self-runs measured 19-20s totals with CLEAN
+    # codegen probes while the shuffle probe read 2.9-3.6s, proving a
+    # shuffle-bandwidth-only degradation mode the compute probe cannot
+    # see. The shuffle side gates only once a clean-epoch anchor
+    # exists (SHUFFLE_ANCHOR_SEC / SPARK_GRAFT_SHUFFLE_ANCHOR);
+    # without one it is recorded longitudinal-only, the r9 behavior.
+    shuffle_anchor_env = os.environ.get("SPARK_GRAFT_SHUFFLE_ANCHOR")
+    shuffle_anchor = (
+        float(shuffle_anchor_env)
+        if shuffle_anchor_env
+        else SHUFFLE_ANCHOR_SEC
+    )
+    shuffle_limit = (
+        shuffle_anchor
+        * float(os.environ.get("SPARK_GRAFT_SHUFFLE_FACTOR", "1.5"))
+        if shuffle_anchor
+        else None
+    )
     pass_spin: list[float] = []
     pass_spark: list[float] = []
+    pass_shuffle: list[float] = []
     probe_attempts: list[list[float]] = []
+    shuffle_attempts: list[list[float]] = []
 
     def _spark_probe() -> float:
         t0 = time.time()
         spark.range(1_000_000_000).selectExpr(
             "sum((id * id) % 1000003)"
+        ).collect()
+        return round(time.time() - t0, 3)
+
+    def _shuffle_probe() -> float:
+        t0 = time.time()
+        spark.range(50_000_000).repartition(64, "id").selectExpr(
+            "sum(id % 97)"
         ).collect()
         return round(time.time() - t0, 3)
 
@@ -426,13 +462,25 @@ def main() -> int:
             acc += i * i
         pass_spin.append(round(time.time() - t0, 3))
         attempts = [_spark_probe()]
+        sh_attempts = [_shuffle_probe()]
         waited_probe = 0.0
-        while attempts[-1] > probe_limit and waited_probe < probe_wait:
+
+        def _dirty() -> bool:
+            if attempts[-1] > probe_limit:
+                return True
+            return bool(
+                shuffle_limit and sh_attempts[-1] > shuffle_limit
+            )
+
+        while _dirty() and waited_probe < probe_wait:
             time.sleep(15.0)
             waited_probe += 15.0
             attempts.append(_spark_probe())
+            sh_attempts.append(_shuffle_probe())
         probe_attempts.append(attempts)
+        shuffle_attempts.append(sh_attempts)
         pass_spark.append(attempts[-1])
+        pass_shuffle.append(sh_attempts[-1])
         for name in HEADLINE:
             fn = qs[name]
             t0 = time.time()
@@ -465,18 +513,38 @@ def main() -> int:
     # the cleanest pass, so the matching probe reading is the MINIMUM
     # pass probe; the anchor constant is documented in BASELINE.md.
     probe_min = min(pass_spark) if pass_spark else None
+    shuffle_min = min(pass_shuffle) if pass_shuffle else None
     # Linear host-speed correction is only meaningful for MILD drift:
     # the probe is embarrassingly parallel codegen while real queries
     # mix shuffle/IO/GC, so on a severely degraded host (r9 measured a
     # 7.49s probe — 22x — while queries inflated only ~2x) the linear
-    # model overcorrects into a flattering number. Beyond 2x the
-    # anchor the honest answer is "not normalizable": emit null and
-    # let the raw value + probe stamps tell the story.
+    # model overcorrects into a flattering number. The band is
+    # TWO-SIDED (VERDICT r9 #7): beyond 2x the anchor the honest
+    # answer is "not normalizable" (emit null, let raw + stamps tell
+    # the story), and below 0.8x the anchor a hot/turbo host would
+    # INFLATE an honest raw number the same way — null there too.
+    # Mixed-pass approximation (ADVICE r9): `total` sums per-query
+    # MINIMA that may come from different passes while probe_min is
+    # the single best pass probe, so queries whose best wall came from
+    # a slower pass are slightly over-corrected; the per-pass-paired
+    # normalization (each pass total against its own probe) lands in
+    # the detail file as value_normalized_per_pass for comparison.
     value_norm = (
         round(total * probe_anchor / probe_min, 3)
-        if probe_min and 0 < probe_min <= 2.0 * probe_anchor
+        if probe_min and 0.8 * probe_anchor <= probe_min <= 2.0 * probe_anchor
         else None
     )
+    pass_totals = [
+        round(sum(runs[name][i] for name in HEADLINE
+                  if i < len(runs[name]) and runs[name][i] >= 0), 3)
+        for i in range(repeats)
+    ]
+    per_pass_norm = [
+        round(pt * probe_anchor / pp, 3)
+        for pt, pp in zip(pass_totals, pass_spark)
+        if pp and 0.8 * probe_anchor <= pp <= 2.0 * probe_anchor
+    ]
+    value_norm_per_pass = min(per_pass_norm) if per_pass_norm else None
     # Diagnostics go to a side file (VERDICT r8 #1: the enriched r8
     # line outgrew the driver's 2000-char tail capture and parsed as
     # null — the driver-facing line below stays compact and is the
@@ -490,9 +558,17 @@ def main() -> int:
         "calibration": calibration,
         "pass_py_spin": pass_spin,
         "pass_spark_range": pass_spark,
+        "pass_spark_shuffle": pass_shuffle,
         "probe_attempts": probe_attempts,
+        "shuffle_attempts": shuffle_attempts,
         "probe_anchor_sec": probe_anchor,
         "probe_retry_limit_sec": round(probe_limit, 3),
+        "shuffle_anchor_sec": shuffle_anchor,
+        "shuffle_retry_limit_sec": (
+            round(shuffle_limit, 3) if shuffle_limit else None
+        ),
+        "pass_totals": pass_totals,
+        "value_normalized_per_pass": value_norm_per_pass,
         "loadavg_1m": round(os.getloadavg()[0], 2),
     }
     try:
@@ -518,6 +594,7 @@ def main() -> int:
                 # named here instead of silently shrinking the metric
                 "failed": failed,
                 "probe_min_sec": probe_min,
+                "shuffle_min_sec": shuffle_min,
                 "detail_file": detail_path,
             }
         )

@@ -15,8 +15,17 @@ degrade mid-flight. This script settles it:
   from the run may be published.
 - every query is probed immediately BEFORE and AFTER its repeats; a
   row whose post-probe exceeds the gate is flagged dirty.
+- r10 (ADVICE r9): the control alone cannot catch a burst that starts
+  AND ends inside one target's repeats, so every target with a known
+  clean-epoch wall is ALSO band-checked against it (like the control),
+  and a row whose repeats diverge beyond DIVERGE_FACTOR gets one extra
+  repeat — a burst inflates one repeat, not all three, so the min
+  recovers; if the row still exceeds its band it is flagged dirty and
+  NOT committed.
 - results merge into SCALING.json only if --commit is passed AND the
-  control lands within --control-band (default 1.25x) of its r8 wall.
+  control lands within --control-band (default 1.25x) of its r8 wall;
+  committed rows get their sf10_dirty / sf10_stale_code marks DELETED
+  (the marks exist precisely to be cleared by a clean restamp).
 
 Usage: python scripts/remeasure_sf10.py [--commit]
 Prints one JSON line; exits 1 if the window was dirty.
@@ -35,16 +44,37 @@ sys.path.insert(0, REPO)
 
 CONTROL = "graph_pagerank_bipartite"
 CONTROL_R8_WALL = 127.588  # SCALING.json r8 sf10_sec, code untouched
+# Clean-epoch expected walls for the band check (r8 rows for the four
+# r9-poisoned/stale queries; bm25's is its own clean r9 row). The
+# jaccard/components walls predate the late-r8 zip-shingle rewrite,
+# which measured neutral-to-faster at sf0.1/sf3.0, and near-dup's
+# predates the r9 norm-precompute verify (40-52% faster at sf3.0) —
+# so current code at these walls x band is a conservative upper bound.
+EXPECTED_WALL = {
+    "dedup_minhash_lsh": 54.7,
+    "stream_incremental_dedup": 33.4,
+    "dedup_ngram_jaccard": 132.3,
+    "dedup_components": 141.9,
+    "text_bm25_topk": 5.99,
+    "embedding_near_dup_blocked": 28.0,
+    # dedup_overlap_pairs: first sf10 point (df_cap=64 contract), no
+    # prior wall — divergence rerun + probes are its only guards
+}
 TARGETS = (
     "dedup_minhash_lsh",
     "stream_incremental_dedup",
     "dedup_ngram_jaccard",
     "dedup_components",
     "text_bm25_topk",
+    # r10: the norm-precompute verify's first clean sf10 point, and the
+    # capped overlap join's first 100x datapoint (VERDICT r9 #1)
+    "embedding_near_dup_blocked",
+    "dedup_overlap_pairs",
 )
 SF_10 = os.path.join(REPO, ".testdata", "sf10")
 ANCHOR_16C = 0.34 * 32 / 16
 GATE = 1.25 * ANCHOR_16C
+DIVERGE_FACTOR = 1.35
 
 
 def main() -> int:
@@ -52,6 +82,7 @@ def main() -> int:
     ap.add_argument("--commit", action="store_true")
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--control-band", type=float, default=1.25)
+    ap.add_argument("--target-band", type=float, default=1.4)
     a = ap.parse_args()
 
     from scripts.bench_scaling import _make_spark
@@ -89,22 +120,43 @@ def main() -> int:
     # minutes on rows that would be discarded anyway
     for name in (CONTROL,) + TARGETS:
         pre = probe()
-        best = float("inf")
+        walls = []
         for _ in range(a.repeats):
             t0 = time.time()
             qs[name](spark, SF_10).write.mode("overwrite").format(
                 "noop"
             ).save()
-            best = min(best, time.time() - t0)
+            walls.append(time.time() - t0)
+        # ADVICE r9: a burst that starts and ends within one target's
+        # repeats leaves clean probes but divergent repeats — take one
+        # extra repeat so the min can recover from a single-burst hit
+        if len(walls) >= 2 and max(walls) > DIVERGE_FACTOR * min(walls):
+            t0 = time.time()
+            qs[name](spark, SF_10).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            walls.append(time.time() - t0)
+        best = min(walls)
         post = probe()
+        expected = EXPECTED_WALL.get(name)
+        band_dirty = bool(
+            expected and best > expected * a.target_band
+        )
         out["rows"][name] = {
             "sf10_sec": round(best, 3),
+            "walls": [round(w, 3) for w in walls],
             "probe_pre": pre,
             "probe_post": post,
-            "dirty": pre > GATE or post > GATE,
+            "expected_wall": expected,
+            "dirty": pre > GATE or post > GATE or band_dirty,
         }
-        print(f"{name:34s} {best:8.3f}s  pre={pre} post={post}",
-              file=sys.stderr)
+        print(
+            f"{name:34s} {best:8.3f}s  walls={[round(w,1) for w in walls]}"
+            f"  pre={pre} post={post}"
+            + (f"  BAND-DIRTY (>{expected}x{a.target_band})"
+               if band_dirty else ""),
+            file=sys.stderr,
+        )
         if name == CONTROL:
             band_ok = best <= CONTROL_R8_WALL * a.control_band
             out["control_ok"] = band_ok
@@ -118,17 +170,18 @@ def main() -> int:
                 spark.stop()
                 return 1
 
-    clean = out["control_ok"] and not any(
+    clean_rows = {
+        name: r for name, r in out["rows"].items()
+        if name != CONTROL and not r["dirty"]
+    }
+    out["window_clean"] = out["control_ok"] and not any(
         r["dirty"] for r in out["rows"].values()
     )
-    out["window_clean"] = clean
-    if a.commit and clean:
+    if a.commit and out["control_ok"] and clean_rows:
         path = os.path.join(REPO, "SCALING.json")
         with open(path) as f:
             data = json.load(f)
-        for name, r in out["rows"].items():
-            if name == CONTROL:
-                continue  # control is evidence, not a row update
+        for name, r in clean_rows.items():
             row = data["queries"].get(name)
             if row and "sf0.1_sec" in row:
                 row["sf10_sec"] = r["sf10_sec"]
@@ -137,12 +190,17 @@ def main() -> int:
                 )
                 row["probe_sf10"] = r["probe_pre"]
                 row["probe_sf10_post"] = r["probe_post"]
+                # a clean restamp clears the poison/stale marks — that
+                # is what the marks exist for
+                for k in ("sf10_dirty", "sf10_dirty_reason",
+                          "sf10_stale_code", "sf10_stale_reason"):
+                    row.pop(k, None)
         with open(path, "w") as f:
             json.dump(data, f, indent=1)
-        out["committed"] = True
+        out["committed"] = sorted(clean_rows)
     print(json.dumps(out))
     spark.stop()
-    return 0 if clean else 1
+    return 0 if out["window_clean"] else 1
 
 
 if __name__ == "__main__":

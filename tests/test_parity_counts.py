@@ -89,3 +89,49 @@ def test_parity_cites_resolve_to_definitions():
                 bad.append(f"{rel}:{lineno} -> {got!r}")
     assert checked >= 40, f"cite regex matched too little ({checked})"
     assert not bad, f"PARITY cites drifted: {bad}"
+
+
+# Core-scaled probe gates per SCALING column: sf0.1/sf1.0 rows ran in
+# the local[32] session (clean anchor 0.34s, gate 1.25x), sf3.0/sf10 in
+# local[16] (anchor 0.68s). VERDICT r9 #6: any row whose probe stamp
+# exceeds its gate must be machine-readably marked dirty so automation
+# can filter poisoned measurements without reading prose notes.
+_PROBE_GATES = {
+    "probe_sf0.1": 0.425,
+    "probe_sf1.0": 0.425,
+    "probe_sf3.0": 0.85,
+    "probe_sf10": 0.85,
+    "probe_sf10_post": 0.85,
+}
+
+
+def test_scaling_rows_over_probe_gate_are_marked_dirty():
+    data = json.load(open(REPO / "SCALING.json"))
+    bad = []
+    for q, row in data["queries"].items():
+        for key, gate in _PROBE_GATES.items():
+            v = row.get(key)
+            col_dirty = row.get(
+                key.replace("probe_", "").replace("_post", "") + "_dirty"
+            )
+            if isinstance(v, (int, float)) and v > gate and not col_dirty:
+                bad.append((q, key, v))
+    assert bad == [], f"probe stamp over gate without dirty mark: {bad}"
+
+
+def test_known_poisoned_sf10_rows_stay_marked_until_restamped():
+    # The r9 sf10 epoch poisoned these two rows mid-flight (row-start
+    # probes read clean; the unchanged-code control proved the window,
+    # SCALING.json:sf10_remeasure_r9). Until a clean-window re-measure
+    # restamps them (which should DELETE the dirty mark alongside the
+    # new probe stamps), they must stay machine-readably flagged so a
+    # reader greping ratio_100x does not take 55.74/30.04 at face value.
+    data = json.load(open(REPO / "SCALING.json"))
+    for q, poisoned_wall in (
+        ("dedup_ngram_jaccard", 346.264),
+        ("dedup_components", 329.644),
+    ):
+        row = data["queries"][q]
+        if abs(row.get("sf10_sec", 0) - poisoned_wall) < 0.01:
+            assert row.get("sf10_dirty") is True, q
+            assert "dirty_reason" in str(sorted(row)), q
