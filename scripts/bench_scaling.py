@@ -85,6 +85,14 @@ QUERIES = (
     "text_dsir_weights",
     "text_shingle_novelty",
     "dedup_containment_pairs",
+    # r10 (VERDICT r9 #5): the r9-gated latecomers — all bounded-output
+    # rows whose absence let the MAD window shape hide for a round
+    "events_anomaly_mad",
+    "events_ewma_value",
+    "events_gapfill_hourly",
+    "dq_lineitem_expectations",
+    "sample_global_shuffle",
+    "embedding_norm_by_label",
 )
 
 # VERDICT r6 #6: every scale row now gets a 30x datapoint (was 12/26)
@@ -130,6 +138,12 @@ SF3_QUERIES = (
     "text_dsir_weights",
     "text_shingle_novelty",
     "dedup_containment_pairs",
+    "events_anomaly_mad",
+    "events_ewma_value",
+    "events_gapfill_hourly",
+    "dq_lineitem_expectations",
+    "sample_global_shuffle",
+    "embedding_norm_by_label",
     # ...heaviest (prefix-join + closure) last: even with per-query
     # session recovery, a JVM death costs every later row its warm cache
     "dedup_ngram_jaccard",
@@ -252,6 +266,34 @@ NOTES = {
 }
 
 SF3_DIAGNOSES_RAW = {
+    "events_anomaly_mad": (
+        "r10 rewrite: BOTH medians are grouped partial-merge "
+        "aggregates broadcast back (no Window over the ~5-cardinality "
+        "type key — the pre-r10 shape was one task sorting every row "
+        "of a type); one scan + one group-key shuffle."
+    ),
+    "events_ewma_value": (
+        "8 codegen lag taps on the user_id exchange approximate the "
+        "recursion with alpha^8 < 1e-5 truncation error; no Python, "
+        "no per-user iteration."
+    ),
+    "events_gapfill_hourly": (
+        "grid = event types x a broadcast 1-row bounds aggregate; the "
+        "fill window runs over HOURLY grid rows (grid-sized, not "
+        "event-sized) per type."
+    ),
+    "dq_lineitem_expectations": (
+        "one fact scan, conditional-sum scorecard; reduce side is "
+        "|rules|-bounded."
+    ),
+    "sample_global_shuffle": (
+        "content-hash shard coordinates; per-shard row_number windows "
+        "sort shard-sized runs — no global sort."
+    ),
+    "embedding_norm_by_label": (
+        "per-vector norm in codegen, then a |labels|-bounded "
+        "aggregate."
+    ),
     "q1_pricing_summary": (
         "single map-side-partial aggregate over the fact scan; 6-group "
         "reduce side is constant-size."
