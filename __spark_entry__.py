@@ -57,9 +57,15 @@ _GATE_ORDER = [
     # graph_pagerank_bipartite, pack_token_budget_batches,
     # text_bm25_topk, link_fuzzy_part_names, text_decontaminate_filter.
     #
+    # r10 NEW op, gated in its debut round per the standing norm
+    # (hash-green at sf0.001 + sf0.01 via scripts/check_oracle.py
+    # first): SemDeDup semantic dedup. dag_ml_standard_scaler (green
+    # r1-r9) banks to make room; EstimatorNode fit/transform coverage
+    # stays under tests/test_dag.py + the continuous sf0.001 sweep.
+    #
     # DAG engine (fit/transform through the scheduler)
     "dag_pipeline_priority_revenue",
-    "dag_ml_standard_scaler",
+    "dedup_semantic_clusters",
     # Text analysis — DSIR/novelty stay for driver-level proof of the
     # r10 single-scan rewrite; unigram logprob rotates in (never-gated)
     "text_dsir_weights",

@@ -773,16 +773,21 @@ def _km_oracle() -> str:
     ), aF AS (
         SELECT vec_id, cid, d FROM dF
         QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1
-    )
-    SELECT CAST(cid AS INT) AS cid,
-           CAST(COUNT(*) AS BIGINT) AS n_members,
-           ROUND(CAST(SUM(d) AS DOUBLE), 4) AS inertia
-    FROM aF GROUP BY cid ORDER BY cid"""
+    )"""
     )
     return "".join(ctes)
 
 
-_KM_ORACLE = _km_oracle()
+# shared unrolled-Lloyd prefix (through the final assignment aF):
+# the k-means summary and the SemDeDup query append different tails,
+# so the two oracles cannot drift apart on the clustering itself
+_KM_CTES = _km_oracle()
+
+_KM_ORACLE = _KM_CTES + """
+    SELECT CAST(cid AS INT) AS cid,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           ROUND(CAST(SUM(d) AS DOUBLE), 4) AS inertia
+    FROM aF GROUP BY cid ORDER BY cid"""
 
 
 def _km_dist(cent: list[float]):
@@ -820,40 +825,25 @@ def _km_assign(df: DataFrame, cents: list[list[float]]) -> DataFrame:
     )
 
 
-@register("kmeans_embedding_clusters", oracle=_KM_ORACLE)
-def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lloyd's k-means over the embedding corpus (k=8, 3 exact
-    iterations, seeds = the k lowest vec_ids): per-cluster member
-    counts and inertia — the clustering pre-step for diversity-aware
-    sampling of training corpora.
-
-    Scale shape — the textbook Spark Lloyd iteration:
-
-    - the model (k·d = 512 doubles) moves, the data does not: each
-      iteration's assignment is a map-only pass with centroids inlined
-      as literal arrays, and the update is ONE shuffle of k keys with
-      map-side partial aggregation (64 exact DECIMAL(18,6) component
-      sums + a count per cluster), so reduce-side traffic is
-      |partitions|·k rows regardless of corpus size;
-    - the per-iteration ``collect()`` is ≤ k rows of 64 sums — the
-      bounded-aggregate law (cluster-width bound, never corpus bound);
-    - the quantized projection is persisted across the three
-      iterations and released before the final assignment, whose
-      returned plan rebuilds from the parquet scan (no cache leak into
-      the long-lived gate session).
-
-    Determinism: every distance and component sum is exact decimal
-    arithmetic over 6-dp-quantized components (see the module note),
-    so results are partition-invariant and the unrolled-SQL oracle is
-    exact — no convergence tolerance anywhere."""
+def _km_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, v) with components 6-dp-quantized — the exactness
+    precondition for the decimal distance arithmetic (module note)."""
     emb = load(spark, sf_dir, "embeddings")
-    vec = emb.select(
+    return emb.select(
         "vec_id",
         F.transform(
             F.col("embedding").cast("array<double>"),
             lambda x: F.round(x, 6),
         ).alias("v"),
     )
+
+
+def _km_fit(vec: DataFrame) -> list[list[float]]:
+    """The exact-decimal Lloyd loop (seeds = k lowest vec_ids,
+    _KM_ITERS rounds): per-iteration traffic is one k-key shuffle of
+    map-side decimal partials and a <= k-row collect — the bounded-
+    aggregate law. Shared by the k-means summary query and the
+    SemDeDup clustering front half."""
     cents = [
         list(r["v"]) for r in vec.orderBy("vec_id").limit(_KM_K).collect()
     ]
@@ -884,12 +874,222 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             cents = [new.get(j, c) for j, c in enumerate(cents)]
     finally:
         work.unpersist()
+    return cents
+
+
+@register("kmeans_embedding_clusters", oracle=_KM_ORACLE)
+def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means over the embedding corpus (k=8, 3 exact
+    iterations, seeds = the k lowest vec_ids): per-cluster member
+    counts and inertia — the clustering pre-step for diversity-aware
+    sampling of training corpora.
+
+    Scale shape — the textbook Spark Lloyd iteration:
+
+    - the model (k·d = 512 doubles) moves, the data does not: each
+      iteration's assignment is a map-only pass with centroids inlined
+      as literal arrays, and the update is ONE shuffle of k keys with
+      map-side partial aggregation (64 exact DECIMAL(18,6) component
+      sums + a count per cluster), so reduce-side traffic is
+      |partitions|·k rows regardless of corpus size;
+    - the per-iteration ``collect()`` is ≤ k rows of 64 sums — the
+      bounded-aggregate law (cluster-width bound, never corpus bound);
+    - the quantized projection is persisted across the three
+      iterations and released before the final assignment, whose
+      returned plan rebuilds from the parquet scan (no cache leak into
+      the long-lived gate session).
+
+    Determinism: every distance and component sum is exact decimal
+    arithmetic over 6-dp-quantized components (see the module note),
+    so results are partition-invariant and the unrolled-SQL oracle is
+    exact — no convergence tolerance anywhere."""
+    vec = _km_quantized(spark, sf_dir)
+    cents = _km_fit(vec)
     return (
         _km_assign(vec, cents)
         .groupBy("cid")
         .agg(
             F.count(F.lit(1)).alias("n_members"),
             F.round(F.sum("d").cast("double"), 4).alias("inertia"),
+        )
+        .orderBy("cid")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (r10): semantic deduplication — Abbas et al. 2023,
+# "SemDeDup: Data-efficient learning at web-scale through semantic
+# deduplication". Cluster the embedding space, then drop near-identical
+# members WITHIN each cluster: the published recipe for pruning
+# semantically redundant training data that lexical dedup (MinHash,
+# n-gram Jaccard) structurally misses — paraphrases, translations,
+# re-renders of the same content.
+_SEM_ID_BUCKET = 256
+_SEM_WINDOW = 16
+_SEM_TAU = 0.4
+
+_SEM_ORACLE = _KM_CTES + f"""
+    , m AS (
+        SELECT vec_id, cid, vec_id // {_SEM_ID_BUCKET} AS bkt,
+               ROW_NUMBER() OVER (
+                   PARTITION BY cid, vec_id // {_SEM_ID_BUCKET}
+                   ORDER BY vec_id
+               ) AS rn
+        FROM aF
+    ), ss AS (
+        SELECT vec_id, SUM(CAST(x * x AS DECIMAL(20,12))) AS ss
+        FROM v GROUP BY vec_id
+    ), prs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.cid
+        FROM m a JOIN m b
+          ON a.cid = b.cid AND a.bkt = b.bkt
+         AND b.rn > a.rn AND b.rn <= a.rn + {_SEM_WINDOW}
+    ), dots AS (
+        SELECT p.vec_a, p.vec_b, p.cid,
+               SUM(CAST(va.x * vb.x AS DECIMAL(20,12))) AS dot
+        FROM prs p
+        JOIN v va ON va.vec_id = p.vec_a
+        JOIN v vb ON vb.vec_id = p.vec_b AND vb.pos = va.pos
+        GROUP BY 1, 2, 3
+    ), qual AS (
+        SELECT d.cid, d.vec_b
+        FROM dots d
+        JOIN ss sa ON sa.vec_id = d.vec_a
+        JOIN ss sb ON sb.vec_id = d.vec_b
+        WHERE CAST(sa.ss AS DOUBLE) > 0 AND CAST(sb.ss AS DOUBLE) > 0
+          AND ROUND(CAST(d.dot AS DOUBLE)
+                    / sqrt(CAST(sa.ss AS DOUBLE) * CAST(sb.ss AS DOUBLE)),
+                    4) >= {_SEM_TAU}
+    ), drops AS (
+        SELECT cid,
+               COUNT(*) AS n_pairs,
+               COUNT(DISTINCT vec_b) AS n_dropped
+        FROM qual GROUP BY cid
+    )
+    SELECT CAST(f.cid AS INT) AS cid,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(COALESCE(MAX(d.n_pairs), 0) AS BIGINT) AS n_pairs,
+           CAST(COALESCE(MAX(d.n_dropped), 0) AS BIGINT) AS n_dropped,
+           ROUND(CAST(COALESCE(MAX(d.n_dropped), 0) AS DOUBLE)
+                 / COUNT(*), 4) AS drop_rate
+    FROM aF f LEFT JOIN drops d ON d.cid = f.cid
+    GROUP BY f.cid
+    ORDER BY f.cid"""
+
+
+@register("dedup_semantic_clusters", oracle=_SEM_ORACLE)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means the embedding corpus,
+    then inside each cluster mark members whose cosine similarity to
+    an earlier member reaches ``_SEM_TAU`` as semantic duplicates —
+    the published recipe for pruning paraphrase-level redundancy that
+    lexical dedup cannot see. Output is the per-cluster prune report
+    (members, qualifying pairs, dropped count, drop rate); the keeper
+    is the lowest-id member of each similar pair (deterministic
+    representative, same convention as ``dedup_keep_representatives``).
+
+    Scale shape, term by term:
+
+    - clustering is the shared exact-decimal Lloyd (:func:`_km_fit`):
+      per iteration one k-key shuffle of map-side decimal partials
+      and a <= k-row collect; assignment is map-only with the k·d
+      model inlined as literals. The demo k=8 is gate-sized —
+      production SemDeDup scales k with corpus (k ~ N / target
+      cluster size), which changes ONLY the literal count.
+    - the within-cluster ranking partitions by (cid, vec_id div
+      ``_SEM_ID_BUCKET``) — a composite key whose cardinality grows
+      with the corpus, NOT by bare cid (a per-cid window would be the
+      events_anomaly_mad single-task sort shape the r9 verdict
+      flagged; the id-bucket factor caps every window partition at
+      ``_SEM_ID_BUCKET`` rows regardless of cluster size).
+    - each member pairs only with the next ``_SEM_WINDOW`` ranked
+      members of its (cluster, bucket) — candidates are O(N·W) under
+      any skew, the embedding_near_dup_blocked bound. Pairs that
+      straddle bucket boundaries are out of contract (the LSH-banding
+      style recall trade), mirrored exactly in the oracle so the gate
+      is exact.
+    - cosine is computed from exact DECIMAL(20,12) sums of 6-dp
+      component products (the _km_dist discipline): decimal addition
+      is order-free, so dot and norm are partition-invariant and
+      bit-identical across engines — the >= tau comparison CANNOT
+      ulp-flip between Spark and DuckDB, unlike a float-summed dot.
+    - the per-cluster report joins a <= k-row drops aggregate back to
+      member counts: broadcast-sized by construction.
+    """
+    vec = _km_quantized(spark, sf_dir)
+    cents = _km_fit(vec)
+    assigned = _km_assign(vec, cents).select("vec_id", "v", "cid")
+    dec = lambda c: c.cast("decimal(20,12)")  # noqa: E731
+    m = (
+        assigned.withColumn("bkt", F.expr(f"vec_id div {_SEM_ID_BUCKET}"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("cid", "bkt").orderBy("vec_id")
+            ),
+        )
+        .withColumn(
+            "ss",
+            F.aggregate(
+                F.transform("v", lambda x: dec(x * x)),
+                F.lit(0).cast("decimal(24,12)"),
+                lambda acc, t: (acc + t).cast("decimal(24,12)"),
+            ),
+        )
+    )
+    a = m.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
+        F.col("ss").alias("ssa"), "cid", "bkt", F.col("rn").alias("rna"),
+    )
+    b = m.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
+        F.col("ss").alias("ssb"), F.col("cid").alias("cidb"),
+        F.col("bkt").alias("bktb"), F.col("rn").alias("rnb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: dec(x * y)),
+        F.lit(0).cast("decimal(24,12)"),
+        lambda acc, t: (acc + t).cast("decimal(24,12)"),
+    )
+    cos = F.round(
+        dot.cast("double")
+        / F.sqrt(F.col("ssa").cast("double") * F.col("ssb").cast("double")),
+        4,
+    )
+    qual = (
+        a.join(
+            b,
+            (F.col("cid") == F.col("cidb"))
+            & (F.col("bkt") == F.col("bktb"))
+            & (F.col("rnb") > F.col("rna"))
+            & (F.col("rnb") <= F.col("rna") + _SEM_WINDOW),
+        )
+        .filter(
+            (F.col("ssa").cast("double") > 0)
+            & (F.col("ssb").cast("double") > 0)
+        )
+        .select("cid", "vec_b", cos.alias("cos"))
+        .filter(F.col("cos") >= _SEM_TAU)
+    )
+    drops = qual.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("vec_b").alias("n_dropped"),
+    )
+    members = assigned.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return (
+        members.join(F.broadcast(drops), "cid", "left")
+        .select(
+            F.col("cid").cast("int").alias("cid"),
+            "n_members",
+            F.coalesce(F.col("n_pairs"), F.lit(0)).alias("n_pairs"),
+            F.coalesce(F.col("n_dropped"), F.lit(0)).alias("n_dropped"),
+            F.round(
+                F.coalesce(F.col("n_dropped"), F.lit(0)).cast("double")
+                / F.col("n_members"),
+                4,
+            ).alias("drop_rate"),
         )
         .orderBy("cid")
     )

@@ -93,6 +93,8 @@ QUERIES = (
     "dq_lineitem_expectations",
     "sample_global_shuffle",
     "embedding_norm_by_label",
+    # r10 new op: SemDeDup (clustered semantic dedup)
+    "dedup_semantic_clusters",
 )
 
 # VERDICT r6 #6: every scale row now gets a 30x datapoint (was 12/26)
@@ -144,6 +146,7 @@ SF3_QUERIES = (
     "dq_lineitem_expectations",
     "sample_global_shuffle",
     "embedding_norm_by_label",
+    "dedup_semantic_clusters",
     # ...heaviest (prefix-join + closure) last: even with per-query
     # session recovery, a JVM death costs every later row its warm cache
     "dedup_ngram_jaccard",
@@ -266,6 +269,13 @@ NOTES = {
 }
 
 SF3_DIAGNOSES_RAW = {
+    "dedup_semantic_clusters": (
+        "Lloyd front half is the kmeans row's shape (k-key shuffles, "
+        "<=k-row collects); the within-cluster pass ranks on the "
+        "(cid, id-bucket) composite key (windows capped at 256 rows), "
+        "pairs O(N*W), decimal dots in codegen; report join is "
+        "broadcast <=k rows."
+    ),
     "events_anomaly_mad": (
         "r10 rewrite: BOTH medians are grouped partial-merge "
         "aggregates broadcast back (no Window over the ~5-cardinality "

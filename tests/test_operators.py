@@ -1042,3 +1042,22 @@ def test_overlap_and_containment_reject_bad_params(spark):
         containment_pairs(rows, "doc_id", "elem", 1, 0.0)
     with _pytest.raises(ValueError, match="df_cap"):
         containment_pairs(rows, "doc_id", "elem", 1, 0.5, df_cap=0)
+
+
+def test_semdedup_partition_invariant(spark):
+    # the SemDeDup contract leans on exact decimal sums (assignment
+    # distances, dot products, norms) being order-free: the per-cluster
+    # report must be identical under different shuffle parallelism
+    from mldag_spark.queries import REGISTRY
+
+    fn = REGISTRY["dedup_semantic_clusters"]
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        a = sorted(map(tuple, fn(spark, "/root/testdata/sf0.001").collect()))
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        b = sorted(map(tuple, fn(spark, "/root/testdata/sf0.001").collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert a == b
+    assert sum(r[1] for r in a) > 0  # members counted

@@ -497,3 +497,15 @@ def test_dsir_explode_runs_once_and_lr_table_path_is_identical(
     for k, r in self_rows.items():
         assert prod_rows[k]["n_bigrams"] == r["n_bigrams"], k
         assert prod_rows[k]["dsir_logratio"] == r["dsir_logratio"], k
+
+
+def test_semdedup_window_key_is_composite_and_no_cartesian(spark, registry):
+    # dedup_semantic_clusters ranks within (cid, vec_id div 256), never
+    # bare cid — a per-cid window with demo k=8 would be the
+    # events_anomaly_mad single-task sort shape. The plan must show the
+    # composite partition key, no CartesianProduct, and no broadcast of
+    # corpus-sized vector data (the pair join is key-equi on the same
+    # exchange the window rides).
+    plan = _plan(registry["dedup_semantic_clusters"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "windowspecdefinition(cid" in plan and "bkt" in plan, plan
