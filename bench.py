@@ -28,9 +28,13 @@ PROBE_ANCHOR_SEC = 0.34
 # an idle box in the same session whose minhash sf0.1 wall matched the
 # 4.49s r8 anchored wall (the validity check VERDICT r9 #3 prescribed).
 # None disables the shuffle side of the pass gate (longitudinal-only,
-# the r9 state) — set via SPARK_GRAFT_SHUFFLE_ANCHOR or here once a
-# clean-epoch reading exists.
-SHUFFLE_ANCHOR_SEC: float | None = None
+# the r9 state). r10: anchored at 2.0s — an idle-host session whose
+# codegen probe read 0.265-0.34 (== the clean anchor) and whose
+# minhash sf0.1 wall read 3.15s (<= the 4.49s r8 anchored wall, the
+# prescribed validity check) measured the 50M-row probe at 1.98-2.54s
+# across 9 runs (min 1.978). The r9 degraded-epoch readings were
+# 2.9-7.2s, so the 1.5x gate (3.0s) separates the two populations.
+SHUFFLE_ANCHOR_SEC: float | None = 2.0
 
 # The headline set: one per operator family, weighted toward the
 # shuffling/joining queries that dominate at scale.

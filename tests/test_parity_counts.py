@@ -38,7 +38,9 @@ def test_parity_registry_count_matches_code():
 
 def _computed_never_gated() -> set[str]:
     ever = set(list(entrymod.queries())[:50])
-    for f in glob.glob(str(REPO / "CORRECTNESS_r0*.json")):
+    # r*.json, not r0*.json — the glob must keep matching from round
+    # 10 onward or rotated-out queries would wrongly re-enter the ledger
+    for f in glob.glob(str(REPO / "CORRECTNESS_r*.json")):
         ever |= set(json.load(open(f)))
     return set(REGISTRY) - ever
 
