@@ -105,13 +105,17 @@ _GATE_ORDER = [
     # Structured Streaming
     "stream_incremental_dedup",
     # Multimodal (media_stats banks green r1-r9; the two never-gated
-    # multimodal audits rotate in)
+    # multimodal audits rotate in, plus the r10-NEW real-codec WAV
+    # round-trip, debut-gated per the standing norm —
+    # events_grouped_zscore banks after nine green gated rounds to
+    # make room; grouped-zscore coverage stays under the continuous
+    # sf0.001 sweep and its Arrow twin's pytest pins)
     "multimodal_payload_chunks",
     "multimodal_resize_audit",
+    "multimodal_audio_decode",
     # Events (r10: the four never-gated event-series patterns join the
     # r9-rotated trio; MAD stays for driver proof of the r10 grouped-
     # median rewrite)
-    "events_grouped_zscore",
     "events_anomaly_mad",
     "events_ewma_value",
     "events_gapfill_hourly",

@@ -59,7 +59,10 @@ def test_gate_window_covers_all_categories():
     assert any_with("setop_")         # set operations
     assert any_with(["sort_top15_orders"])  # sort/limit
     assert any_with(["scalar_expressions"])  # projection/scalar fns
-    assert any_with(["events_grouped_zscore"])  # grouped z-score (JVM window plan)
+    # r10: events_grouped_zscore banked after nine green gated rounds;
+    # the events category is carried by the seven entries below and the
+    # real-codec audio decode joined the multimodal block
+    assert "multimodal_audio_decode" in window
     # scalar/event-series breadth (r9: events_json_extract banked after
     # eight green gated rounds; the three r9-rotated event-series
     # queries carry the events category)
