@@ -93,8 +93,9 @@ QUERIES = (
     "dq_lineitem_expectations",
     "sample_global_shuffle",
     "embedding_norm_by_label",
-    # r10 new op: SemDeDup (clustered semantic dedup)
+    # r10 new ops: SemDeDup + the real-codec WAV round-trip
     "dedup_semantic_clusters",
+    "multimodal_audio_decode",
 )
 
 # VERDICT r6 #6: every scale row now gets a 30x datapoint (was 12/26)
@@ -147,6 +148,7 @@ SF3_QUERIES = (
     "sample_global_shuffle",
     "embedding_norm_by_label",
     "dedup_semantic_clusters",
+    "multimodal_audio_decode",
     # ...heaviest (prefix-join + closure) last: even with per-query
     # session recovery, a JVM death costs every later row its warm cache
     "dedup_ngram_jaccard",
@@ -269,6 +271,11 @@ NOTES = {
 }
 
 SF3_DIAGNOSES_RAW = {
+    "multimodal_audio_decode": (
+        "one Arrow mapInPandas pass, no shuffle; per-row cost is the "
+        "wave encode+parse of a bounded (<=500-frame) container, so "
+        "wall rides row count linearly."
+    ),
     "dedup_semantic_clusters": (
         "Lloyd front half is the kmeans row's shape (k-key shuffles, "
         "<=k-row collects); the within-cluster pass ranks on the "
