@@ -82,7 +82,7 @@ TARGETS = (
     # capped overlap join's first 100x datapoint (VERDICT r9 #1)
     "embedding_near_dup_blocked",
     "dedup_overlap_pairs",
-)
+)  # subset via --targets
 SF_10 = os.path.join(REPO, ".testdata", "sf10")
 ANCHOR_16C = 0.34 * 32 / 16
 GATE = 1.25 * ANCHOR_16C
@@ -98,7 +98,17 @@ def main() -> int:
     ap.add_argument("--shuffle-anchor", type=float, default=None,
                     help="16-core 50M shuffle probe clean anchor; "
                     "unset = record-only")
+    ap.add_argument("--targets", default="",
+                    help="comma-separated subset of TARGETS to run")
     a = ap.parse_args()
+    global TARGETS
+    if a.targets:
+        picked = tuple(n for n in a.targets.split(",") if n)
+        unknown = set(picked) - set(TARGETS)
+        if unknown:
+            print(f"unknown targets: {sorted(unknown)}", file=sys.stderr)
+            return 2
+        TARGETS = picked
 
     from scripts.bench_scaling import _make_spark, SF_3 as SF3_DIR
 
@@ -125,11 +135,21 @@ def main() -> int:
 
     def control_wall() -> float:
         spark.catalog.clearCache()
-        t0 = time.time()
-        qs[CONTROL](spark, SF3_DIR).write.mode("overwrite").format(
-            "noop"
-        ).save()
-        return round(time.time() - t0, 3)
+        # the 37.4s clean wall was measured in the sf3.0 session (64
+        # shuffle partitions); this session runs 640 for the sf10
+        # targets, and pagerank's ~25 iterative stages pay the task
+        # overhead 10x over — measured 75.6s on a probe-clean host, a
+        # 2x FALSE dirty. Pin the control to its own geometry.
+        old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "64")
+        try:
+            t0 = time.time()
+            qs[CONTROL](spark, SF3_DIR).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            return round(time.time() - t0, 3)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old_sp)
 
     def validate() -> dict:
         """Cheap window check: codegen probe (retry up to 90s), the
@@ -204,7 +224,15 @@ def main() -> int:
         post_v = validate()
         expected = EXPECTED_WALL.get(name)
         band_dirty = bool(expected and best > expected * a.target_band)
-        dirty = band_dirty or not post_v["ok"]
+        # a dirty POST flank cannot invalidate a wall that beats the
+        # clean-epoch expectation: host bursts only INFLATE walls, so
+        # best <= expected is a valid (conservative) upper bound even
+        # if the window degraded right after — r10e discarded a 26.2s
+        # stream wall (clean expectation 33.4) on exactly this
+        # asymmetry. Rows WITHOUT an expectation still need both
+        # flanks clean.
+        beats_clean = bool(expected and best <= expected)
+        dirty = band_dirty or (not post_v["ok"] and not beats_clean)
         out["rows"][name] = {
             "sf10_sec": round(best, 3),
             "walls": [round(w, 3) for w in walls],
