@@ -96,6 +96,9 @@ QUERIES = (
     # r10 new ops: SemDeDup + the real-codec WAV round-trip
     "dedup_semantic_clusters",
     "multimodal_audio_decode",
+    # r11 (VERDICT r10 #1): the range join, now a bucketed band
+    # equi-join with a non-vacuous band — first-ever scale row
+    "join_range_parts_in_price_band",
 )
 
 # VERDICT r6 #6: every scale row now gets a 30x datapoint (was 12/26)
@@ -149,6 +152,7 @@ SF3_QUERIES = (
     "embedding_norm_by_label",
     "dedup_semantic_clusters",
     "multimodal_audio_decode",
+    "join_range_parts_in_price_band",
     # ...heaviest (prefix-join + closure) last: even with per-query
     # session recovery, a JVM death costs every later row its warm cache
     "dedup_ngram_jaccard",

@@ -417,6 +417,25 @@ def test_kmeans_is_map_only_plus_one_bounded_shuffle(spark, registry):
     assert "label" not in read, read
 
 
+def test_range_join_is_bucketed_equi_not_nested_loop(spark, registry):
+    # the price-band range join once planned as a broadcast
+    # nested-loop join (O(|part|·|supplier|) comparisons — every probe
+    # row scans every build row) AND its band matched 0 rows at every
+    # scale factor, so ten rounds of gate evidence were vacuous
+    # (VERDICT r10 "What's wrong" #1). The rewrite bucketizes both
+    # sides into band-width integer buckets over exact cents and
+    # equi-joins on the bucket key (probe explodes to bucket ±1, exact
+    # band as residual filter): the executed plan must be a hash
+    # equi-join, never a nested loop or cartesian.
+    df = registry["join_range_parts_in_price_band"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    # non-vacuous: the band must actually match rows at test scale
+    assert df.limit(1).count() == 1
+
+
 def test_anomaly_mad_has_no_window_over_group_key(spark, registry):
     # events_anomaly_mad once computed the deviation median with an
     # unbounded `median(...) OVER (PARTITION BY event_type)` — a window
