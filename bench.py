@@ -220,6 +220,163 @@ def bench_shard_write(spark, sf_dir: str, repeats: int) -> dict:
         shutil.rmtree(work, ignore_errors=True)
 
 
+# Same-session code A/B canary (VERDICT r10 #3). The official bench
+# regressed 15.6% in r10 on code that did not change — both runs
+# passed both probe gates, so the two-probe protocol demonstrably
+# admits ~15% cross-round host variance it cannot see. The fix is a
+# ratio, not another probe: check out the PREVIOUS round's code
+# (CANARY_REF, refreshed at round close), import it alongside the
+# current code, and run both versions of a small canary set
+# INTERLEAVED in one Spark session. Host speed hits both versions
+# identically and cancels in the ratio; only the code delta survives.
+# Round-over-round verdicts should read canary_ratio_vs_prev
+# (<1 = current code faster), not raw totals.
+#
+# The canary set must stay pure-JVM (no Python UDFs): Python workers
+# resolve module functions BY NAME, so a prev-code pandas UDF would
+# silently import the current module on the worker. All four below
+# are pinned Python-free by test_plans.
+CANARY = (
+    "q1_pricing_summary",
+    "q10_returned_items",
+    "text_bigram_surprisal",
+    "dedup_minhash_lsh",
+)
+
+
+def _load_prev_registry(workdir: str):
+    """Materialize CANARY_REF via git-archive and import its
+    mldag_spark package, restoring the current package in sys.modules
+    afterwards. The returned callables keep the prev module objects
+    alive through their __globals__, so both versions coexist."""
+    import importlib
+    import subprocess
+    import tarfile
+
+    ref = open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "CANARY_REF")).readline().split()[0]
+    tar_path = os.path.join(workdir, "prev.tar")
+    with open(tar_path, "wb") as f:
+        subprocess.run(
+            ["git", "archive", ref, "mldag_spark"],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            stdout=f, check=True,
+        )
+    with tarfile.open(tar_path) as t:
+        t.extractall(workdir)
+
+    saved = {
+        k: v for k, v in sys.modules.items()
+        if k == "mldag_spark" or k.startswith("mldag_spark.")
+    }
+    for k in saved:
+        del sys.modules[k]
+    sys.path.insert(0, workdir)
+    try:
+        importlib.invalidate_caches()
+        prev_queries = importlib.import_module("mldag_spark.queries")
+        registry = dict(prev_queries.REGISTRY)
+    finally:
+        sys.path.remove(workdir)
+        for k in [
+            m for m in sys.modules
+            if m == "mldag_spark" or m.startswith("mldag_spark.")
+        ]:
+            del sys.modules[k]
+        sys.modules.update(saved)
+        importlib.invalidate_caches()
+    return ref, registry
+
+
+def bench_canary(spark, sf_dir: str, qs_current, repeats: int = 2) -> dict:
+    """Interleaved prev-vs-current timing of CANARY; returns per-query
+    mins for both versions plus the summed ratio."""
+    import shutil
+    import tempfile
+
+    workdir = tempfile.mkdtemp(prefix="bench_canary_")
+    try:
+        ref, prev = _load_prev_registry(workdir)
+        missing = [n for n in CANARY if n not in prev or n not in qs_current]
+        names = [n for n in CANARY if n not in missing]
+
+        def run(fn) -> float:
+            t0 = time.time()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            return round(time.time() - t0, 3)
+
+        # warm both versions at the TIMING sf, twice: an sf0.001-only
+        # warmup left the first timed version paying the parquet
+        # page-cache cold read for both (measured: a spurious 0.75
+        # "speedup" for whichever ran second), and one warm run is not
+        # steady-state on this host (minhash run sequence measured
+        # 20.5 → 6.5 → 3.7 → 3.6 → 3.2 → flat ~2.7)
+        for _ in range(2):
+            for n in names:
+                for fn in (prev[n], qs_current[n]):
+                    try:
+                        fn(spark, sf_dir).write.mode("overwrite").format(
+                            "noop"
+                        ).save()
+                    except Exception:
+                        pass
+
+        # Estimator: ABBA blocks (order flips per block, cancelling
+        # both linear drift and second-run cache advantage) pooled
+        # into a per-version MEDIAN. Two rejected designs, measured on
+        # IDENTICAL code at sf0.1: min-per-version ratios read
+        # 0.78-1.38 per query (a steal burst during one version's min
+        # poisons the quotient) and per-pair ratio medians read
+        # 0.86-1.22 (run-to-run noise is per-RUN, so pair quotients
+        # compound two samples' noise). Pooled medians over
+        # 2·blocks interleaved samples per version reject burst
+        # outliers instead of quotienting them.
+        import statistics
+
+        prev_t: dict[str, list[float]] = {n: [] for n in names}
+        cur_t: dict[str, list[float]] = {n: [] for n in names}
+        for rep in range(max(repeats, 2)):
+            for n in names:
+                a = (prev_t, prev[n])
+                b = (cur_t, qs_current[n])
+                block = [a, b, b, a] if rep % 2 == 0 else [b, a, a, b]
+                for sink, fn in block:
+                    sink[n].append(run(fn))
+        prev_min = {n: min(ts) for n, ts in prev_t.items() if ts}
+        cur_min = {n: min(ts) for n, ts in cur_t.items() if ts}
+        per_query = {
+            n: round(
+                statistics.median(cur_t[n]) / statistics.median(prev_t[n]), 3
+            )
+            for n in names
+            if prev_t[n] and statistics.median(prev_t[n]) > 0
+        }
+        # overall: per-query medians weighted by prev wall — the
+        # number the headline total would move by if every query's
+        # pair ratio held
+        w = sum(prev_min[n] for n in per_query)
+        ratio = (
+            round(
+                sum(per_query[n] * prev_min[n] for n in per_query) / w, 3
+            )
+            if w > 0
+            else None
+        )
+        return {
+            "ref": ref,
+            "queries": list(names),
+            "missing": missing,
+            "prev_min": prev_min,
+            "cur_min": cur_min,
+            "prev_runs": prev_t,
+            "cur_runs": cur_t,
+            "per_query_ratio": per_query,
+            "ratio_vs_prev": ratio,
+        }
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
 def host_calibration(spark) -> dict:
     """Fixed-work host-speed probe, reported in the bench line so
     round-over-round totals are NORMALIZABLE, not just flagged.
@@ -511,6 +668,11 @@ def main() -> int:
     except Exception as e:  # ditto for the shard-export row
         print(f"bench error in shard write: {e}", file=sys.stderr)
         shard_write = {"error": str(e)[:200]}
+    try:
+        canary = bench_canary(spark, sf_dir, qs, repeats=2)
+    except Exception as e:  # canary must never kill the bench line
+        print(f"bench error in canary A/B: {e}", file=sys.stderr)
+        canary = {"error": str(e)[:200]}
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # Probe-normalized total (VERDICT r8 #8): value x (anchor /
     # measured probe). The per-query values are minimums, drawn from
@@ -543,10 +705,17 @@ def main() -> int:
                   if i < len(runs[name]) and runs[name][i] >= 0), 3)
         for i in range(repeats)
     ]
+    # A pass where any headline query errored (-1.0 sentinel) has a
+    # silently smaller total and could win the min below, flattering
+    # the normalized number (ADVICE r10 #4) — exclude such passes.
+    pass_complete = [
+        all(i < len(runs[name]) and runs[name][i] >= 0 for name in HEADLINE)
+        for i in range(repeats)
+    ]
     per_pass_norm = [
         round(pt * probe_anchor / pp, 3)
-        for pt, pp in zip(pass_totals, pass_spark)
-        if pp and 0.8 * probe_anchor <= pp <= 2.0 * probe_anchor
+        for pt, pp, ok in zip(pass_totals, pass_spark, pass_complete)
+        if ok and pp and 0.8 * probe_anchor <= pp <= 2.0 * probe_anchor
     ]
     value_norm_per_pass = min(per_pass_norm) if per_pass_norm else None
     # Diagnostics go to a side file (VERDICT r8 #1: the enriched r8
@@ -558,6 +727,7 @@ def main() -> int:
         "runs": runs,
         "layout": layout,
         "shard_write": shard_write,
+        "canary": canary,
         "load_guard": load_guard,
         "calibration": calibration,
         "pass_py_spin": pass_spin,
@@ -599,6 +769,11 @@ def main() -> int:
                 "failed": failed,
                 "probe_min_sec": probe_min,
                 "shuffle_min_sec": shuffle_min,
+                # same-session code A/B vs CANARY_REF (<1 = this
+                # round's code faster); host speed cancels in the
+                # ratio — compare THIS across rounds, not raw totals
+                "canary_ratio_vs_prev": canary.get("ratio_vs_prev"),
+                "canary_ref": canary.get("ref"),
                 "detail_file": detail_path,
             }
         )

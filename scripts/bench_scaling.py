@@ -768,6 +768,11 @@ def main() -> int:
             t0 = time.time()
             qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
             best = min(best, time.time() - t0)
+        # cache hygiene (the r10 remeasure lesson: leftover caches from
+        # an earlier query OOMed a later localCheckpoint chain): queries
+        # that persist internally (MAD, k-means, pagerank) must not
+        # carry their blocks into the next query's measurement
+        spark.catalog.clearCache()
         return round(best, 3)
 
     warmup(queries_main)

@@ -448,6 +448,15 @@ def test_anomaly_mad_has_no_window_over_group_key(spark, registry):
     assert "Window" not in plan, plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan, plan
+    # r11 (VERDICT r10 #7): the med/mad/final lineage used to scan the
+    # events parquet three times; the persisted 2-column projection
+    # means every pass reads the cache and the formatted plan's
+    # "Scan parquet (id)" references all collapse to ONE node id
+    import re
+
+    scan_ids = set(re.findall(r"Scan parquet\s*\((\d+)\)", plan))
+    assert len(scan_ids) == 1, scan_ids
+    assert "InMemoryTableScan" in plan
 
 
 def test_dsir_explode_runs_once_and_lr_table_path_is_identical(
