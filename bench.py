@@ -305,51 +305,67 @@ def bench_canary(spark, sf_dir: str, qs_current, repeats: int = 2) -> dict:
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             return round(time.time() - t0, 3)
 
-        # warm both versions at the TIMING sf, twice: an sf0.001-only
-        # warmup left the first timed version paying the parquet
-        # page-cache cold read for both (measured: a spurious 0.75
-        # "speedup" for whichever ran second), and one warm run is not
-        # steady-state on this host (minhash run sequence measured
-        # 20.5 → 6.5 → 3.7 → 3.6 → 3.2 → flat ~2.7)
-        for _ in range(2):
+        # Warm both versions at the TIMING sf to STEADY STATE: an
+        # sf0.001-only warmup left the first timed version paying the
+        # parquet page-cache cold read for both (measured: a spurious
+        # 0.75 "speedup" for whichever ran second), and a fixed 2-run
+        # warmup was not steady-state inside the full bench session
+        # (the first in-bench canary ran right after the layout/shard
+        # phases and every query trended 12.7 → 3.1s ACROSS the timed
+        # blocks, biasing pooled medians 20% on identical code).
+        # Steady = the latest interleaved round is within 15% of the
+        # best seen, up to 4 rounds.
+        best_seen = {n: float("inf") for n in names}
+        for _ in range(4):
+            stable = True
             for n in names:
                 for fn in (prev[n], qs_current[n]):
                     try:
-                        fn(spark, sf_dir).write.mode("overwrite").format(
-                            "noop"
-                        ).save()
+                        t = run(fn)
                     except Exception:
-                        pass
+                        continue
+                    if t > best_seen[n] * 1.15:
+                        stable = False
+                    best_seen[n] = min(best_seen[n], t)
+            if stable:
+                break
 
-        # Estimator: ABBA blocks (order flips per block, cancelling
-        # both linear drift and second-run cache advantage) pooled
-        # into a per-version MEDIAN. Two rejected designs, measured on
+        # Estimator: ABBA blocks with PER-BLOCK sum ratios. Within a
+        # block [A,B,B,A] (order flipping per block), a linear session
+        # trend (a, a+d, a+2d, a+3d) contributes 2a+3d to BOTH
+        # versions' sums, so the block ratio sum(B)/sum(A) is exactly
+        # trend-free; the per-query median over blocks then rejects
+        # burst-hit blocks. Three rejected designs, measured on
         # IDENTICAL code at sf0.1: min-per-version ratios read
         # 0.78-1.38 per query (a steal burst during one version's min
-        # poisons the quotient) and per-pair ratio medians read
-        # 0.86-1.22 (run-to-run noise is per-RUN, so pair quotients
-        # compound two samples' noise). Pooled medians over
-        # 2·blocks interleaved samples per version reject burst
-        # outliers instead of quotienting them.
+        # poisons the quotient), per-pair ratio medians read 0.86-1.22
+        # (pair quotients compound two samples' noise), and pooled
+        # per-version medians read 1.21 inside the full bench (biased
+        # by the session trend the block sums cancel).
         import statistics
 
         prev_t: dict[str, list[float]] = {n: [] for n in names}
         cur_t: dict[str, list[float]] = {n: [] for n in names}
+        block_ratios: dict[str, list[float]] = {n: [] for n in names}
         for rep in range(max(repeats, 2)):
             for n in names:
                 a = (prev_t, prev[n])
                 b = (cur_t, qs_current[n])
                 block = [a, b, b, a] if rep % 2 == 0 else [b, a, a, b]
+                walls = []
                 for sink, fn in block:
-                    sink[n].append(run(fn))
+                    t = run(fn)
+                    sink[n].append(t)
+                    walls.append(t)
+                pa = walls[0] + walls[3] if rep % 2 == 0 else walls[1] + walls[2]
+                pb = walls[1] + walls[2] if rep % 2 == 0 else walls[0] + walls[3]
+                if pa > 0:
+                    block_ratios[n].append(round(pb / pa, 3))
         prev_min = {n: min(ts) for n, ts in prev_t.items() if ts}
         cur_min = {n: min(ts) for n, ts in cur_t.items() if ts}
         per_query = {
-            n: round(
-                statistics.median(cur_t[n]) / statistics.median(prev_t[n]), 3
-            )
-            for n in names
-            if prev_t[n] and statistics.median(prev_t[n]) > 0
+            n: round(statistics.median(rs), 3)
+            for n, rs in block_ratios.items() if rs
         }
         # overall: per-query medians weighted by prev wall — the
         # number the headline total would move by if every query's
@@ -370,6 +386,7 @@ def bench_canary(spark, sf_dir: str, qs_current, repeats: int = 2) -> dict:
             "cur_min": cur_min,
             "prev_runs": prev_t,
             "cur_runs": cur_t,
+            "block_ratios": block_ratios,
             "per_query_ratio": per_query,
             "ratio_vs_prev": ratio,
         }
@@ -658,6 +675,14 @@ def main() -> int:
     }
     total = round(sum(t for t in times.values() if t >= 0), 3)
     failed = sorted(name for name, t in times.items() if t < 0)
+    # canary runs IMMEDIATELY after the headline passes, while the
+    # session is steady — running it after the layout/shard phases
+    # measured a 12.7→3.1s recovery trend across the canary blocks
+    try:
+        canary = bench_canary(spark, sf_dir, qs, repeats=3)
+    except Exception as e:  # canary must never kill the bench line
+        print(f"bench error in canary A/B: {e}", file=sys.stderr)
+        canary = {"error": str(e)[:200]}
     try:
         layout = bench_layout(spark, sf_dir, repeats)
     except Exception as e:  # layout pair must never kill the bench line
@@ -668,11 +693,6 @@ def main() -> int:
     except Exception as e:  # ditto for the shard-export row
         print(f"bench error in shard write: {e}", file=sys.stderr)
         shard_write = {"error": str(e)[:200]}
-    try:
-        canary = bench_canary(spark, sf_dir, qs, repeats=2)
-    except Exception as e:  # canary must never kill the bench line
-        print(f"bench error in canary A/B: {e}", file=sys.stderr)
-        canary = {"error": str(e)[:200]}
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # Probe-normalized total (VERDICT r8 #8): value x (anchor /
     # measured probe). The per-query values are minimums, drawn from

@@ -164,7 +164,11 @@ def multimodal_resize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
            TRUE AS ok,
            CAST(1 AS INT) AS channels,
            CAST(8000 AS INT) AS sample_rate,
-           CAST(length(text) % 400 + 100 AS BIGINT) AS n_frames
+           -- strlen = BYTE length with COALESCE, mirroring the
+           -- kernel's len((t or '').encode('utf-8')): char-counting
+           -- length(text) was green only because documents.text is
+           -- ASCII and non-null at every tested sf (ADVICE r10 #1)
+           CAST(strlen(COALESCE(text, '')) % 400 + 100 AS BIGINT) AS n_frames
     FROM documents
     """,
 )

@@ -970,8 +970,12 @@ _SEM_ORACLE = _KM_CTES + f"""
            CAST(COUNT(*) AS BIGINT) AS n_members,
            CAST(COALESCE(MAX(d.n_pairs), 0) AS BIGINT) AS n_pairs,
            CAST(COALESCE(MAX(d.n_dropped), 0) AS BIGINT) AS n_dropped,
-           ROUND(CAST(COALESCE(MAX(d.n_dropped), 0) AS DOUBLE)
-                 / COUNT(*), 4) AS drop_rate
+           -- half-up round at 4dp in EXACT integer arithmetic
+           -- (ADVICE r10 #2: rounding the raw double quotient can
+           -- ulp-flip between engines on exact decimal-5 ties):
+           -- round(n*1e4/m) = (2*n*1e4 + m) // (2*m)
+           CAST((COALESCE(MAX(d.n_dropped), 0) * 20000 + COUNT(*))
+                // (2 * COUNT(*)) AS DOUBLE) / 10000 AS drop_rate
     FROM aF f LEFT JOIN drops d ON d.cid = f.cid
     GROUP BY f.cid
     ORDER BY f.cid"""
@@ -1085,10 +1089,16 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_members",
             F.coalesce(F.col("n_pairs"), F.lit(0)).alias("n_pairs"),
             F.coalesce(F.col("n_dropped"), F.lit(0)).alias("n_dropped"),
-            F.round(
-                F.coalesce(F.col("n_dropped"), F.lit(0)).cast("double")
-                / F.col("n_members"),
-                4,
+            # exact integer half-up at 4dp (mirrors the oracle; the
+            # former ROUND(double quotient) could ulp-flip on ties —
+            # ADVICE r10 #2): round(n*1e4/m) = (2n*1e4 + m) DIV (2m),
+            # all in int64, then one exact int→double conversion
+            (
+                F.expr(
+                    "(COALESCE(n_dropped, 0) * 20000 + n_members) "
+                    "DIV (2 * n_members)"
+                ).cast("double")
+                / 10000
             ).alias("drop_rate"),
         )
         .orderBy("cid")

@@ -248,6 +248,26 @@ def main() -> int:
                if band_dirty else ""),
             file=sys.stderr,
         )
+        # ADVICE r10 #3: a beats_clean commit with a DIRTY post flank
+        # must not stamp probe_sf10_post from the dirty validate —
+        # that writes a probe over the 0.85 gate onto a row with no
+        # dirty mark, tripping the machine-readable invariant
+        # (test_parity_counts) on the row just certified. Re-probe
+        # until the flank clears (bounded), else omit the stamp with
+        # an annotation; the WALL stays valid either way (bursts only
+        # inflate walls, so best <= expected is a conservative bound).
+        post_note = None
+        if a.commit and not dirty and beats_clean and not post_v["ok"]:
+            deadline = time.time() + 600
+            while not post_v["ok"] and time.time() < deadline:
+                time.sleep(60.0)
+                post_v = validate()
+            if not post_v["ok"]:
+                post_note = (
+                    "post flank never cleared after beats-clean wall; "
+                    "probe stamp omitted (wall valid: best <= clean "
+                    "expectation)"
+                )
         if a.commit and not dirty:
             with open(path) as f:
                 data = json.load(f)
@@ -256,7 +276,13 @@ def main() -> int:
                 row["sf10_sec"] = round(best, 3)
                 row["ratio_100x"] = round(best / row["sf0.1_sec"], 2)
                 row["probe_sf10"] = pre_v["probe"]
-                row["probe_sf10_post"] = post_v["probe"]
+                row["probe_sf10_post"] = (
+                    post_v["probe"] if post_v["ok"] else None
+                )
+                if post_note:
+                    row["probe_sf10_post_note"] = post_note
+                elif "probe_sf10_post_note" in row:
+                    row.pop("probe_sf10_post_note")
                 row["shuffle_probe_sf10"] = pre_v["shuffle"]
                 row["control_sf3_flank"] = [
                     pre_v["control_sf3"], post_v["control_sf3"]

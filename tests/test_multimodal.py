@@ -167,3 +167,43 @@ def test_synthesize_wav_parses_back_exactly(spark):
             assert w.getnchannels() == 1
             assert w.getframerate() == 8000
             assert w.getnframes() == len(text.encode()) % 400 + 100
+
+
+def test_audio_decode_length_convention_multibyte_and_null(spark):
+    # ADVICE r10 #1: the kernel counts utf-8 BYTES with a null→''
+    # fallback; the gate oracle must share that convention (strlen +
+    # COALESCE — char-counting length(text) was green only because
+    # documents.text is ASCII and non-null at every tested sf). Pin
+    # both engines on multibyte and NULL text.
+    import duckdb
+
+    from mldag_spark.operators.multimodal import (
+        decode_audio_stats,
+        synthesize_wav,
+    )
+    from mldag_spark.queries import ORACLES
+
+    data = [(1, "héllo wörld"), (2, "日本語のテキスト"), (3, None), (4, "plain")]
+    docs = spark.createDataFrame(data, "doc_id long, text string")
+    out = {
+        r["media_id"]: r["n_frames"]
+        for r in decode_audio_stats(
+            synthesize_wav(docs, "doc_id", "text")
+        ).collect()
+    }
+    for did, text in data:
+        assert out[did] == len((text or "").encode("utf-8")) % 400 + 100
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({d}, {'NULL' if t is None else repr(t)})" for d, t in data
+        )
+        + ") AS v(doc_id, text)"
+    )
+    oracle = {
+        r[0]: r[4]
+        for r in con.execute(ORACLES["multimodal_audio_decode"]).fetchall()
+    }
+    assert oracle == out
