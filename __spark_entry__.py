@@ -81,10 +81,14 @@ _GATE_ORDER = [
     "contamination_check",
     # Deduplication (jaccard/cluster-stats/keep-representatives bank
     # multi-round green; the LSH + components pins stay, the r9-new
-    # pair ops keep their driver proof)
+    # pair ops keep their driver proof). r11: dedup_overlap_pairs
+    # banks after three green gated rounds (r8-r10) to make room for
+    # the r11-NEW substring-level dedup, debut-gated per the standing
+    # norm (hash-green at sf0.001 + sf0.01 via scripts/check_oracle.py
+    # before entering)
     "dedup_minhash_lsh",
     "dedup_components",
-    "dedup_overlap_pairs",
+    "dedup_substring_spans",
     "dedup_containment_pairs",
     "dedup_incremental_batch",
     # Sampling / splits (r10: the four never-gated sampling patterns)

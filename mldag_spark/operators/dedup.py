@@ -942,3 +942,104 @@ def incremental_lsh_pairs(
         threshold,
         rows_right=index_rows,
     )
+
+
+def substring_spans(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    window: int = 50,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Maximal cross-document repeated token spans — the
+    substring-level dedup family (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): long passages
+    repeated ACROSS otherwise-distinct documents (licenses, boilerplate
+    headers, quoted blocks) that document-level exact/fuzzy/semantic
+    dedup cannot see.
+
+    The reference method builds a corpus suffix array — inherently
+    sequential and memory-resident. The Spark-honest shape replaces it
+    with fixed-length rolling windows, turning span discovery into
+    pure aggregates with NO pairwise joins anywhere:
+
+    1. every ``window``-token window per document, map-only (the
+       shingle_rows zip-slice shape, plus positions via posexplode);
+    2. groupBy(window text) → distinct-document count: a window is
+       duplicated iff it appears in >= ``min_docs`` DISTINCT docs
+       (within-doc repeats alone don't qualify);
+    3. equi-join the (doc, pos, window) rows back to the duplicated
+       window set — fan-out = occurrence count, linear in corpus;
+    4. merge runs of consecutive duplicated positions per document
+       into maximal spans with the pos - row_number() grouping trick
+       (the per-doc sort is bounded by document length, never corpus
+       size).
+
+    Exactness contract: a passage of L >= window tokens shared verbatim
+    by >= min_docs documents marks all L-window+1 of its windows, which
+    are consecutive, so the merged span recovers the passage's exact
+    token boundaries. Spans may OVERSHOOT into runs stitched from
+    different partners (window w1 shared with doc A, adjacent w2 with
+    doc B merge into one span) — that is the correct aggressive-removal
+    semantics for training-data cleaning and is pinned by a brute-force
+    test.
+
+    Scale: the window GROUP BY is the only corpus-wide shuffle (keys =
+    window text; a production run at 100 TB swaps the raw text key for
+    ``xxhash64(win, seed)`` pairs — 128 collision-safe bits — shrinking
+    shuffle bytes ~10x; the string form is kept here so the DuckDB
+    oracle can recompute it). The join-back is window-keyed, linear;
+    the span merge shuffles one row per MARKED position only.
+
+    Returns (id, span_start, span_end, span_tokens, n_windows),
+    positions 1-based inclusive on the token array.
+    """
+    if window < 2:
+        raise ValueError("window must be >= 2")
+    if min_docs < 2:
+        raise ValueError("min_docs must be >= 2 (cross-document spans)")
+    from pyspark.sql.window import Window as W
+
+    pre = df.select(F.col(id_col), F.col(token_col).alias("_t")).filter(
+        F.size("_t") >= window
+    )
+    m = F.size("_t") - (window - 1)
+    zipped = F.arrays_zip(
+        *[F.slice("_t", i + 1, m) for i in range(window)]
+    )
+    wins = pre.select(
+        F.col(id_col),
+        F.posexplode(zipped).alias("_p0", "_z"),
+    ).select(
+        F.col(id_col),
+        (F.col("_p0") + 1).alias("pos"),
+        F.concat_ws(
+            " ", *[F.col(f"_z.{i}") for i in range(window)]
+        ).alias("win"),
+    )
+    dup = (
+        wins.groupBy("win")
+        .agg(F.countDistinct(id_col).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("win")
+    )
+    marked = wins.join(dup, "win").select(id_col, "pos")
+    rn = F.row_number().over(W.partitionBy(id_col).orderBy("pos"))
+    return (
+        marked.withColumn("_grp", F.col("pos") - rn)
+        .groupBy(id_col, "_grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + (window - 1)).alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias(
+                "span_tokens"
+            ),
+            "n_windows",
+        )
+    )

@@ -2677,3 +2677,60 @@ def corpus_bigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# substring-level dedup: maximal cross-document repeated token spans
+# ---------------------------------------------------------------------------
+_SUBSTR_W = 20
+
+_SUBSTR_ORACLE = f"""
+    WITH t AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+                   AS toks
+        FROM documents
+    ), wins AS (
+        SELECT doc_id, CAST(i AS INT) AS pos,
+               array_to_string(toks[i:i+{_SUBSTR_W - 1}], ' ') AS win
+        FROM t, LATERAL unnest(range(1, len(toks) - {_SUBSTR_W} + 2)) AS u(i)
+        WHERE len(toks) >= {_SUBSTR_W}
+    ), dup AS (
+        SELECT win FROM wins GROUP BY win HAVING COUNT(DISTINCT doc_id) >= 2
+    ), marked AS (
+        SELECT w.doc_id, w.pos FROM wins w JOIN dup d USING (win)
+    ), runs AS (
+        SELECT doc_id, pos,
+               pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS grp
+        FROM marked
+    )
+    SELECT doc_id,
+           CAST(MIN(pos) AS INT) AS span_start,
+           CAST(MAX(pos) + {_SUBSTR_W - 1} AS INT) AS span_end,
+           CAST(MAX(pos) + {_SUBSTR_W - 1} - MIN(pos) + 1 AS INT)
+               AS span_tokens,
+           COUNT(*) AS n_windows
+    FROM runs GROUP BY doc_id, grp"""
+
+
+@register("dedup_substring_spans", oracle=_SUBSTR_ORACLE)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup (VERDICT r10 #8): maximal token spans
+    repeated verbatim ACROSS distinct documents — the Lee et al. 2022
+    "Deduplicating Training Data..." pass that document-level
+    exact/fuzzy/semantic dedup cannot see (a license block pasted into
+    a thousand otherwise-unique files never trips a document
+    fingerprint). Suffix arrays don't distribute; the Spark-honest
+    shape is fixed-length rolling windows + aggregate-only span
+    merging (``operators.dedup.substring_spans``): window build is
+    map-only, duplication is one groupBy(window), the join-back is
+    window-keyed and linear, and span merging shuffles one row per
+    marked position with a per-document (bounded) sort. W=20 tokens
+    sized to this corpus's 10-99-token documents; production W=50 on
+    the same code path."""
+    d = load(spark, sf_dir, "documents")
+    from mldag_spark.operators.dedup import substring_spans
+
+    pre = d.select("doc_id", tokenize(F.col("text")).alias("toks"))
+    return substring_spans(pre, "doc_id", "toks", window=_SUBSTR_W)

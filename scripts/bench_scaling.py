@@ -99,6 +99,8 @@ QUERIES = (
     # r11 (VERDICT r10 #1): the range join, now a bucketed band
     # equi-join with a non-vacuous band — first-ever scale row
     "join_range_parts_in_price_band",
+    # r11 new op: substring-level dedup (cross-doc repeated spans)
+    "dedup_substring_spans",
 )
 
 # VERDICT r6 #6: every scale row now gets a 30x datapoint (was 12/26)
@@ -153,6 +155,7 @@ SF3_QUERIES = (
     "dedup_semantic_clusters",
     "multimodal_audio_decode",
     "join_range_parts_in_price_band",
+    "dedup_substring_spans",
     # ...heaviest (prefix-join + closure) last: even with per-query
     # session recovery, a JVM death costs every later row its warm cache
     "dedup_ngram_jaccard",

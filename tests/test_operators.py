@@ -1061,3 +1061,117 @@ def test_semdedup_partition_invariant(spark):
         spark.conf.set("spark.sql.shuffle.partitions", old)
     assert a == b
     assert sum(r[1] for r in a) > 0  # members counted
+
+
+# ---------------------------------------------------------------------------
+# substring-level dedup: maximal cross-document repeated spans
+# ---------------------------------------------------------------------------
+def _spans_bruteforce(corpus, window, min_docs=2):
+    """Reference implementation: enumerate every window, mark
+    positions whose window appears in >= min_docs distinct docs, merge
+    consecutive marked positions into maximal spans."""
+    import re
+
+    toks = {
+        d: re.sub(r"\s+", " ", t.lower()).strip().split(" ")
+        for d, t in corpus
+    }
+    owners: dict[str, set] = {}
+    for d, ts in toks.items():
+        for i in range(len(ts) - window + 1):
+            owners.setdefault(" ".join(ts[i: i + window]), set()).add(d)
+    dup = {w for w, s in owners.items() if len(s) >= min_docs}
+    out = set()
+    for d, ts in toks.items():
+        marked = [
+            i + 1
+            for i in range(len(ts) - window + 1)
+            if " ".join(ts[i: i + window]) in dup
+        ]
+        run: list = []
+        for p in marked + [None]:
+            if run and p != run[-1] + 1:
+                out.add(
+                    (d, run[0], run[-1] + window - 1,
+                     run[-1] + window - run[0], len(run))
+                )
+                run = []
+            if p is not None:
+                run.append(p)
+    return out
+
+
+def test_substring_spans_exact_boundaries_and_cross_doc_only(spark):
+    from mldag_spark.functions import tokenize
+    from mldag_spark.operators.dedup import substring_spans
+
+    shared = "the quick brown fox jumps over the lazy dog tonight"  # 10 toks
+    corpus = [
+        (1, f"alpha beta {shared} gamma delta"),
+        (2, f"one two three four {shared} five"),
+        (3, "unrelated text with no repeated passage at all here"),
+        # within-doc repetition only — must NOT qualify (min_docs=2
+        # counts DISTINCT documents)
+        (4, "echo repeat echo repeat echo repeat echo repeat echo repeat"),
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    pre = df.select("doc_id", tokenize(F.col("text")).alias("toks"))
+    got = {
+        tuple(r)
+        for r in substring_spans(
+            pre, "doc_id", "toks", window=5, min_docs=2
+        ).collect()
+    }
+    assert got == _spans_bruteforce(corpus, window=5)
+    # exact boundaries: doc 1 has the shared passage at tokens 3-12
+    assert (1, 3, 12, 10, 6) in got
+    assert not any(d == 3 or d == 4 for d, *_ in got)
+
+
+def test_substring_spans_stitches_different_partners(spark):
+    # window w1 shared with doc B and adjacent w2 shared with doc C
+    # merge into ONE maximal span in doc A — the documented
+    # aggressive-removal semantics
+    from mldag_spark.functions import tokenize
+    from mldag_spark.operators.dedup import substring_spans
+
+    corpus = [
+        (1, "a b c d e f"),   # abc de with 2; cdef with 3 (w=3)
+        (2, "x a b c d y"),   # shares windows (a b c),(b c d)
+        (3, "p c d e f q"),   # shares windows (c d e),(d e f)
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    pre = df.select("doc_id", tokenize(F.col("text")).alias("toks"))
+    got = {
+        tuple(r)
+        for r in substring_spans(
+            pre, "doc_id", "toks", window=3, min_docs=2
+        ).collect()
+    }
+    assert got == _spans_bruteforce(corpus, window=3)
+    # doc 1: every position 1..4 is marked -> one span over all 6 toks
+    assert (1, 1, 6, 6, 4) in got
+
+
+def test_substring_spans_randomized_matches_bruteforce(spark):
+    import random
+
+    from mldag_spark.functions import tokenize
+    from mldag_spark.operators.dedup import substring_spans
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(12)]  # small vocab → real repeats
+    corpus = [
+        (d, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 40))))
+        for d in range(30)
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    pre = df.select("doc_id", tokenize(F.col("text")).alias("toks"))
+    for w in (4, 7):
+        got = {
+            tuple(r)
+            for r in substring_spans(
+                pre, "doc_id", "toks", window=w, min_docs=2
+            ).collect()
+        }
+        assert got == _spans_bruteforce(corpus, window=w), w
