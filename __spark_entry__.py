@@ -66,10 +66,12 @@ _GATE_ORDER = [
     # DAG engine (fit/transform through the scheduler)
     "dag_pipeline_priority_revenue",
     "dedup_semantic_clusters",
-    # Text analysis — DSIR/novelty stay for driver-level proof of the
-    # r10 single-scan rewrite; unigram logprob rotates in (never-gated)
+    # Text analysis — DSIR stays for driver-level proof of the r10
+    # single-scan rewrite; unigram logprob keeps its r10 slot.
+    # r11: text_shingle_novelty banks after two green gated rounds
+    # (r9-r10, sf0.001 sweep continues) to make room for the r11-NEW
+    # real-codec image decode, debut-gated per the standing norm.
     "text_dsir_weights",
-    "text_shingle_novelty",
     "text_unigram_logprob",
     # Corpus statistics (r10: the four never-gated corpus ops)
     "corpus_idf_top_terms",
@@ -117,6 +119,9 @@ _GATE_ORDER = [
     "multimodal_payload_chunks",
     "multimodal_resize_audit",
     "multimodal_audio_decode",
+    # r11 NEW: real stdlib-PNG codec round-trip (encode + spec-correct
+    # parse with CRC checks and all five filter types), debut-gated
+    "multimodal_image_decode",
     # Events (r10: the four never-gated event-series patterns join the
     # r9-rotated trio; MAD stays for driver proof of the r10 grouped-
     # median rewrite)

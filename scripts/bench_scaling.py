@@ -101,6 +101,8 @@ QUERIES = (
     "join_range_parts_in_price_band",
     # r11 new op: substring-level dedup (cross-doc repeated spans)
     "dedup_substring_spans",
+    # r11 new op: real stdlib-PNG codec round-trip
+    "multimodal_image_decode",
 )
 
 # VERDICT r6 #6: every scale row now gets a 30x datapoint (was 12/26)
@@ -156,6 +158,7 @@ SF3_QUERIES = (
     "multimodal_audio_decode",
     "join_range_parts_in_price_band",
     "dedup_substring_spans",
+    "multimodal_image_decode",
     # ...heaviest (prefix-join + closure) last: even with per-query
     # session recovery, a JVM death costs every later row its warm cache
     "dedup_ngram_jaccard",

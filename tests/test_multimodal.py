@@ -207,3 +207,182 @@ def test_audio_decode_length_convention_multibyte_and_null(spark):
         for r in con.execute(ORACLES["multimodal_audio_decode"]).fetchall()
     }
     assert oracle == out
+
+
+# ---------------------------------------------------------------------------
+# REAL image codec (r11): stdlib PNG encode + spec-correct parse
+# ---------------------------------------------------------------------------
+def test_png_roundtrip_exact_pixels():
+    import numpy as np
+
+    from mldag_spark.operators.multimodal import (
+        _png_parse_gray,
+        png_encode_gray,
+    )
+
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 256, size=(23, 37), dtype=np.uint8)
+    w, h, out = _png_parse_gray(png_encode_gray(px))
+    assert (w, h) == (37, 23)
+    assert np.array_equal(out, px)
+
+
+def test_png_parser_reverses_all_five_filter_types():
+    # hand-build a PNG whose five scanlines each use a different filter
+    # type, computing the filtered bytes per the PNG spec from known
+    # pixels — the parser must reconstruct the original image exactly
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from mldag_spark.operators.multimodal import (
+        _PNG_SIG,
+        _png_chunk,
+        _png_parse_gray,
+    )
+
+    rng = np.random.RandomState(3)
+    px = rng.randint(0, 256, size=(5, 16), dtype=np.uint8).astype(int)
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else b if pb <= pc else c
+
+    lines = b""
+    for r, ftype in enumerate((0, 1, 2, 3, 4)):
+        cur = px[r]
+        prior = px[r - 1] if r > 0 else np.zeros(16, dtype=int)
+        filt = []
+        for i in range(16):
+            left = int(cur[i - 1]) if i > 0 else 0
+            up = int(prior[i])
+            ul = int(prior[i - 1]) if i > 0 else 0
+            pred = {
+                0: 0, 1: left, 2: up, 3: (left + up) // 2,
+                4: paeth(left, up, ul),
+            }[ftype]
+            filt.append((int(cur[i]) - pred) & 0xFF)
+        lines += bytes([ftype]) + bytes(filt)
+    ihdr = struct.pack(">IIBBBBB", 16, 5, 8, 0, 0, 0, 0)
+    payload = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(lines))
+        + _png_chunk(b"IEND", b"")
+    )
+    w, h, out = _png_parse_gray(payload)
+    assert (w, h) == (16, 5)
+    assert np.array_equal(out, px.astype(np.uint8))
+
+
+def test_png_parser_rejects_corruption():
+    import numpy as np
+    import pytest as _pytest
+
+    from mldag_spark.operators.multimodal import (
+        _png_parse_gray,
+        png_encode_gray,
+    )
+
+    good = png_encode_gray(np.full((4, 4), 9, dtype=np.uint8))
+    for bad in (
+        b"",                        # empty
+        b"not a png at all",        # wrong signature
+        good[:20],                  # truncated mid-IHDR
+        good[:-6],                  # truncated before IEND CRC
+        good[:30] + bytes([good[30] ^ 0xFF]) + good[31:],  # CRC flip
+    ):
+        with _pytest.raises(ValueError):
+            _png_parse_gray(bad)
+
+
+def test_image_decode_stats_and_corrupt_rows(spark):
+    import numpy as np
+
+    from mldag_spark.operators.multimodal import (
+        decode_image_stats,
+        png_encode_gray,
+        synthesize_png,
+    )
+
+    # constant-byte text → every pixel == that byte; multibyte + NULL
+    # text pin the byte-length convention end to end
+    data = [(1, "aaaa"), (2, "日本語"), (3, None)]
+    docs = spark.createDataFrame(data, "doc_id long, text string")
+    out = {
+        r["media_id"]: r
+        for r in decode_image_stats(
+            synthesize_png(docs, "doc_id", "text"), engine="stdlib"
+        ).collect()
+    }
+    for did, text in data:
+        n = len((text or "").encode("utf-8"))
+        r = out[did]
+        assert r["ok"] and (r["width"], r["height"]) == (
+            n % 64 + 16, n % 48 + 16
+        )
+        assert r["n_pixels"] == r["width"] * r["height"]
+    assert out[1]["px_mean"] == float(ord("a"))
+    assert out[1]["px_min"] == out[1]["px_max"] == ord("a")
+    # brute pixel stats for the multibyte doc: bytes tiled cyclically
+    raw = "日本語".encode("utf-8")
+    w, h = len(raw) % 64 + 16, len(raw) % 48 + 16
+    tiled = np.frombuffer(raw, dtype=np.uint8)[
+        np.arange(w * h) % len(raw)
+    ]
+    assert out[2]["px_mean"] == float(tiled.mean())
+    assert out[2]["px_min"] == int(tiled.min())
+    assert out[2]["px_max"] == int(tiled.max())
+
+    # corrupt payloads surface as ok=false rows, never task failures
+    good = png_encode_gray(np.full((3, 3), 5, dtype=np.uint8))
+    media = spark.createDataFrame(
+        [(10, bytearray(good)), (11, bytearray(good[:-8])),
+         (12, bytearray(b"junk")), (13, None)],
+        "media_id long, payload binary",
+    )
+    rows = {
+        r["media_id"]: r["ok"]
+        for r in decode_image_stats(media, engine="stdlib").collect()
+    }
+    assert rows == {10: True, 11: False, 12: False, 13: False}
+
+
+def test_image_decode_pil_path_agrees_where_available(spark):
+    import importlib.util
+
+    import pytest as _pytest
+
+    if importlib.util.find_spec("PIL") is None:
+        with _pytest.raises(ImportError):
+            from mldag_spark.operators.multimodal import decode_image_stats
+
+            decode_image_stats(
+                spark.createDataFrame(
+                    [(1, bytearray(b""))], "media_id long, payload binary"
+                ),
+                engine="pil",
+            )
+        _pytest.skip("PIL not installed; guarded path verified to raise")
+    import numpy as np
+
+    from mldag_spark.operators.multimodal import (
+        decode_image_stats,
+        png_encode_gray,
+    )
+
+    rng = np.random.RandomState(5)
+    media = spark.createDataFrame(
+        [
+            (i, bytearray(png_encode_gray(
+                rng.randint(0, 256, size=(9, 11), dtype=np.uint8)
+            )))
+            for i in range(4)
+        ],
+        "media_id long, payload binary",
+    )
+    a = sorted(map(tuple, decode_image_stats(media, engine="stdlib").collect()))
+    b = sorted(map(tuple, decode_image_stats(media, engine="pil").collect()))
+    assert a == b
