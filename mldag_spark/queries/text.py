@@ -1064,6 +1064,53 @@ _DSIR_ORACLE = f"""
 """
 
 
+def dsir_feature_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, f, c) hashed-bigram feature counts — the shared
+    front half of :func:`text_dsir_weights` and
+    :func:`dsir_log_ratio_table`. One map-only zip-slice explode, one
+    (doc_id, source, f) shuffle; source rides the key (one source per
+    doc, same granularity) so BOTH DSIR models derive from this frame
+    and the explode subtree executes exactly once (ADVICE r9: the old
+    target model re-counted from grams, duplicating the documents scan
+    + bigram explode). The explicit null filter mirrors the
+    isnotnull(f) the scoring join infers on its side — without it the
+    totals branch's subtree differs by exactly that filter and AQE
+    cannot ReusedExchange it."""
+    d = load(spark, sf_dir, "documents")
+    pretok = d.select(
+        "doc_id", "source", tokenize(F.col("text")).alias("toks")
+    )
+    toks = F.col("toks")
+    m = F.size(toks) - 1
+    grams = pretok.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.arrays_zip(F.slice(toks, 1, m), F.slice(toks, 2, m))
+        ).alias("_z"),
+    ).select(
+        "doc_id",
+        "source",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(" ", F.col("_z.0"), F.col("_z.1"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _DSIR_BUCKETS
+        ).alias("f"),
+    )
+    return (
+        grams.filter(F.col("f").isNotNull())
+        .groupBy("doc_id", "source", "f")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
 def dsir_log_ratio_table(
     df_counts: DataFrame, target_filter: str = _DSIR_TARGET
 ) -> DataFrame:
@@ -1140,47 +1187,7 @@ def text_dsir_weights(
     :func:`dsir_log_ratio_table`) for the production selection pass:
     one explode + one (doc, f) shuffle + a broadcast scoring join,
     with no target re-count at all."""
-    d = load(spark, sf_dir, "documents")
-    pretok = d.select(
-        "doc_id", "source", tokenize(F.col("text")).alias("toks")
-    )
-    toks = F.col("toks")
-    m = F.size(toks) - 1
-    grams = pretok.select(
-        "doc_id",
-        "source",
-        F.explode(
-            F.arrays_zip(F.slice(toks, 1, m), F.slice(toks, 2, m))
-        ).alias("_z"),
-    ).select(
-        "doc_id",
-        "source",
-        (
-            F.conv(
-                F.substring(
-                    F.md5(F.concat_ws(" ", F.col("_z.0"), F.col("_z.1"))),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("long")
-            % _DSIR_BUCKETS
-        ).alias("f"),
-    )
-    # one (doc_id, source, f) shuffle — source rides the key (one
-    # source per doc, same granularity) so BOTH models derive from
-    # this frame and the explode subtree executes exactly once
-    # (ADVICE r9: the old target model re-counted from grams,
-    # duplicating the documents scan + bigram explode)
-    # the explicit null filter mirrors the isnotnull(f) the scoring
-    # join infers on its side — without it the totals branch's subtree
-    # differs by exactly that filter and AQE cannot ReusedExchange it
-    df_counts = (
-        grams.filter(F.col("f").isNotNull())
-        .groupBy("doc_id", "source", "f")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    df_counts = dsir_feature_counts(spark, sf_dir)
     lr = lr_table if lr_table is not None else dsir_log_ratio_table(
         df_counts
     )

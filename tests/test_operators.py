@@ -1175,3 +1175,35 @@ def test_substring_spans_randomized_matches_bruteforce(spark):
             ).collect()
         }
         assert got == _spans_bruteforce(corpus, window=w), w
+
+
+def test_dsir_lr_artifact_parquet_roundtrip_bit_identical(spark, tmp_path):
+    # VERDICT r10 #6: the actual 100 TB production handoff — the
+    # log-ratio table is computed once against the trusted exemplar
+    # set, WRITTEN TO PARQUET, and the selection pass reads that
+    # artifact back and scores against it. Scores through the
+    # round-tripped artifact must be bit-identical to the
+    # self-computed path (lr is DECIMAL(18,6), so parquet preserves it
+    # exactly; a double-typed lr could not make this promise).
+    from mldag_spark.queries.text import (
+        dsir_feature_counts,
+        dsir_log_ratio_table,
+        text_dsir_weights,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    lr = dsir_log_ratio_table(dsir_feature_counts(spark, sf_dir))
+    path = str(tmp_path / "dsir_lr.parquet")
+    lr.write.mode("overwrite").parquet(path)
+    lr_back = spark.read.parquet(path)
+    assert dict(lr_back.dtypes)["lr"] == "decimal(18,6)"
+
+    self_rows = {
+        r["doc_id"]: (r["n_bigrams"], r["dsir_logratio"])
+        for r in text_dsir_weights(spark, sf_dir).collect()
+    }
+    prod_rows = {
+        r["doc_id"]: (r["n_bigrams"], r["dsir_logratio"])
+        for r in text_dsir_weights(spark, sf_dir, lr_table=lr_back).collect()
+    }
+    assert prod_rows == self_rows

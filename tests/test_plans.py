@@ -481,42 +481,12 @@ def test_dsir_explode_runs_once_and_lr_table_path_is_identical(
     # production mode: a precomputed (f, lr) artifact passed in must
     # produce bit-identical scores (the 100 TB selection pass never
     # re-counts the target model)
-    from mldag_spark.queries.text import text_dsir_weights, tokenize
-    from mldag_spark.queries.text import _DSIR_BUCKETS
-    from mldag_spark.queries.tables import load
+    from mldag_spark.queries.text import (
+        dsir_feature_counts,
+        text_dsir_weights,
+    )
 
-    d = load(spark, SF_DIR, "documents")
-    toks = tokenize(F.col("text"))
-    pretok = d.select("doc_id", "source", toks.alias("toks"))
-    m = F.size(F.col("toks")) - 1
-    grams = pretok.select(
-        "doc_id",
-        "source",
-        F.explode(
-            F.arrays_zip(
-                F.slice(F.col("toks"), 1, m), F.slice(F.col("toks"), 2, m)
-            )
-        ).alias("_z"),
-    ).select(
-        "doc_id",
-        "source",
-        (
-            F.conv(
-                F.substring(
-                    F.md5(F.concat_ws(" ", F.col("_z.0"), F.col("_z.1"))),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("long")
-            % _DSIR_BUCKETS
-        ).alias("f"),
-    )
-    counts = grams.groupBy("doc_id", "source", "f").agg(
-        F.count(F.lit(1)).alias("c")
-    )
-    lr = dsir_log_ratio_table(counts)
+    lr = dsir_log_ratio_table(dsir_feature_counts(spark, SF_DIR))
     prod_rows = {
         r["doc_id"]: r
         for r in text_dsir_weights(spark, SF_DIR, lr_table=lr).collect()
