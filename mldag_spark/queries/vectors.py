@@ -838,18 +838,25 @@ def _km_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _km_fit(vec: DataFrame) -> list[list[float]]:
+def _km_fit(
+    vec: DataFrame, k: int = None, iters: int = None
+) -> list[list[float]]:
     """The exact-decimal Lloyd loop (seeds = k lowest vec_ids,
     _KM_ITERS rounds): per-iteration traffic is one k-key shuffle of
     map-side decimal partials and a <= k-row collect — the bounded-
     aggregate law. Shared by the k-means summary query and the
-    SemDeDup clustering front half."""
+    SemDeDup clustering front half. ``k``/``iters`` default to the
+    gate-sized module constants; production callers pass k ~ N /
+    target-cluster-size (only the literal count changes — see the
+    SemDeDup k-scan row in SCALING.json for the measured cost)."""
+    k = _KM_K if k is None else k
+    iters = _KM_ITERS if iters is None else iters
     cents = [
-        list(r["v"]) for r in vec.orderBy("vec_id").limit(_KM_K).collect()
+        list(r["v"]) for r in vec.orderBy("vec_id").limit(k).collect()
     ]
     work = vec.persist()
     try:
-        for _ in range(_KM_ITERS):
+        for _ in range(iters):
             stats = (
                 _km_assign(work, cents)
                 .groupBy("cid")
@@ -981,8 +988,158 @@ _SEM_ORACLE = _KM_CTES + f"""
     ORDER BY f.cid"""
 
 
+def _sem_members(assigned: DataFrame) -> DataFrame:
+    """(vec_id, v, cid) → + (bkt, rn, ss): the SemDeDup member frame.
+    bkt = id-bucket of ``_SEM_ID_BUCKET`` (caps every window partition
+    regardless of cluster size), rn = rank within (cid, bkt) by
+    vec_id, ss = exact decimal self-dot (norm²)."""
+    dec = lambda c: c.cast("decimal(20,12)")  # noqa: E731
+    return (
+        assigned.withColumn("bkt", F.expr(f"vec_id div {_SEM_ID_BUCKET}"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("cid", "bkt").orderBy("vec_id")
+            ),
+        )
+        .withColumn(
+            "ss",
+            F.aggregate(
+                F.transform("v", lambda x: dec(x * x)),
+                F.lit(0).cast("decimal(24,12)"),
+                lambda acc, t: (acc + t).cast("decimal(24,12)"),
+            ),
+        )
+    )
+
+
+def _sem_qual_pairs(a_m: DataFrame, b_m: DataFrame) -> DataFrame:
+    """Qualifying SemDeDup pairs between two member frames (columns of
+    :func:`_sem_members`): equi-join on (cid, bkt), later member
+    (from ``b_m``) within ``_SEM_WINDOW`` ranks of the earlier (from
+    ``a_m``), exact-decimal cosine >= ``_SEM_TAU``. Returns
+    (cid, vec_a, vec_b, cos)."""
+    dec = lambda c: c.cast("decimal(20,12)")  # noqa: E731
+    a = a_m.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
+        F.col("ss").alias("ssa"), "cid", "bkt", F.col("rn").alias("rna"),
+    )
+    b = b_m.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
+        F.col("ss").alias("ssb"), F.col("cid").alias("cidb"),
+        F.col("bkt").alias("bktb"), F.col("rn").alias("rnb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: dec(x * y)),
+        F.lit(0).cast("decimal(24,12)"),
+        lambda acc, t: (acc + t).cast("decimal(24,12)"),
+    )
+    cos = F.round(
+        dot.cast("double")
+        / F.sqrt(F.col("ssa").cast("double") * F.col("ssb").cast("double")),
+        4,
+    )
+    return (
+        a.join(
+            b,
+            (F.col("cid") == F.col("cidb"))
+            & (F.col("bkt") == F.col("bktb"))
+            & (F.col("rnb") > F.col("rna"))
+            & (F.col("rnb") <= F.col("rna") + _SEM_WINDOW),
+        )
+        .filter(
+            (F.col("ssa").cast("double") > 0)
+            & (F.col("ssb").cast("double") > 0)
+        )
+        .select("cid", "vec_a", "vec_b", cos.alias("cos"))
+        .filter(F.col("cos") >= _SEM_TAU)
+    )
+
+
+def semdedup_tail_index(m: DataFrame, window: int = None) -> DataFrame:
+    """The bounded artifact an incremental SemDeDup pipeline PERSISTS:
+    per (cid, bkt), the member count (as max rn) and the last
+    ``window`` members with their (v, ss, rn). Because window pairing
+    looks back at most ``window`` ranks, these rows are the ONLY
+    historical state a future batch can pair with — index size is
+    O(|cid,bkt groups| · window), independent of corpus size."""
+    window = _SEM_WINDOW if window is None else window
+    counts = m.groupBy("cid", "bkt").agg(F.max("rn").alias("n_hist"))
+    return (
+        m.join(counts, ["cid", "bkt"])
+        .filter(F.col("rn") > F.col("n_hist") - window)
+        .select("cid", "bkt", "vec_id", "v", "ss", "rn", "n_hist")
+    )
+
+
+def semdedup_incremental_pairs(
+    tail: DataFrame, batch_assigned: DataFrame
+) -> DataFrame:
+    """Incremental SemDeDup (VERDICT r10 #9): qualifying pairs whose
+    LATER member arrives in the new batch, given a frozen-centroid
+    assignment of the batch and the persisted tail index of the
+    historical corpus — the semantic counterpart of
+    ``operators.dedup.incremental_lsh_pairs``.
+
+    Append contract: batch vec_ids exceed every historical vec_id, so
+    historical ranks are unchanged and window pairing (backward-
+    looking) splits exactly into (pairs within history) ∪ (pairs
+    whose later member is in the batch) — the recurrence
+    ``full == historical ∪ incremental`` is pinned by a property
+    test on frozen centroids. New batch ranks continue the historical
+    count (rn = n_hist + rank-within-batch); a batch member's window
+    reaches back at most ``_SEM_WINDOW`` ranks, exactly the tail the
+    index keeps. In production the id-buckets are arrival-ordered, so
+    each batch appends into the active bucket and this per-batch work
+    is O(|batch|·W) joins against a broadcast-sized tail — corpus
+    size never re-enters; a ``foreachBatch`` stream composes this the
+    same way ``incremental_dedup_stream`` composes the LSH variant."""
+    bm = _sem_members(batch_assigned)
+    counts = tail.select("cid", "bkt", "n_hist").distinct()
+    bm = (
+        bm.join(F.broadcast(counts), ["cid", "bkt"], "left")
+        .withColumn(
+            "rn", F.col("rn") + F.coalesce(F.col("n_hist"), F.lit(0))
+        )
+        .select("cid", "bkt", "vec_id", "v", "ss", "rn")
+    )
+    partners = tail.select(
+        "cid", "bkt", "vec_id", "v", "ss", "rn"
+    ).unionByName(bm)
+    return _sem_qual_pairs(partners, bm)
+
+
+@register("dedup_semantic_incremental")  # rows-only: the split point,
+# frozen centroids, and pair set are deterministic, but the recurrence
+# (full == historical ∪ incremental) is the contract under test and is
+# pinned by a property test, not SQL-expressible cluster assignment
+def dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SemDeDup over a frozen-centroid index: the last
+    quarter of the embedding id space plays the arriving batch, the
+    first three quarters the indexed history. Centroids are fit on
+    history ONLY (the frozen-model production contract), the batch is
+    assigned map-only against them, and new qualifying pairs come from
+    :func:`semdedup_incremental_pairs` against the persisted-shape
+    tail index — per-batch work O(|batch|·W), corpus size never
+    re-enters."""
+    vec = _km_quantized(spark, sf_dir)
+    hi = vec.agg(F.max("vec_id").alias("mx")).collect()[0]["mx"]
+    split = (int(hi) + 1) * 3 // 4
+    hist = vec.filter(F.col("vec_id") < split)
+    batch = vec.filter(F.col("vec_id") >= split)
+    cents = _km_fit(hist)
+    hm = _sem_members(_km_assign(hist, cents).select("vec_id", "v", "cid"))
+    tail = semdedup_tail_index(hm)
+    batch_assigned = _km_assign(batch, cents).select("vec_id", "v", "cid")
+    return semdedup_incremental_pairs(tail, batch_assigned).orderBy(
+        "vec_a", "vec_b"
+    )
+
+
 @register("dedup_semantic_clusters", oracle=_SEM_ORACLE)
-def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_semantic_clusters(
+    spark: SparkSession, sf_dir: str, k: int = None
+) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): k-means the embedding corpus,
     then inside each cluster mark members whose cosine similarity to
     an earlier member reaches ``_SEM_TAU`` as semantic duplicates —
@@ -1021,60 +1178,10 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
       member counts: broadcast-sized by construction.
     """
     vec = _km_quantized(spark, sf_dir)
-    cents = _km_fit(vec)
+    cents = _km_fit(vec, k=k)
     assigned = _km_assign(vec, cents).select("vec_id", "v", "cid")
-    dec = lambda c: c.cast("decimal(20,12)")  # noqa: E731
-    m = (
-        assigned.withColumn("bkt", F.expr(f"vec_id div {_SEM_ID_BUCKET}"))
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("cid", "bkt").orderBy("vec_id")
-            ),
-        )
-        .withColumn(
-            "ss",
-            F.aggregate(
-                F.transform("v", lambda x: dec(x * x)),
-                F.lit(0).cast("decimal(24,12)"),
-                lambda acc, t: (acc + t).cast("decimal(24,12)"),
-            ),
-        )
-    )
-    a = m.select(
-        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
-        F.col("ss").alias("ssa"), "cid", "bkt", F.col("rn").alias("rna"),
-    )
-    b = m.select(
-        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
-        F.col("ss").alias("ssb"), F.col("cid").alias("cidb"),
-        F.col("bkt").alias("bktb"), F.col("rn").alias("rnb"),
-    )
-    dot = F.aggregate(
-        F.zip_with("va", "vb", lambda x, y: dec(x * y)),
-        F.lit(0).cast("decimal(24,12)"),
-        lambda acc, t: (acc + t).cast("decimal(24,12)"),
-    )
-    cos = F.round(
-        dot.cast("double")
-        / F.sqrt(F.col("ssa").cast("double") * F.col("ssb").cast("double")),
-        4,
-    )
-    qual = (
-        a.join(
-            b,
-            (F.col("cid") == F.col("cidb"))
-            & (F.col("bkt") == F.col("bktb"))
-            & (F.col("rnb") > F.col("rna"))
-            & (F.col("rnb") <= F.col("rna") + _SEM_WINDOW),
-        )
-        .filter(
-            (F.col("ssa").cast("double") > 0)
-            & (F.col("ssb").cast("double") > 0)
-        )
-        .select("cid", "vec_b", cos.alias("cos"))
-        .filter(F.col("cos") >= _SEM_TAU)
-    )
+    m = _sem_members(assigned)
+    qual = _sem_qual_pairs(m, m).select("cid", "vec_b", "cos")
     drops = qual.groupBy("cid").agg(
         F.count(F.lit(1)).alias("n_pairs"),
         F.countDistinct("vec_b").alias("n_dropped"),

@@ -82,6 +82,10 @@ TARGETS = (
     # capped overlap join's first 100x datapoint (VERDICT r9 #1)
     "embedding_near_dup_blocked",
     "dedup_overlap_pairs",
+    # r11 (VERDICT r10 #4): the registry's heaviest op gets its first
+    # 100x point — no prior wall, so divergence rerun + probe flanks
+    # are its guards (like overlap's debut)
+    "dedup_semantic_clusters",
 )  # subset via --targets
 SF_10 = os.path.join(REPO, ".testdata", "sf10")
 ANCHOR_16C = 0.34 * 32 / 16

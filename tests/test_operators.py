@@ -1207,3 +1207,56 @@ def test_dsir_lr_artifact_parquet_roundtrip_bit_identical(spark, tmp_path):
         for r in text_dsir_weights(spark, sf_dir, lr_table=lr_back).collect()
     }
     assert prod_rows == self_rows
+
+
+def test_semdedup_incremental_recurrence_on_frozen_centroids(spark):
+    # VERDICT r10 #9: full-corpus SemDeDup pairs on frozen centroids
+    # must equal (historical pairs) ∪ (incremental pairs of the
+    # appended batch against the persisted tail index) — the exact
+    # recurrence the streaming composition relies on.
+    from pyspark.sql import functions as F
+
+    from mldag_spark.queries.vectors import (
+        _km_assign,
+        _km_fit,
+        _km_quantized,
+        _sem_members,
+        _sem_qual_pairs,
+        semdedup_incremental_pairs,
+        semdedup_tail_index,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    vec = _km_quantized(spark, sf_dir)
+    hi = vec.agg(F.max("vec_id").alias("mx")).collect()[0]["mx"]
+    split = (int(hi) + 1) * 3 // 4
+    hist = vec.filter(F.col("vec_id") < split)
+    batch = vec.filter(F.col("vec_id") >= split)
+    assert batch.count() > 0 and hist.count() > 0
+
+    cents = _km_fit(hist)  # frozen: fit on history only
+
+    def pairs(df):
+        m = _sem_members(_km_assign(df, cents).select("vec_id", "v", "cid"))
+        return {
+            (r["vec_a"], r["vec_b"], r["cos"])
+            for r in _sem_qual_pairs(m, m).collect()
+        }
+
+    full = pairs(vec)
+    hist_pairs = pairs(hist)
+    hm = _sem_members(_km_assign(hist, cents).select("vec_id", "v", "cid"))
+    incr = {
+        (r["vec_a"], r["vec_b"], r["cos"])
+        for r in semdedup_incremental_pairs(
+            semdedup_tail_index(hm),
+            _km_assign(batch, cents).select("vec_id", "v", "cid"),
+        ).collect()
+    }
+    # the recurrence must be exact AND non-vacuous in both directions
+    assert incr, "no incremental pairs — vacuous recurrence check"
+    assert hist_pairs, "no historical pairs — vacuous recurrence check"
+    assert hist_pairs | incr == full
+    assert hist_pairs & incr == set()
+    # every incremental pair's later member is a batch vector
+    assert all(b >= split for _, b, _ in incr)
