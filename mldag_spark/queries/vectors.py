@@ -810,10 +810,66 @@ def _km_dist(cent: list[float]):
     )
 
 
+# Above this k, the unrolled decimal assignment switches to the Arrow
+# BLAS kernel: the exact-decimal expression tree is O(k·d) interpreted
+# higher-order lambdas PER ROW (the minhash "no interpreted transform"
+# trap, at scale k) — measured unusable past k~16 (k=64 at sf0.1 did
+# not finish in 2 minutes where k=8 takes ~15s end-to-end).
+_KM_UNROLL_MAX_K = 16
+
+
+def _km_assign_blas(df: DataFrame, cents: list[list[float]]) -> DataFrame:
+    """Map-only argmin assignment for production k: the (k, d)
+    centroid matrix rides in the Arrow kernel closure ("broadcast the
+    model"), per-batch distances are ONE vectorized BLAS matmul
+    (‖x‖² + ‖c‖² − 2·X@Cᵀ), argmin breaks ties toward the lower cid
+    (numpy argmin picks the first minimum — the same convention as
+    the decimal struct-min). Float64 instead of exact decimal: at
+    production k the decimal tree is per-row interpreted work (see
+    _KM_UNROLL_MAX_K); a float tie-flip can only move a vector
+    between two EQUIDISTANT clusters, which the gate-sized oracle
+    path (k=8, exact decimal) never exercises. Same shape as
+    :func:`_km_assign` — no shuffle, no corpus-sized join."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(cents, dtype=np.float64)
+    cn = (C * C).sum(axis=1)
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame(
+                    {"vec_id": [], "v": [], "cid": [], "d": []}
+                )
+                continue
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+            D = (X * X).sum(axis=1)[:, None] + cn[None, :] - 2.0 * (X @ C.T)
+            cid = D.argmin(axis=1)
+            d = D[np.arange(len(X)), cid]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "v": pdf["v"],
+                    "cid": cid.astype("int32"),
+                    "d": np.maximum(d, 0.0),
+                }
+            )
+
+    return df.select("vec_id", "v").mapInPandas(
+        kernel, schema="vec_id long, v array<double>, cid int, d double"
+    )
+
+
 def _km_assign(df: DataFrame, cents: list[list[float]]) -> DataFrame:
     """argmin over the k centroids via array_min on (d, cid) structs —
     lexicographic struct comparison = exact-decimal distance argmin
-    with lower-cid tie-break, all JVM-side codegen."""
+    with lower-cid tie-break, all JVM-side codegen. Past
+    ``_KM_UNROLL_MAX_K`` centroids the expression-tree cost dominates
+    and assignment dispatches to the Arrow BLAS kernel
+    (:func:`_km_assign_blas`) — same columns, same tie-break."""
+    if len(cents) > _KM_UNROLL_MAX_K:
+        return _km_assign_blas(df, cents)
     amin = F.array_min(
         F.array(*[
             F.struct(_km_dist(c).alias("d"), F.lit(j).alias("c"))

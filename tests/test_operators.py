@@ -1260,3 +1260,31 @@ def test_semdedup_incremental_recurrence_on_frozen_centroids(spark):
     assert hist_pairs & incr == set()
     # every incremental pair's later member is a batch vector
     assert all(b >= split for _, b, _ in incr)
+
+
+def test_km_assign_blas_matches_decimal_unrolled(spark):
+    # the production-k Arrow BLAS assignment must agree with the
+    # exact-decimal unrolled path on real data (ties are measure-zero
+    # off the gate's constructed cases): same cid for every vector,
+    # distances equal to float tolerance
+    from mldag_spark.queries.vectors import (
+        _km_assign,
+        _km_assign_blas,
+        _km_fit,
+        _km_quantized,
+    )
+
+    vec = _km_quantized(spark, "/root/testdata/sf0.001")
+    cents = _km_fit(vec)
+    a = {
+        r["vec_id"]: (r["cid"], float(r["d"]))
+        for r in _km_assign(vec, cents).collect()
+    }
+    b = {
+        r["vec_id"]: (r["cid"], float(r["d"]))
+        for r in _km_assign_blas(vec, cents).collect()
+    }
+    assert set(a) == set(b)
+    for k in a:
+        assert a[k][0] == b[k][0], k
+        assert abs(a[k][1] - b[k][1]) < 1e-6, k
