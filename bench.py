@@ -253,8 +253,21 @@ def _load_prev_registry(workdir: str):
     import subprocess
     import tarfile
 
-    ref = open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "CANARY_REF")).readline().split()[0]
+    repo = os.path.dirname(os.path.abspath(__file__))
+    ref = ""
+    try:
+        ref = open(os.path.join(repo, "CANARY_REF")).readline().split()[0]
+    except (OSError, IndexError):
+        pass
+    if not ref or ref == "auto":
+        # auto-detect: the driver closes every round with a
+        # "round N: verdict/..." commit, so the most recent one IS the
+        # previous round's final code — no manual ref refresh needed
+        ref = subprocess.run(
+            ["git", "log", "--grep", "^round [0-9]*:", "-1",
+             "--format=%h"],
+            cwd=repo, capture_output=True, text=True, check=True,
+        ).stdout.strip()
     tar_path = os.path.join(workdir, "prev.tar")
     with open(tar_path, "wb") as f:
         subprocess.run(

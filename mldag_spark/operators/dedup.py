@@ -950,6 +950,7 @@ def substring_spans(
     token_col: str,
     window: int = 50,
     min_docs: int = 2,
+    hash_fingerprints: bool = False,
 ) -> DataFrame:
     """Maximal cross-document repeated token spans — the
     substring-level dedup family (Lee et al. 2022, "Deduplicating
@@ -1007,15 +1008,28 @@ def substring_spans(
     zipped = F.arrays_zip(
         *[F.slice("_t", i + 1, m) for i in range(window)]
     )
+    win_text = F.concat_ws(" ", *[F.col(f"_z.{i}") for i in range(window)])
+    # production shuffle key (hash_fingerprints=True): two independent
+    # xxhash64 seeds of the window text — 128 collision-safe bits —
+    # instead of the W-token string itself, shrinking groupBy/join
+    # shuffle bytes ~10x at 100 TB. The string key stays the default
+    # so the DuckDB oracle can recompute it; a test pins hashed ==
+    # string results.
+    win_key = (
+        F.struct(
+            F.xxhash64(win_text, F.lit(1)).alias("h1"),
+            F.xxhash64(win_text, F.lit(2)).alias("h2"),
+        )
+        if hash_fingerprints
+        else win_text
+    )
     wins = pre.select(
         F.col(id_col),
         F.posexplode(zipped).alias("_p0", "_z"),
     ).select(
         F.col(id_col),
         (F.col("_p0") + 1).alias("pos"),
-        F.concat_ws(
-            " ", *[F.col(f"_z.{i}") for i in range(window)]
-        ).alias("win"),
+        win_key.alias("win"),
     )
     dup = (
         wins.groupBy("win")

@@ -1288,3 +1288,32 @@ def test_km_assign_blas_matches_decimal_unrolled(spark):
     for k in a:
         assert a[k][0] == b[k][0], k
         assert abs(a[k][1] - b[k][1]) < 1e-6, k
+
+
+def test_substring_spans_hashed_fingerprints_match_string_keys(spark):
+    # the production shuffle key (128-bit double-xxhash64 of the
+    # window) must yield the exact span set the string key yields
+    import random
+
+    from mldag_spark.functions import tokenize
+    from mldag_spark.operators.dedup import substring_spans
+
+    rng = random.Random(23)
+    vocab = [f"w{i}" for i in range(10)]
+    corpus = [
+        (d, " ".join(rng.choice(vocab) for _ in range(rng.randint(5, 35))))
+        for d in range(25)
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    pre = df.select("doc_id", tokenize(F.col("text")).alias("toks"))
+    a = {
+        tuple(r)
+        for r in substring_spans(pre, "doc_id", "toks", window=5).collect()
+    }
+    b = {
+        tuple(r)
+        for r in substring_spans(
+            pre, "doc_id", "toks", window=5, hash_fingerprints=True
+        ).collect()
+    }
+    assert a == b and a
