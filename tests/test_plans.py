@@ -417,6 +417,27 @@ def test_kmeans_is_map_only_plus_one_bounded_shuffle(spark, registry):
     assert "label" not in read, read
 
 
+def test_substring_spans_is_aggregate_only_jvm_path(spark, registry):
+    # the substring-dedup plan must stay pure JVM (zip-slice windows,
+    # no Python eval) with no pairwise join shapes: the only joins are
+    # the window-keyed linear join-back (equi) — never a cartesian or
+    # nested loop over document pairs
+    plan = _plan(registry["dedup_substring_spans"](spark, SF_DIR))
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_image_decode_is_map_only_no_shuffle(spark, registry):
+    # encode → ship binary → parse is a per-row pipeline: the executed
+    # plan must contain NO Exchange at all (Arrow kernels compose
+    # map-only) — a shuffle here would mean payload bytes moving
+    # between executors for no reason
+    plan = _plan(registry["multimodal_image_decode"](spark, SF_DIR))
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Exchange" not in final, final
+
+
 def test_range_join_is_bucketed_equi_not_nested_loop(spark, registry):
     # the price-band range join once planned as a broadcast
     # nested-loop join (O(|part|·|supplier|) comparisons — every probe
