@@ -88,11 +88,18 @@ _GATE_ORDER = [
     # the r11-NEW substring-level dedup, debut-gated per the standing
     # norm (hash-green at sf0.001 + sf0.01 via scripts/check_oracle.py
     # before entering)
+    # r11 late rotation: containment-pairs and incremental-batch bank
+    # after two green gated rounds each (r9-r10; sf0.001 sweep
+    # continues) to make room for the two r11-late ops below —
+    # debut-gated per the standing norm (sf0.001+sf0.01 hash-verified
+    # via scripts/check_oracle.py before entering)
     "dedup_minhash_lsh",
     "dedup_components",
     "dedup_substring_spans",
-    "dedup_containment_pairs",
-    "dedup_incremental_batch",
+    # Repetition/PII quality passes (r11 NEW): Gopher coverage-form
+    # n-gram rules + the byte-exact-verified PII redaction pass
+    "text_ngram_coverage_stats",
+    "text_pii_scrub",
     # Sampling / splits (r10: the four never-gated sampling patterns)
     "sample_deterministic_split",
     "sample_global_shuffle",

@@ -103,6 +103,9 @@ QUERIES = (
     "dedup_substring_spans",
     # r11 new op: real stdlib-PNG codec round-trip
     "multimodal_image_decode",
+    # r11 late ops: Gopher coverage-form repetition rules + PII scrub
+    "text_ngram_coverage_stats",
+    "text_pii_scrub",
 )
 
 # VERDICT r6 #6: every scale row now gets a 30x datapoint (was 12/26)
@@ -159,6 +162,8 @@ SF3_QUERIES = (
     "join_range_parts_in_price_band",
     "dedup_substring_spans",
     "multimodal_image_decode",
+    "text_ngram_coverage_stats",
+    "text_pii_scrub",
     # ...heaviest (prefix-join + closure) last: even with per-query
     # session recovery, a JVM death costs every later row its warm cache
     "dedup_ngram_jaccard",

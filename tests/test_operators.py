@@ -1317,3 +1317,80 @@ def test_substring_spans_hashed_fingerprints_match_string_keys(spark):
         ).collect()
     }
     assert a == b and a
+
+
+def test_ngram_coverage_overlap_counted_once(spark, tmp_path):
+    # coverage semantics: "a a a a" has 2-gram "a a" three times but
+    # covers 4 positions (not 6); its 5-grams don't exist (n=4)
+    import duckdb
+
+    from mldag_spark.queries import ORACLES, REGISTRY
+
+    corpus = [
+        (1, "a a a a"),                       # overlapping top 2-gram
+        (2, "x y x y x y z"),                 # top "x y" 3x -> cov 6/7
+        (3, "p q r s t p q r s t"),           # dup 5-gram covers all 10
+        (4, "lone"),                          # n=1: no grams at all
+    ]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    spark.createDataFrame(corpus, "doc_id long, text string").write.parquet(
+        str(sf / "documents.parquet")
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in REGISTRY["text_ngram_coverage_stats"](
+            spark, str(sf)
+        ).collect()
+    }
+    assert rows[1]["top_gram"] == "a a" and rows[1]["top2_count"] == 3
+    assert rows[1]["top2_frac"] == 1.0          # 4/4 covered, once each
+    assert rows[2]["top2_frac"] == 0.8571       # 6/7
+    assert rows[3]["dup5_frac"] == 1.0          # both occurrences cover all
+    assert rows[4]["top2_count"] == 0 and rows[4]["top_gram"] is None
+    assert rows[4]["top2_frac"] == 0.0 and rows[4]["dup5_frac"] == 0.0
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf}/documents.parquet/*.parquet'"  # Spark writes a dir
+    )
+    oracle = {
+        r[0]: r for r in con.execute(
+            ORACLES["text_ngram_coverage_stats"]
+        ).fetchall()
+    }
+    for did, r in rows.items():
+        assert tuple(r) == oracle[did], did
+
+
+def test_pii_scrub_operator_edges(spark, tmp_path):
+    # operator-level: embedded PII in raw text (the synthesis only
+    # guarantees non-vacuity; real hits must also be caught), plus
+    # near-misses that must NOT match
+    from mldag_spark.queries import REGISTRY
+
+    corpus = [
+        (1, "mail me at jane.doe+x@corp.io and 192.168.0.1 please"),
+        (2, "not-an-email @ nothing, version 1.2 only"),
+    ]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    spark.createDataFrame(corpus, "doc_id long, text string").write.parquet(
+        str(sf / "documents.parquet")
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in REGISTRY["text_pii_scrub"](spark, str(sf)).collect()
+    }
+    # doc 1: its own email + IP, plus one synthesized of each class
+    assert rows[1]["n_emails"] == 2 and rows[1]["n_ips"] == 2
+    assert rows[1]["n_phones"] == 1
+    assert "jane.doe" not in rows[1]["clean_text"]
+    assert "192.168.0.1" not in rows[1]["clean_text"]
+    assert "<EMAIL>" in rows[1]["clean_text"]
+    # doc 2: only the synthesized PII matches; "1.2" and a bare '@'
+    # survive untouched
+    assert rows[2]["n_emails"] == 1 and rows[2]["n_ips"] == 1
+    assert "version 1.2 only" in rows[2]["clean_text"]
+    assert " @ " in rows[2]["clean_text"]
