@@ -1037,7 +1037,12 @@ def substring_spans(
         .filter(F.col("_nd") >= min_docs)
         .select("win")
     )
-    marked = wins.join(dup, "win").select(id_col, "pos")
+    # merge hint: dup is a post-aggregate projection, so Catalyst's
+    # size estimate for it is garbage (the repo-wide law) — at sf10 it
+    # picked broadcast for a corpus-scaled window set and died with
+    # "not enough memory to build and broadcast". Sort-merge is
+    # spill-safe at any corpus size; both sides co-partition on win.
+    marked = wins.join(dup.hint("merge"), "win").select(id_col, "pos")
     rn = F.row_number().over(W.partitionBy(id_col).orderBy("pos"))
     return (
         marked.withColumn("_grp", F.col("pos") - rn)

@@ -2888,9 +2888,14 @@ def text_ngram_coverage_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     topkey = top.select(
         F.col("doc_id").alias("_tdoc"), F.col("top_gram").alias("_tg")
     )
+    # merge hints: topkey/dup5 are post-aggregate projections whose
+    # size estimates are garbage (the repo-wide law; the substring-
+    # spans sf10 run measured the failure mode — a wrongly-broadcast
+    # corpus-scaled side OOMs the driver). Sort-merge is spill-safe
+    # and both joins are equi-keyed.
     tcov = interval_cov(
         g2.join(
-            topkey,
+            topkey.hint("merge"),
             (F.col("doc_id") == F.col("_tdoc")) & (F.col("g") == F.col("_tg")),
         ).select("doc_id", "pos"),
         2,
@@ -2901,7 +2906,9 @@ def text_ngram_coverage_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     c5 = g5.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
     dup5 = c5.filter(F.col("c") >= 2).select("doc_id", "g")
     cov5 = interval_cov(
-        g5.join(dup5, ["doc_id", "g"]).select("doc_id", "pos"), 5, "cov5"
+        g5.join(dup5.hint("merge"), ["doc_id", "g"]).select("doc_id", "pos"),
+        5,
+        "cov5",
     )
 
     frac = lambda cov: (  # noqa: E731  exact int64 half-up at 4dp

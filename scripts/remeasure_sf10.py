@@ -86,6 +86,10 @@ TARGETS = (
     # 100x point — no prior wall, so divergence rerun + probe flanks
     # are its guards (like overlap's debut)
     "dedup_semantic_clusters",
+    # r11 new ops: second-decade points for substring dedup and the
+    # PNG codec round-trip (first sf10 rows, debut guards as above)
+    "dedup_substring_spans",
+    "multimodal_image_decode",
 )  # subset via --targets
 SF_10 = os.path.join(REPO, ".testdata", "sf10")
 ANCHOR_16C = 0.34 * 32 / 16
