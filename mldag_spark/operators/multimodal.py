@@ -580,6 +580,218 @@ def synthesize_png(
     ).mapInPandas(kernel, schema="media_id long, payload binary")
 
 
+# ---------------------------------------------------------------------------
+# REAL video codec path (r11): ffmpeg is absent in this environment,
+# but YUV4MPEG2 (*.y4m — the uncompressed interchange container every
+# video toolchain speaks; plain-text stream header + raw planar 4:2:0
+# frames) is encodable AND decodable with nothing but bytes/numpy — so
+# the video seam gets the same treatment audio (r10, stdlib wave) and
+# images (r11, stdlib PNG) got: synthesize_y4m writes genuine
+# YUV4MPEG2 containers, decode_video_stats parses them back on the
+# executors with a spec-correct reader (magic + parameter tags, FRAME
+# marker walk, plane-size accounting) and frame-samples every k-th
+# frame for the luma stats. Corrupt payloads land as ok=false rows.
+# With this, NO multimodal seam remains a deterministic fake — only
+# codec breadth (PCM-WAV / gray-PNG / raw-Y4M vs MP3/JPEG/H.264) is
+# environment-limited.
+# ---------------------------------------------------------------------------
+
+VIDEO_STATS_SCHEMA = (
+    "media_id long, ok boolean, width int, height int, n_frames int, "
+    "n_pixels long, sampled_frames int, y_mean double, y_min int, "
+    "y_max int"
+)
+
+_Y4M_MAGIC = b"YUV4MPEG2"
+
+
+def y4m_encode(luma_frames, fps=(25, 1)) -> bytes:
+    """Encode a stack of 8-bit luma frames (n, h, w) as a REAL
+    YUV4MPEG2 container: `YUV4MPEG2 W.. H.. F..:.. Ip A1:1 C420jpeg`
+    stream header, then per frame a `FRAME` marker + raw planar
+    4:2:0 data (Y full-res, U/V quarter-res derived by 2x2 block
+    averaging of the luma — a genuine chroma subsample, so the
+    container is self-consistent, not padding)."""
+    import numpy as np
+
+    fr = np.asarray(luma_frames, dtype=np.uint8)
+    if fr.ndim != 3 or fr.size == 0:
+        raise ValueError("y4m_encode expects a non-empty (n, h, w) array")
+    n, h, w = fr.shape
+    if w % 2 or h % 2:
+        raise ValueError("4:2:0 requires even frame dimensions")
+    head = b"%s W%d H%d F%d:%d Ip A1:1 C420jpeg\x0a" % (
+        _Y4M_MAGIC, w, h, fps[0], fps[1]
+    )
+    parts = [head]
+    for f in range(n):
+        y = fr[f]
+        # 2x2 block mean -> both chroma planes (deterministic, real
+        # subsampling arithmetic; integer mean matches the parser's
+        # expectations bit-for-bit)
+        c = (
+            y.reshape(h // 2, 2, w // 2, 2).astype(np.uint16)
+            .sum(axis=(1, 3)) // 4
+        ).astype(np.uint8)
+        parts.append(b"FRAME\x0a" + y.tobytes() + c.tobytes() + c.tobytes())
+    return b"".join(parts)
+
+
+def _y4m_parse(data: bytes):
+    """Spec-correct YUV4MPEG2 reader for 4:2:0 streams: validates the
+    magic, parses the parameter tags (W/H required, F required by
+    spec, C must be a 420 variant — 422/444/mono are out of scope for
+    this path), then walks FRAME markers (optional per-frame
+    parameters allowed) accounting exactly w*h*3/2 bytes per frame.
+    Returns (width, height, fps, list-of-luma-planes). Raises
+    ValueError on anything malformed — truncated frames, trailing
+    garbage, odd dimensions — which the kernel maps to ok=false."""
+    import numpy as np
+
+    nl = data.find(b"\x0a")
+    if nl < 0 or not data.startswith(_Y4M_MAGIC + b" "):
+        raise ValueError("bad YUV4MPEG2 signature")
+    width = height = None
+    fps = None
+    chroma = "420jpeg"  # spec default
+    for tag in data[len(_Y4M_MAGIC) + 1: nl].split(b" "):
+        if not tag:
+            continue
+        key, val = tag[:1], tag[1:]
+        if key == b"W":
+            width = int(val)
+        elif key == b"H":
+            height = int(val)
+        elif key == b"F":
+            num, den = val.split(b":")
+            fps = (int(num), int(den))
+        elif key == b"C":
+            chroma = val.decode("ascii")
+        elif key in (b"I", b"A", b"X"):
+            pass  # interlacing / aspect / extension: legal, unused here
+        else:
+            raise ValueError(f"unknown stream tag {tag!r}")
+    if not width or not height or fps is None:
+        raise ValueError("missing required W/H/F stream tags")
+    if not chroma.startswith("420"):
+        raise ValueError(f"unsupported chroma mode C{chroma}")
+    if width % 2 or height % 2:
+        raise ValueError("4:2:0 requires even dimensions")
+    y_len = width * height
+    frame_len = y_len * 3 // 2
+    frames = []
+    pos = nl + 1
+    while pos < len(data):
+        if data[pos: pos + 5] != b"FRAME":
+            raise ValueError("expected FRAME marker")
+        fnl = data.find(b"\x0a", pos + 5)
+        if fnl < 0:
+            raise ValueError("unterminated FRAME header")
+        if fnl > pos + 5 and data[pos + 5: pos + 6] != b" ":
+            raise ValueError("malformed FRAME parameters")
+        body = data[fnl + 1: fnl + 1 + frame_len]
+        if len(body) != frame_len:
+            raise ValueError("truncated frame data")
+        frames.append(
+            np.frombuffer(body[:y_len], dtype=np.uint8)
+            .reshape(height, width)
+        )
+        pos = fnl + 1 + frame_len
+    if not frames:
+        raise ValueError("stream contains no frames")
+    return width, height, fps, frames
+
+
+def synthesize_y4m(
+    df: DataFrame, id_col: str, text_col: str, fps: int = 25
+) -> DataFrame:
+    """(media_id, payload) with payload a REAL YUV4MPEG2 stream:
+    width = 2*(byte_len(text) % 24) + 16, height = 2*(byte_len(text)
+    % 18) + 16, n_frames = byte_len(text) % 6 + 2 (all bounded —
+    payload size is capped regardless of document length; dims even
+    by construction for 4:2:0). Luma = the utf-8 text bytes tiled
+    cyclically with the frame index as phase offset, so every frame
+    differs deterministically. Length convention is BYTES with a
+    null→'' fallback on both sides (ADVICE r10 #1 applied from the
+    start, as with the PNG seam)."""
+    import numpy as np
+    import pandas as pd
+
+    def kernel(batches):
+        for pdf in batches:
+            payloads = []
+            for t in pdf["_t"]:
+                raw = (t or "").encode("utf-8")
+                n = len(raw)
+                w, h = 2 * (n % 24) + 16, 2 * (n % 18) + 16
+                nf = n % 6 + 2
+                src = np.frombuffer(raw or b"\x80", dtype=np.uint8)
+                frames = np.empty((nf, h, w), dtype=np.uint8)
+                for f in range(nf):
+                    idx = (np.arange(w * h) + f) % len(src)
+                    frames[f] = src[idx].reshape(h, w)
+                payloads.append(y4m_encode(frames, fps=(fps, 1)))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    return df.select(
+        F.col(id_col).alias("media_id"), F.col(text_col).alias("_t")
+    ).mapInPandas(kernel, schema="media_id long, payload binary")
+
+
+def decode_video_stats(
+    media: DataFrame, sample_every: int = 1
+) -> DataFrame:
+    """Parse YUV4MPEG2 payloads on the executors (the REAL codec
+    path): container metadata (dimensions, frame count, total luma
+    pixels) plus frame-SAMPLED luma stats (mean/min/max over every
+    ``sample_every``-th frame starting at 0 — the standard cheap-pass
+    shape for video: the container walk touches every frame header to
+    validate the stream, but pixel work only runs on the sample).
+    Corrupt or non-Y4M payloads yield ok=false rows with null stats —
+    a bad document must never kill a 100 TB decode pass.
+
+    Plan shape: one ``mapInPandas`` over (media_id, payload) — Arrow
+    ships the binary column per batch, one fixed-schema row out per
+    row in, no shuffle anywhere."""
+    import numpy as np
+    import pandas as pd
+
+    if sample_every < 1:
+        raise ValueError("sample_every must be >= 1")
+
+    def kernel(batches):
+        cols = (
+            "media_id", "ok", "width", "height", "n_frames", "n_pixels",
+            "sampled_frames", "y_mean", "y_min", "y_max",
+        )
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                row = [mid, False] + [None] * 8
+                try:
+                    w, h, _fps, frames = _y4m_parse(
+                        bytes(p) if p is not None else b""
+                    )
+                    sample = frames[::sample_every]
+                    px = np.stack(sample).astype(np.float64)
+                    row = [
+                        mid, True, w, h, len(frames),
+                        w * h * len(frames), len(sample),
+                        float(px.mean()), int(px.min()), int(px.max()),
+                    ]
+                except Exception:
+                    pass
+                for k, v in zip(cols, row):
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(
+        kernel, schema=VIDEO_STATS_SCHEMA
+    )
+
+
 def decode_image_stats(media: DataFrame, engine: str = "auto") -> DataFrame:
     """Parse image payloads on the executors: container metadata
     (width, height, pixel count) plus pixel stats (mean, min, max) per

@@ -204,6 +204,56 @@ def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_video_decode",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id AS media_id,
+               strlen(COALESCE(text, '')) AS n
+        FROM documents
+    )
+    SELECT media_id,
+           TRUE AS ok,
+           CAST(2 * (n % 24) + 16 AS INT) AS width,
+           CAST(2 * (n % 18) + 16 AS INT) AS height,
+           CAST(n % 6 + 2 AS INT) AS n_frames,
+           CAST((2 * (n % 24) + 16) * (2 * (n % 18) + 16)
+                * (n % 6 + 2) AS BIGINT) AS n_pixels,
+           -- ceil(n_frames / 2) sampled frames at sample_every=2
+           CAST((n % 6 + 2 + 1) // 2 AS INT) AS sampled_frames
+    FROM m
+    """,
+)
+def multimodal_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video codec round-trip (r11 — the LAST fake seam closed):
+    synthesize genuine YUV4MPEG2 containers from the documents table
+    (plain-bytes encoder — stream header tags, FRAME markers, raw
+    planar 4:2:0 with true 2x2-mean chroma subsampling), ship them as
+    a binary column, and PARSE them back with a spec-correct reader
+    (magic + tag validation, frame walk with exact plane-size
+    accounting) inside an Arrow ``mapInPandas`` kernel on the
+    executors, frame-sampling every 2nd frame for the pixel stats —
+    the same real-codec treatment audio got in r10 and images got
+    earlier in r11. The oracle checks the decode ENVELOPE (dimensions,
+    frame count, pixel count, and the sampling arithmetic are pure
+    functions of the synthesis contract — BYTE length with null
+    fallback on both sides); the luma stats (mean/min/max) and the
+    corrupt-payload ok=false surface are pinned by
+    tests/test_multimodal.py against hand-built streams."""
+    from mldag_spark.operators.multimodal import (
+        decode_video_stats,
+        synthesize_y4m,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return decode_video_stats(
+        synthesize_y4m(docs, "doc_id", "text"), sample_every=2
+    ).select(
+        "media_id", "ok", "width", "height", "n_frames", "n_pixels",
+        "sampled_frames",
+    )
+
+
+@register(
     "multimodal_image_decode",
     oracle="""
     SELECT doc_id AS media_id,

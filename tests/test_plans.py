@@ -438,6 +438,14 @@ def test_image_decode_is_map_only_no_shuffle(spark, registry):
     assert "Exchange" not in final, final
 
 
+def test_video_decode_is_map_only_no_shuffle(spark, registry):
+    # same law for the Y4M round-trip: encode → ship binary → parse →
+    # frame-sample is per-row work; NO Exchange may appear
+    plan = _plan(registry["multimodal_video_decode"](spark, SF_DIR))
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Exchange" not in final, final
+
+
 def test_range_join_is_bucketed_equi_not_nested_loop(spark, registry):
     # the price-band range join once planned as a broadcast
     # nested-loop join (O(|part|·|supplier|) comparisons — every probe
