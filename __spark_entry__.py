@@ -66,12 +66,20 @@ _GATE_ORDER = [
     # DAG engine (fit/transform through the scheduler)
     "dag_pipeline_priority_revenue",
     "dedup_semantic_clusters",
-    # Text analysis — DSIR stays for driver-level proof of the r10
-    # single-scan rewrite; unigram logprob keeps its r10 slot.
+    # Text analysis — unigram logprob keeps its r10 slot.
     # r11: text_shingle_novelty banks after two green gated rounds
     # (r9-r10, sf0.001 sweep continues) to make room for the r11-NEW
     # real-codec image decode, debut-gated per the standing norm.
-    "text_dsir_weights",
+    # r11 late rotation #2: text_dsir_weights banks after two green
+    # gated rounds (r9-r10; its single-scan plan stays pytest-pinned
+    # and under the sf0.001 sweep) to make room for the r11-NEW BPE
+    # tokenizer-induction pair below — both debut-gated per the
+    # standing norm (sf0.001 + sf0.01 hash-verified via
+    # scripts/check_oracle.py before entering). The merge table and
+    # the distributed token-count check enter TOGETHER: the second
+    # catches any rewrite divergence on any vocabulary word.
+    "text_bpe_merges",
+    "text_bpe_token_counts",
     "text_unigram_logprob",
     # Corpus statistics (r10: the four never-gated corpus ops)
     "corpus_idf_top_terms",
@@ -108,9 +116,11 @@ _GATE_ORDER = [
     "sample_source_cap",
     "sample_weighted_mix",
     # Similarity search / embeddings (r10: the three never-gated
-    # embedding diagnostics rotate in)
+    # embedding diagnostics rotate in). r11 late rotation #2:
+    # embedding_near_dup_blocked banks after nine green gated rounds
+    # (r2-r10; its window-rides-join-exchange plan pin and the sf10
+    # SCALING row stand) to make room for the r11-NEW video decode
     "ann_cosine_topk",
-    "embedding_near_dup_blocked",
     "embedding_norm_by_label",
     "embedding_centroid_distances",
     "embedding_dim_variance",
@@ -129,6 +139,12 @@ _GATE_ORDER = [
     # r11 NEW: real stdlib-PNG codec round-trip (encode + spec-correct
     # parse with CRC checks and all five filter types), debut-gated
     "multimodal_image_decode",
+    # r11 late rotation #2: the r11-NEW real YUV4MPEG2 video codec
+    # round-trip (the LAST fake seam closed), debut-gated per the
+    # standing norm; dq_column_profile banks after three green gated
+    # rounds (r8-r10) to make room — the dq category stays covered by
+    # the expectations + orphan-audit entries
+    "multimodal_video_decode",
     # Events (r10: the four never-gated event-series patterns join the
     # r9-rotated trio; MAD stays for driver proof of the r10 grouped-
     # median rewrite)
@@ -141,10 +157,10 @@ _GATE_ORDER = [
     "events_user_mode_arrow",
     # Relational: scans, filters, scalar functions
     "scalar_expressions",
-    # Data quality
+    # Data quality (r11 late rotation #2: dq_column_profile banks
+    # after three green gated rounds — see the video-decode note)
     "dq_lineitem_expectations",
     "dq_orphan_audit",
-    "dq_column_profile",
     # Joins
     "join_range_parts_in_price_band",
     # Windows

@@ -1,0 +1,185 @@
+"""BPE tokenizer induction (byte-pair-encoding merge learning).
+
+The one tokenizer-side training job an LLM data pipeline runs over the
+corpus itself: learn the merge table that defines the subword
+vocabulary (Sennrich et al. 2016, "Neural Machine Translation of Rare
+Words with Subword Units"). The scale shape is the textbook one —
+
+1. ONE corpus-sized aggregate to the (word, count) vocabulary (the
+   only pass whose cost is corpus-linear; distinct words are sublinear
+   in corpus size, and ``top_words`` caps the tail exactly the way
+   production trainers do);
+2. per merge: a map-only adjacent-pair expansion over the VOCAB (not
+   the corpus), one (l, r)-key shuffle with map-side partial sums, and
+   a 1-row collect of the argmax pair — the same bounded-collect law
+   as the Lloyd loop in ``queries/vectors.py`` (<= k rows per round);
+3. the rewrite is a literal JVM ``replace`` (whole-stage codegen, no
+   Python) appended to the symbolization chain over the persisted
+   vocabulary.
+
+Symbol strings are self-delimiting: every symbol is rendered as
+``\\x1e<sym>\\x1f`` (record-separator / unit-separator control chars,
+which never appear in normalized corpus words). The merge of pair
+(l, r) is then the plain string replacement
+
+    \\x1e l \\x1f \\x1e r \\x1f   ->   \\x1e lr \\x1f
+
+whose leftmost-non-overlapping semantics (identical in Java's
+``String.replace``, DuckDB's ``replace`` and Python's ``str.replace``)
+is EXACTLY the greedy left-to-right merge of textbook BPE — including
+runs: ``a a a a a`` merges to ``aa aa a``, never ``aa a aa``. The
+start+end markers make cross-symbol false matches impossible (a
+symbol can neither match a suffix of its left neighbour nor a prefix
+of its right one), which a bare-separator encoding gets wrong.
+
+Tie-break when several pairs share the top count: lexicographically
+smallest (l, r) — deterministic and engine-identical (symbols are
+ASCII from normalized words, so binary and default collations agree).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+from pyspark.sql import DataFrame, functions as F
+
+from mldag_spark.functions import tokenize
+
+# start-of-symbol / end-of-symbol markers; normalize_text output can
+# never contain ASCII control characters, so these are collision-free
+SOH = "\x1e"
+EOT = "\x1f"
+
+
+class Merge(NamedTuple):
+    rank: int          # 1-based merge order
+    left: str
+    right: str
+    count: int         # pair count at the time of the merge
+
+
+def word_vocab(
+    docs: DataFrame, text_col: str = "text",
+    top_words: Optional[int] = None,
+) -> DataFrame:
+    """(w, cnt) word-frequency vocabulary — the single corpus-sized
+    aggregate of BPE training. ``top_words`` keeps only the most
+    frequent words ((cnt desc, w) order, a bounded TakeOrdered): the
+    standard production cap — rare-word tails contribute almost no
+    pair mass but dominate vocabulary cardinality at 100 TB."""
+    words = docs.select(
+        F.explode(tokenize(F.col(text_col))).alias("w")
+    ).filter(F.length("w") > 0)
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    if top_words is not None:
+        vocab = vocab.orderBy(F.col("cnt").desc(), "w").limit(top_words)
+    return vocab
+
+
+def symbolize(vocab: DataFrame) -> DataFrame:
+    """(s, cnt): each word rendered as its delimited character-symbol
+    string (``\\x1ec\\x1f`` per char) — one JVM regexp_replace."""
+    return vocab.select(
+        F.regexp_replace(F.col("w"), "(.)", SOH + "$1" + EOT).alias("s"),
+        "cnt",
+    )
+
+
+def _pair_counts(enc: DataFrame) -> DataFrame:
+    """(l, r, c): adjacent-symbol pair counts weighted by word count.
+    Pure JVM — slice + arrays_zip + explode (no interpreted
+    higher-order lambdas: the k-means k-scan lesson), one (l, r)-key
+    shuffle with map-side partial aggregation."""
+    syms = F.split(
+        F.expr("substring(s, 2, length(s)-2)"), EOT + SOH
+    ).alias("syms")
+    return (
+        enc.select("cnt", syms)
+        .filter(F.size("syms") >= 2)
+        .select(
+            "cnt",
+            F.expr("slice(syms, 1, size(syms)-1)").alias("ls"),
+            F.expr("slice(syms, 2, size(syms)-1)").alias("rs"),
+        )
+        .select("cnt", F.explode(F.arrays_zip("ls", "rs")).alias("z"))
+        .select(
+            F.col("z.ls").alias("l"), F.col("z.rs").alias("r"), "cnt"
+        )
+        .groupBy("l", "r")
+        .agg(F.sum("cnt").alias("c"))
+    )
+
+
+def merge_pattern(left: str, right: str) -> tuple[str, str]:
+    """(search, replacement) literals realizing the merge of (l, r)
+    on the delimited representation."""
+    return (
+        SOH + left + EOT + SOH + right + EOT,
+        SOH + left + right + EOT,
+    )
+
+
+def bpe_learn(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 6,
+    top_words: Optional[int] = None,
+) -> tuple[list[Merge], DataFrame]:
+    """Learn ``n_merges`` BPE merges over the corpus; returns the
+    ordered merge table and the final encoded vocabulary (s, cnt)
+    with every merge applied.
+
+    The vocabulary is persisted ONCE; each learned merge appends one
+    literal JVM ``replace`` to the expression chain, so iteration i
+    re-reads the cached vocab through i codegen replaces (cheap map
+    work — the vocab is orders of magnitude smaller than the corpus).
+    Per iteration the only driver traffic is the 1-row argmax collect.
+    Production trainers run thousands of merges over a ``top_words``-
+    capped vocabulary; only the loop count changes — per-merge cost is
+    vocab-bounded, never corpus-bounded."""
+    if n_merges < 0:
+        raise ValueError("n_merges must be >= 0")
+    base = symbolize(word_vocab(docs, text_col, top_words)).persist()
+    merges: list[Merge] = []
+    enc = base
+    try:
+        for i in range(n_merges):
+            top = (
+                _pair_counts(enc)
+                .orderBy(F.col("c").desc(), "l", "r")
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break  # vocabulary fully merged — nothing left to pair
+            l, r, c = top[0]["l"], top[0]["r"], int(top[0]["c"])
+            merges.append(Merge(i + 1, l, r, c))
+            pat, rep = merge_pattern(l, r)
+            enc = enc.withColumn(
+                "s", F.replace(F.col("s"), F.lit(pat), F.lit(rep))
+            )
+    finally:
+        # no cache leaks across the ~150-query registry: the returned
+        # frame recomputes its (cheap, vocab-sized) lineage lazily if
+        # a consumer materializes it after the loop
+        base.unpersist()
+    return merges, enc
+
+
+def token_counts(enc: DataFrame, top_n: Optional[int] = None) -> DataFrame:
+    """(tok, n_occurrences): learned-token occurrence counts over the
+    encoded vocabulary — the distributed check that every merge was
+    applied identically on every word. One explode + one token-key
+    shuffle; ``top_n`` bounds the result via TakeOrdered on
+    (n desc, tok)."""
+    syms = F.split(
+        F.expr("substring(s, 2, length(s)-2)"), EOT + SOH
+    ).alias("tok")
+    out = (
+        enc.select(F.explode(syms).alias("tok"), "cnt")
+        .groupBy("tok")
+        .agg(F.sum("cnt").alias("n_occurrences"))
+    )
+    if top_n is not None:
+        out = out.orderBy(F.col("n_occurrences").desc(), "tok").limit(top_n)
+    return out

@@ -3011,3 +3011,119 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         n(_PII_IP).alias("n_ips"),
         clean.alias("clean_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer induction (r11): learn the merge table over the corpus
+# — the tokenizer-training job of an LLM data pipeline. The iterative
+# algorithm is oracle-matched the same way the Lloyd loop is: the
+# oracle replays every merge as a generated CTE chain, so Spark and
+# DuckDB cannot drift on the argmax pair, the tie-break, or the
+# greedy-left-to-right rewrite semantics (both engines' replace() is
+# leftmost-non-overlapping on the self-delimiting symbol encoding —
+# see operators/tokenizer.py).
+# ---------------------------------------------------------------------------
+
+_BPE_N = 6          # gate-sized merge count (production: thousands)
+_BPE_TOP = 30       # token-count result bound
+
+
+def _bpe_oracle_ctes(n_merges: int) -> str:
+    """CTE chain replaying BPE learning in DuckDB: w0 = symbolized
+    word vocabulary, then per merge i a pair-count CTE (p{i}), the
+    argmax-pair CTE (b{i}, tie-break (c DESC, l, r) — identical to
+    the Spark orderBy), and the rewrite CTE (w{i+1}, plain replace
+    with the same self-delimiting pattern literals)."""
+    soh, eot = chr(30), chr(31)
+    parts = [f"""
+    WITH w0 AS (
+        SELECT regexp_replace(w, '(.)', '{soh}\\1{eot}', 'g') AS s, cnt
+        FROM (
+            SELECT w, COUNT(*) AS cnt
+            FROM (
+                SELECT unnest(string_split(trim(regexp_replace(
+                           lower(text), '\\s+', ' ', 'g')), ' ')) AS w
+                FROM documents WHERE text IS NOT NULL
+            ) AS toks
+            WHERE w <> '' GROUP BY w
+        ) AS vocab
+    )"""]
+    for i in range(n_merges):
+        parts.append(f"""
+    , p{i} AS (
+        SELECT syms[j] AS l, syms[j+1] AS r, SUM(cnt) AS c
+        FROM (
+            SELECT string_split(substring(s, 2, length(s)-2),
+                                '{eot}{soh}') AS syms, cnt
+            FROM w{i}
+        ) AS e, unnest(generate_series(1, len(syms) - 1)) AS t(j)
+        GROUP BY l, r
+    ), b{i} AS (
+        SELECT l, r, c FROM p{i} ORDER BY c DESC, l, r LIMIT 1
+    ), w{i + 1} AS (
+        SELECT replace(s, '{soh}' || b.l || '{eot}{soh}' || b.r || '{eot}',
+                       '{soh}' || b.l || b.r || '{eot}') AS s, cnt
+        FROM w{i}, b{i} AS b
+    )""")
+    return "".join(parts)
+
+
+_BPE_MERGES_ORACLE = _bpe_oracle_ctes(_BPE_N) + "\n" + "\nUNION ALL".join(
+    f"""
+    SELECT CAST({i + 1} AS INT) AS merge_rank, l AS left_sym,
+           r AS right_sym, l || r AS merged,
+           CAST(c AS BIGINT) AS pair_count
+    FROM b{i}"""
+    for i in range(_BPE_N)
+)
+
+_BPE_TOKENS_ORACLE = _bpe_oracle_ctes(_BPE_N) + f"""
+    SELECT tok, CAST(SUM(cnt) AS BIGINT) AS n_occurrences
+    FROM (
+        SELECT unnest(string_split(substring(s, 2, length(s)-2),
+                                   '{chr(31)}{chr(30)}')) AS tok, cnt
+        FROM w{_BPE_N}
+    ) AS e
+    GROUP BY tok
+    ORDER BY n_occurrences DESC, tok
+    LIMIT {_BPE_TOP}
+"""
+
+
+@register("text_bpe_merges", oracle=_BPE_MERGES_ORACLE)
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-table learning (Sennrich et al. 2016) — the ordered
+    merge rules themselves. Scale shape per operators/tokenizer.py:
+    one corpus aggregate to the word vocabulary, then per merge a
+    vocab-sized pair count (slice + arrays_zip, pure JVM), ONE 1-row
+    argmax collect (the Lloyd bounded-collect law), and a codegen
+    literal replace. The oracle replays the identical algorithm as a
+    generated CTE chain — argmax, tie-break, and greedy rewrite all
+    engine-matched."""
+    from mldag_spark.operators.tokenizer import bpe_learn
+
+    docs = load(spark, sf_dir, "documents")
+    merges, _enc = bpe_learn(docs, "text", n_merges=_BPE_N)
+    return spark.createDataFrame(
+        [
+            (m.rank, m.left, m.right, m.left + m.right, m.count)
+            for m in merges
+        ],
+        "merge_rank int, left_sym string, right_sym string, "
+        "merged string, pair_count long",
+    )
+
+
+@register("text_bpe_token_counts", oracle=_BPE_TOKENS_ORACLE)
+def text_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned-token occurrence counts after the full merge sequence —
+    the DISTRIBUTED check of BPE training: any divergence in any
+    merge's rewrite on any word in the vocabulary shows up in these
+    totals (far stronger than checking the merge table alone, which a
+    vacuously-agreeing pair ordering could satisfy). Top-30 by
+    (count desc, token) via TakeOrdered."""
+    from mldag_spark.operators.tokenizer import bpe_learn, token_counts
+
+    docs = load(spark, sf_dir, "documents")
+    _merges, enc = bpe_learn(docs, "text", n_merges=_BPE_N)
+    return token_counts(enc, top_n=_BPE_TOP)

@@ -1394,3 +1394,147 @@ def test_pii_scrub_operator_edges(spark, tmp_path):
     assert rows[2]["n_emails"] == 1 and rows[2]["n_ips"] == 1
     assert "version 1.2 only" in rows[2]["clean_text"]
     assert " @ " in rows[2]["clean_text"]
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer induction (r11): textbook-reference parity
+# ---------------------------------------------------------------------------
+def _ref_bpe(word_counts: dict, n_merges: int):
+    """Textbook BPE (Sennrich et al. 2016 get_stats/merge_vocab) on
+    symbol tuples: argmax pair by (count desc, lexicographic pair),
+    greedy left-to-right non-overlapping merge within each word."""
+    vocab = {}
+    for w, c in word_counts.items():
+        key = tuple(w)
+        vocab[key] = vocab.get(key, 0) + c
+    merges = []
+    for _ in range(n_merges):
+        stats = {}
+        for syms, c in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                stats[(a, b)] = stats.get((a, b), 0) + c
+        if not stats:
+            break
+        (l, r), c = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((l, r, c))
+        new = {}
+        for syms, cnt in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new[key] = new.get(key, 0) + cnt
+        vocab = new
+    tokens = {}
+    for syms, c in vocab.items():
+        for s in syms:
+            tokens[s] = tokens.get(s, 0) + c
+    return merges, tokens
+
+
+def _bpe_docs(spark, word_counts):
+    # one document per word occurrence keeps the corpus→vocab
+    # aggregation itself under test (not just the merge loop)
+    rows, did = [], 0
+    for w, c in word_counts.items():
+        for _ in range(c):
+            rows.append((did, w))
+            did += 1
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _spark_tokens(enc_df):
+    from mldag_spark.operators.tokenizer import token_counts
+
+    return {
+        r["tok"]: r["n_occurrences"]
+        for r in token_counts(enc_df).collect()
+    }
+
+
+def test_bpe_matches_textbook_reference_with_runs_and_ties(spark):
+    from mldag_spark.operators.tokenizer import bpe_learn
+
+    # runs ('aaaaa' → aa aa a under greedy left-to-right), a count
+    # tie broken lexicographically ((a,b) vs (c,d)), and multi-char
+    # merged symbols merging again in later rounds
+    wc = {"aaaaa": 3, "ab": 5, "cd": 5, "abab": 2, "abcd": 1}
+    merges, enc = bpe_learn(_bpe_docs(spark, wc), n_merges=5)
+    ref_merges, ref_tokens = _ref_bpe(wc, 5)
+    assert [(m.left, m.right, m.count) for m in merges] == ref_merges
+    assert _spark_tokens(enc) == ref_tokens
+
+
+def test_bpe_run_merge_is_greedy_left_to_right(spark):
+    from mldag_spark.operators.tokenizer import bpe_learn
+
+    merges, enc = bpe_learn(_bpe_docs(spark, {"aaaaa": 1}), n_merges=1)
+    assert (merges[0].left, merges[0].right, merges[0].count) == (
+        "a", "a", 4,  # overlapping pairs all counted, per get_stats
+    )
+    # aa aa a — NOT aa a aa (the bare-separator encoding's failure)
+    assert _spark_tokens(enc) == {"aa": 2, "a": 1}
+
+
+def test_bpe_randomized_against_reference(spark):
+    import numpy as np
+
+    from mldag_spark.operators.tokenizer import bpe_learn
+
+    rng = np.random.RandomState(42)
+    alphabet = "abc"
+    for trial in range(3):
+        wc = {}
+        for _ in range(12):
+            w = "".join(
+                alphabet[i] for i in rng.randint(0, 3, rng.randint(1, 7))
+            )
+            wc[w] = wc.get(w, 0) + int(rng.randint(1, 5))
+        n = int(rng.randint(1, 7))
+        merges, enc = bpe_learn(_bpe_docs(spark, wc), n_merges=n)
+        ref_merges, ref_tokens = _ref_bpe(wc, n)
+        assert [(m.left, m.right, m.count) for m in merges] == ref_merges
+        assert _spark_tokens(enc) == ref_tokens
+
+
+def test_bpe_character_mass_is_invariant(spark):
+    # merging never creates or destroys characters: sum over learned
+    # tokens of len(token) * occurrences == total corpus characters
+    from mldag_spark.functions import tokenize
+    from mldag_spark.operators.tokenizer import bpe_learn
+
+    from pyspark.sql import functions as F
+
+    from mldag_spark.queries.tables import load
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents").limit(120)
+    _m, enc = bpe_learn(docs, n_merges=4)
+    toks = _spark_tokens(enc)
+    mass = sum(len(t) * c for t, c in toks.items())
+    expect = (
+        docs.select(
+            F.explode(tokenize(F.col("text"))).alias("w")
+        )
+        .filter(F.length("w") > 0)
+        .agg(F.sum(F.length("w")))
+        .collect()[0][0]
+    )
+    assert mass == expect
+
+
+def test_bpe_top_words_cap_bounds_the_vocab(spark):
+    from mldag_spark.operators.tokenizer import bpe_learn, word_vocab
+
+    docs = _bpe_docs(spark, {"aa": 9, "bb": 5, "cc": 1, "dd": 1})
+    capped = word_vocab(docs, top_words=2)
+    assert {r["w"] for r in capped.collect()} == {"aa", "bb"}
+    # learning over the cap only sees the kept words
+    merges, _ = bpe_learn(docs, n_merges=1, top_words=2)
+    assert (merges[0].left, merges[0].right, merges[0].count) == (
+        "a", "a", 9,
+    )

@@ -438,6 +438,26 @@ def test_image_decode_is_map_only_no_shuffle(spark, registry):
     assert "Exchange" not in final, final
 
 
+def test_bpe_pair_counts_are_jvm_native_single_shuffle(spark):
+    # the per-merge hot stage of BPE learning runs once per merge over
+    # the vocabulary: it must stay whole-stage-codegen JVM (slice +
+    # arrays_zip + explode — NO Python eval, NO interpreted
+    # higher-order transform(): the k-means k-scan lesson) with
+    # exactly the one (l, r)-key aggregate exchange
+    from mldag_spark.operators.tokenizer import (
+        _pair_counts,
+        symbolize,
+        word_vocab,
+    )
+    from mldag_spark.queries.tables import load
+
+    docs = load(spark, SF_DIR, "documents")
+    plan = _plan(_pair_counts(symbolize(word_vocab(docs))))
+    assert "EvalPython" not in plan, plan
+    assert "transform(" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_video_decode_is_map_only_no_shuffle(spark, registry):
     # same law for the Y4M round-trip: encode → ship binary → parse →
     # frame-sample is per-row work; NO Exchange may appear
