@@ -389,3 +389,230 @@ def banded_signature_udf(dim: int, n_bands: int, band_bits: int):
         return pd.Series(list(buckets))
 
     return _sig
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011, "Product Quantization for
+# Nearest Neighbor Search") — the memory side of ANN at 100 TB: a
+# 64-dim float32 vector is 256 bytes; its PQ code is m bytes (32x
+# smaller at m=8). The index that must be scanned per query is the
+# CODES table, so the working set — and the shuffle, if any stage
+# needs one — shrinks by the same factor. Search is ADC (asymmetric
+# distance computation): each query precomputes an (m × ksub) lookup
+# table of subspace distances to every centroid, and a candidate's
+# approximate distance is m table lookups, no float math per
+# dimension. True cosine is recomputed on the top-R refine set, so
+# reported scores are exact (the IVF/LSH contract).
+# ---------------------------------------------------------------------------
+
+
+def pq_train(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 8,
+    ksub: int = 16,
+    seed: int = 42,
+) -> np.ndarray:
+    """Train the (m, ksub, dim/m) PQ codebooks: the vector column is
+    sliced into ``m`` subspaces and each gets an independent
+    ``pyspark.ml`` KMeans of ``ksub`` centers over UNIT-NORMALIZED
+    vectors (normalization makes subspace L2 rank-equivalent to
+    cosine downstream). m distributed fits over the corpus; the model
+    is m·ksub·(dim/m) = dim·ksub floats — a few KB that rides in task
+    closures forever after ("broadcast the model", never the data).
+    Production trains on a sample (pass ``corpus.sample(...)``); only
+    the fit input changes."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    dim = len(corpus.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    unit = _unit_normalized(corpus, vec_col)
+    books = []
+    for j in range(m):
+        sub = unit.select(
+            array_to_vector(
+                F.slice(F.col("_uv"), j * dsub + 1, dsub)
+            ).alias("_feat")
+        )
+        km = KMeans(
+            k=ksub, seed=seed + j, featuresCol="_feat",
+            predictionCol="_c",
+        )
+        books.append(
+            np.array([np.asarray(c) for c in km.fit(sub).clusterCenters()])
+        )
+    return np.stack(books)  # (m, ksub, dsub)
+
+
+def _unit_normalized(df: DataFrame, vec_col: str) -> DataFrame:
+    """Adds ``_uv`` = vec / ||vec|| (JVM expressions; zero vectors
+    pass through unscaled rather than dividing by zero)."""
+    v = _as_double(F.col(vec_col))
+    nrm = F.sqrt(
+        F.aggregate(
+            v, F.lit(0.0), lambda acc, x: acc + x * x
+        )
+    )
+    return df.withColumn(
+        "_uv",
+        F.when(nrm == 0, v).otherwise(
+            F.transform(v, lambda x: x / nrm)
+        ),
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, code binary): each vector quantized to m uint8
+    subspace-centroid ids — m BYTES per vector. Map-only Arrow
+    kernel: per batch, per subspace, one ||x||²+||c||²−2·X@Cᵀ matmul
+    and an argmin; the codebooks ride in the closure. No shuffle —
+    the codes table inherits the scan partitioning."""
+    m, ksub, dsub = codebooks.shape
+    if ksub > 256:
+        raise ValueError("ksub must fit a uint8 code")
+    cb = codebooks.astype(np.float64)
+    cn = (cb * cb).sum(axis=2)  # (m, ksub)
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"vec_id": [], "code": []})
+                continue
+            X = np.array(list(pdf["_uv"]), dtype=np.float64)
+            n = len(X)
+            Xs = X.reshape(n, m, dsub)
+            codes = np.empty((n, m), dtype=np.uint8)
+            for j in range(m):
+                d = cn[j][None, :] - 2.0 * (Xs[:, j, :] @ cb[j].T)
+                codes[:, j] = np.argmin(d, axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "code": [c.tobytes() for c in codes],
+                }
+            )
+
+    return (
+        _unit_normalized(corpus, vec_col)
+        .select(F.col(id_col).alias("vec_id"), "_uv")
+        .mapInPandas(kernel, "vec_id long, code binary")
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    refine: int = 50,
+) -> DataFrame:
+    """PQ/ADC approximate top-k with exact refine.
+
+    Stage 1 (ADC scan — the scale path): the bounded query set is
+    collected once (the brute-force/IVF bounded-collect contract),
+    each query's (m × ksub) distance lookup table is computed from
+    the codebooks, and an Arrow kernel scans the CODES table — m
+    bytes per corpus row — emitting per-batch partial top-``refine``
+    candidates per query (argpartition, vectorized lookups; no float
+    math per dimension). A ranking window keeps the global
+    top-``refine``.
+
+    Stage 2 (exact refine): candidates equi-join back to the corpus
+    vectors by id (only refine·|Q| rows move), true cosine is
+    computed (Arrow BLAS), and the final window emits exact-scored
+    (query_id, neighbor_id, cos, rk) — the IVF/LSH output contract:
+    approximate candidate set, exact reported scores."""
+    m, ksub, dsub = codebooks.shape
+    cb = codebooks.astype(np.float64)
+
+    q = (
+        _unit_normalized(queries, vec_col)
+        .select(F.col(id_col).alias("query_id"), "_uv")
+        .collect()
+    )
+    if not q:
+        raise ValueError("empty query set")
+    qids = np.array([r["query_id"] for r in q], dtype=np.int64)
+    Q = np.array([r["_uv"] for r in q], dtype=np.float64)
+    Qs = Q.reshape(len(q), m, dsub)
+    # LUT[q, j, c] = ||q_j - c||² up to the per-query constant ||q_j||²
+    # (constant per query → rank-free): -2·q_j·c + ||c||²
+    cn = (cb * cb).sum(axis=2)
+    lut = np.stack(
+        [cn[j][None, :] - 2.0 * (Qs[:, j, :] @ cb[j].T) for j in range(m)],
+        axis=1,
+    )  # (n_q, m, ksub)
+
+    codes = pq_encode(corpus, codebooks, id_col, vec_col)
+
+    def adc_kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            C = np.frombuffer(
+                b"".join(pdf["code"]), dtype=np.uint8
+            ).reshape(len(ids), m)
+            # approx distance of every corpus row to every query:
+            # sum of m table lookups — (n, n_q)
+            d = np.zeros((len(ids), len(qids)), dtype=np.float64)
+            for j in range(m):
+                d += lut[:, j, :][:, C[:, j]].T
+            r = min(refine, len(ids))
+            part = np.argpartition(d, r - 1, axis=0)[:r]  # (r, n_q)
+            out_q = np.repeat(qids, r)
+            out_n = ids[part.T.ravel()]
+            out_d = np.take_along_axis(d, part, axis=0).T.ravel()
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "adc": out_d}
+            )
+
+    partial = codes.mapInPandas(
+        adc_kernel, "query_id long, neighbor_id long, adc double"
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
+    wr = Window.partitionBy("query_id").orderBy(
+        F.asc("adc"), F.asc("neighbor_id")
+    )
+    cand = (
+        partial.withColumn("_r", F.row_number().over(wr))
+        .filter(F.col("_r") <= refine)
+        .select("query_id", "neighbor_id")
+    )
+
+    qdf = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("qv"),
+    )
+    cvec = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("cv"),
+    )
+    sims = (
+        cand.join(cvec, "neighbor_id")
+        .join(F.broadcast(qdf), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _cosine_arrow()(F.col("qv"), F.col("cv")), 6
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        sims.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cos", "rk")
+    )

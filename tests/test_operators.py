@@ -125,6 +125,31 @@ def test_ivf_topk_recall_and_exact_scores(spark, sf_dir):
     assert hits / len(bf) > 0.4  # loose recall floor at n_probe=2/4
 
 
+def test_pq_topk_recall_and_exact_scores(spark, sf_dir):
+    """PQ/ADC candidates carry exact cosine (refine recomputes it);
+    recall@5 vs brute force at the registered config (m=16, ksub=16,
+    refine=100) measured 0.96 on this table — pin a 0.8 floor."""
+    from mldag_spark.operators.similarity import pq_topk, pq_train
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    bf = {
+        (r["query_id"], r["neighbor_id"]): r["cos"]
+        for r in brute_force_topk(emb, q, k=5).collect()
+    }
+    books = pq_train(emb, m=16, ksub=16)
+    assert books.shape == (16, 16, 4)  # (m, ksub, dim/m) for 64 dims
+    pq = pq_topk(emb, q, books, k=5, refine=100).collect()
+    assert len(pq) > 0
+    for r in pq:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in bf:
+            assert r["cos"] == pytest.approx(bf[key], abs=1e-6)
+    hits = sum(1 for r in pq if (r["query_id"], r["neighbor_id"]) in bf)
+    assert hits / len(bf) >= 0.8
+
+
 def test_winnow_fingerprints_dup_and_overlap(spark):
     from mldag_spark.functions import winnow_fingerprints
 
