@@ -106,6 +106,13 @@ QUERIES = (
     # r11 late ops: Gopher coverage-form repetition rules + PII scrub
     "text_ngram_coverage_stats",
     "text_pii_scrub",
+    # r11 final wave: real Y4M video codec, BPE induction (merge
+    # learning is iterative — the row measures per-merge overhead),
+    # the distributed BPE rewrite, and PQ/ADC ANN
+    "multimodal_video_decode",
+    "text_bpe_merges",
+    "text_bpe_token_counts",
+    "ann_pq_topk",
 )
 
 # VERDICT r6 #6: every scale row now gets a 30x datapoint (was 12/26)
@@ -164,6 +171,10 @@ SF3_QUERIES = (
     "multimodal_image_decode",
     "text_ngram_coverage_stats",
     "text_pii_scrub",
+    "multimodal_video_decode",
+    "text_bpe_merges",
+    "text_bpe_token_counts",
+    "ann_pq_topk",
     # ...heaviest (prefix-join + closure) last: even with per-query
     # session recovery, a JVM death costs every later row its warm cache
     "dedup_ngram_jaccard",

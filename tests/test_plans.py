@@ -556,3 +556,19 @@ def test_semdedup_window_key_is_composite_and_no_cartesian(spark, registry):
     plan = _plan(registry["dedup_semantic_clusters"](spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "windowspecdefinition(cid" in plan and "bkt" in plan, plan
+
+
+def test_pq_codes_table_is_map_only_no_shuffle(spark):
+    # the PQ index build (normalize → encode) is the stage that runs
+    # over the full 100 TB corpus: it must compose map-only — an
+    # Exchange here would shuffle raw vectors to produce a codes table
+    # that inherits the scan partitioning by design
+    from mldag_spark.operators.similarity import pq_encode, pq_train
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    books = pq_train(emb, m=8, ksub=16)
+    plan = _plan(pq_encode(emb, books))
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Exchange" not in final, final
+    # the codebooks ride in the closure: no join against a model table
+    assert "Join" not in final, final
