@@ -589,6 +589,22 @@ def pq_topk(
         .select("query_id", "neighbor_id")
     )
 
+    return _exact_refine(cand, corpus, queries, id_col, vec_col, k)
+
+
+def _exact_refine(
+    cand: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+) -> DataFrame:
+    """Shared PQ/IVFPQ refine tail: (query_id, neighbor_id) candidate
+    pairs equi-join back to the corpus vectors by id (only
+    refine·|Q| rows move), TRUE cosine is computed (Arrow BLAS), and
+    the ranking window emits exact-scored (query_id, neighbor_id,
+    cos, rk) — approximate candidate set, exact reported scores."""
     qdf = queries.select(
         F.col(id_col).alias("query_id"),
         _as_double(F.col(vec_col)).alias("qv"),
@@ -616,3 +632,247 @@ def pq_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "cos", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ (Jégou et al. 2011 §V) — the composition production indexes
+# actually ship (FAISS IVFPQ): a coarse quantizer routes each vector
+# to one of n_lists cells and PQ encodes the RESIDUAL x − c(x), so
+# the per-cell codes see a tighter distribution than raw vectors and
+# each query scans only its n_probe cells' codes — both the IVF scan
+# reduction (n_probe/n_lists of the corpus) and the PQ memory
+# reduction (m bytes/vector) at once. At 100 TB the codes table is
+# written PARTITIONED BY cell, so the isin(probed cells) filter
+# becomes partition pruning and a query touches only its cells'
+# files.
+# ---------------------------------------------------------------------------
+
+
+def ivfpq_train(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    n_lists: int = 8,
+    m: int = 8,
+    ksub: int = 16,
+    seed: int = 42,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Train (coarse centroids (n_lists, dim), residual PQ codebooks
+    (m, ksub, dim/m)). The coarse quantizer is one distributed
+    ``pyspark.ml`` KMeans over unit-normalized vectors; residuals are
+    computed map-only (centroid matrix in the closure) and each
+    subspace gets an independent KMeans over the residual slice. The
+    whole model is (n_lists + ksub)·dim floats — closure-sized.
+    Production trains on a sample; only the fit input changes."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    dim = len(corpus.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    unit = _unit_normalized(corpus, vec_col).select(
+        array_to_vector("_uv").alias("_feat")
+    )
+    km = KMeans(k=n_lists, seed=seed, featuresCol="_feat",
+                predictionCol="_c")
+    coarse = np.array(
+        [np.asarray(c) for c in km.fit(unit).clusterCenters()]
+    )
+
+    res = _residuals(corpus.select(vec_col), coarse, vec_col).select("_res")
+    books = []
+    for j in range(m):
+        sub = res.select(
+            array_to_vector(
+                F.slice(F.col("_res"), j * dsub + 1, dsub)
+            ).alias("_feat")
+        )
+        kmj = KMeans(k=ksub, seed=seed + 1 + j, featuresCol="_feat",
+                     predictionCol="_c")
+        books.append(
+            np.array([np.asarray(c) for c in kmj.fit(sub).clusterCenters()])
+        )
+    return coarse, np.stack(books)
+
+
+def _residuals(
+    corpus: DataFrame, coarse: np.ndarray, vec_col: str
+) -> DataFrame:
+    """Map-only (original columns minus ``vec_col``, cell int,
+    _res array<double>): unit-normalize, assign the nearest coarse
+    centroid (one matmul per Arrow batch; ties to the lower cell
+    id), subtract it. The raw vector column is dropped IN the kernel
+    — encode ships m-byte codes, not 8·dim-byte doubles. The SAME
+    kernel serves train, encode, and any re-assignment, so the cell
+    arithmetic cannot drift between stages."""
+    cm = coarse.astype(np.float64)
+    cn = (cm * cm).sum(axis=1)
+
+    cols = [f.name for f in corpus.schema.fields if f.name != vec_col]
+    out_schema = ", ".join(
+        [corpus.schema[c].simpleString().replace(":", " ", 1) for c in cols]
+        + ["cell int", "_res array<double>"]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(list(pdf["_uv"]), dtype=np.float64)
+            d = cn[None, :] - 2.0 * (X @ cm.T)
+            cell = np.argmin(d, axis=1)
+            res = X - cm[cell]
+            out = pdf.drop(columns=["_uv", vec_col]).copy()
+            out["cell"] = cell.astype(np.int32)
+            out["_res"] = list(res)
+            yield out
+
+    return _unit_normalized(corpus, vec_col).mapInPandas(kernel, out_schema)
+
+
+def ivfpq_encode(
+    corpus: DataFrame,
+    coarse: np.ndarray,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, cell, code binary): cell assignment + residual PQ
+    codes, map-only (both models ride in closures, no shuffle, no
+    model-table join — plan-pinned). m uint8 codes + an int cell id
+    per vector; at scale, write this ``partitionBy("cell")``."""
+    m, ksub, dsub = codebooks.shape
+    if ksub > 256:
+        raise ValueError("ksub must fit a uint8 code")
+    cb = codebooks.astype(np.float64)
+    cn = (cb * cb).sum(axis=2)  # (m, ksub)
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            R = np.array(list(pdf["_res"]), dtype=np.float64)
+            n = len(R)
+            Rs = R.reshape(n, m, dsub)
+            codes = np.empty((n, m), dtype=np.uint8)
+            for j in range(m):
+                d = cn[j][None, :] - 2.0 * (Rs[:, j, :] @ cb[j].T)
+                codes[:, j] = np.argmin(d, axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "cell": pdf["cell"],
+                    "code": [c.tobytes() for c in codes],
+                }
+            )
+
+    named = corpus.select(F.col(id_col).alias("vec_id"), vec_col)
+    return _residuals(named, coarse, vec_col).select(
+        "vec_id", "cell", "_res"
+    ).mapInPandas(kernel, "vec_id long, cell int, code binary")
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    coarse: np.ndarray,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 4,
+    refine: int = 50,
+) -> DataFrame:
+    """IVF-PQ approximate top-k with exact refine.
+
+    The bounded query set is collected once; each query picks its
+    ``n_probe`` nearest cells and precomputes one (m × ksub) ADC
+    lookup table PER PROBED CELL from the residual q − c(cell) (the
+    residual trick: distances within a cell are taken in that cell's
+    residual frame). The codes scan filters to the union of probed
+    cells (partition pruning when the codes table is written
+    partitioned by cell), groups each Arrow batch by cell, and scores
+    candidates with m table lookups each — per-batch partial
+    top-``refine`` per query, global ranking window, then the shared
+    exact-cosine refine tail (:func:`_exact_refine`)."""
+    m, ksub, dsub = codebooks.shape
+    cm = coarse.astype(np.float64)
+    cb = codebooks.astype(np.float64)
+    cbn = (cb * cb).sum(axis=2)  # (m, ksub)
+
+    q = (
+        _unit_normalized(queries, vec_col)
+        .select(F.col(id_col).alias("query_id"), "_uv")
+        .collect()
+    )
+    if not q:
+        raise ValueError("empty query set")
+    qids = np.array([r["query_id"] for r in q], dtype=np.int64)
+    Q = np.array([r["_uv"] for r in q], dtype=np.float64)
+    dq = ((cm * cm).sum(axis=1)[None, :] - 2.0 * (Q @ cm.T))
+    probed = np.argsort(dq, axis=1, kind="stable")[:, :n_probe]  # (n_q, p)
+
+    # luts[(qi, cell)] = (m, ksub) table of subspace residual distances
+    luts: dict[tuple[int, int], np.ndarray] = {}
+    for qi in range(len(qids)):
+        for cell in probed[qi]:
+            t = (Q[qi] - cm[cell]).reshape(m, dsub)
+            luts[(qi, int(cell))] = np.stack(
+                [
+                    cbn[j] - 2.0 * (cb[j] @ t[j])
+                    for j in range(m)
+                ]
+            )
+
+    cells = sorted({int(c) for row in probed for c in row})
+    codes = ivfpq_encode(corpus, coarse, codebooks, id_col, vec_col).filter(
+        F.col("cell").isin(cells)
+    )
+
+    qi_by_cell: dict[int, list[int]] = {}
+    for qi in range(len(qids)):
+        for cell in probed[qi]:
+            qi_by_cell.setdefault(int(cell), []).append(qi)
+
+    def adc_kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            frames = []
+            for cell, grp in pdf.groupby("cell"):
+                cell = int(cell)
+                ids = grp["vec_id"].to_numpy()
+                C = np.frombuffer(
+                    b"".join(grp["code"]), dtype=np.uint8
+                ).reshape(len(ids), m)
+                for qi in qi_by_cell.get(cell, ()):
+                    lut = luts[(qi, cell)]
+                    d = np.zeros(len(ids), dtype=np.float64)
+                    for j in range(m):
+                        d += lut[j][C[:, j]]
+                    r = min(refine, len(ids))
+                    part = np.argpartition(d, r - 1)[:r]
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "query_id": np.full(r, qids[qi]),
+                                "neighbor_id": ids[part],
+                                "adc": d[part],
+                            }
+                        )
+                    )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    partial = codes.mapInPandas(
+        adc_kernel, "query_id long, neighbor_id long, adc double"
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
+    wr = Window.partitionBy("query_id").orderBy(
+        F.asc("adc"), F.asc("neighbor_id")
+    )
+    cand = (
+        partial.withColumn("_r", F.row_number().over(wr))
+        .filter(F.col("_r") <= refine)
+        .select("query_id", "neighbor_id")
+    )
+    return _exact_refine(cand, corpus, queries, id_col, vec_col, k)

@@ -113,6 +113,7 @@ QUERIES = (
     "text_bpe_merges",
     "text_bpe_token_counts",
     "ann_pq_topk",
+    "ann_ivfpq_topk",
 )
 
 # VERDICT r6 #6: every scale row now gets a 30x datapoint (was 12/26)
@@ -175,6 +176,7 @@ SF3_QUERIES = (
     "text_bpe_merges",
     "text_bpe_token_counts",
     "ann_pq_topk",
+    "ann_ivfpq_topk",
     # ...heaviest (prefix-join + closure) last: even with per-query
     # session recovery, a JVM death costs every later row its warm cache
     "dedup_ngram_jaccard",
@@ -554,6 +556,79 @@ SF3_DIAGNOSES_RAW = {
         "(output-sized, never corpus x corpus) — same linear work "
         "term as the capped overlap row, plus a |docs|-row totals "
         "aggregate."
+    ),
+    "join_range_parts_in_price_band": (
+        "value-aggregated band join: both sides reduce to their "
+        "bounded value domains first (acctbal histogram x distinct "
+        "prices), the band join runs between the two bounded tables "
+        "(integer-cent buckets, probe explodes to bucket +/-1, exact "
+        "band residual), and per-price counts broadcast back "
+        "map-only — the pair-level alternative measured 66x at 30x "
+        "and was rejected."
+    ),
+    "dedup_substring_spans": (
+        "rolling W-token windows are map-only (zip-slice + "
+        "posexplode); ONE groupBy(window-fingerprint) for the "
+        "distinct-doc count; the join-back is window-keyed linear "
+        "and run-merging (pos - row_number) is a per-doc window "
+        "over matched positions only — no pairwise joins anywhere."
+    ),
+    "multimodal_image_decode": (
+        "encode -> ship binary -> spec-correct stdlib PNG parse is "
+        "a per-row Arrow pipeline with NO Exchange (plan-pinned); "
+        "growth is the per-row zlib+filter work, rows-linear."
+    ),
+    "text_ngram_coverage_stats": (
+        "per-doc repetition rules: n-gram windows are map-only "
+        "zip-slices, the interval-union coverage is one lead() "
+        "window per doc over matched positions, and the rollup is "
+        "a bounded per-doc aggregate — nothing crosses documents."
+    ),
+    "text_pii_scrub": (
+        "regex redaction is a map-only projection (JVM "
+        "regexp_replace chain, no Python); the gate's byte-exact "
+        "scrubbed text rides the same scan — rows-linear by "
+        "construction."
+    ),
+    "multimodal_video_decode": (
+        "encode -> ship binary -> spec-correct Y4M parse with "
+        "every-k-th-frame luma sampling is a per-row Arrow pipeline "
+        "with NO Exchange (plan-pinned); growth is the per-row "
+        "plane-walk work, rows-linear."
+    ),
+    "text_bpe_merges": (
+        "merge learning is vocabulary-sized, not corpus-sized: ONE "
+        "corpus aggregate builds the capped (word, count) vocab, "
+        "then each of the fixed n_merges rounds runs a vocab-sized "
+        "JVM pair count + a 1-row argmax collect — corpus growth "
+        "only touches the first aggregate, so the curve flattens "
+        "toward the per-merge constant."
+    ),
+    "text_bpe_token_counts": (
+        "the distributed rewrite check: the learned merge table "
+        "(<= n_merges rows) applies as a codegen literal-replace "
+        "chain over the vocabulary, then one token explode + "
+        "groupBy — growth is the corpus aggregate plus a "
+        "vocab-sized rewrite, data-linear."
+    ),
+    "ann_pq_topk": (
+        "codebook training reads a FIXED 2048-vector sample "
+        "(constant at any corpus size, the FAISS convention); "
+        "encode is map-only (m bytes/vector, no shuffle, "
+        "plan-pinned); the ADC scan reads the CODES table — m table "
+        "lookups per candidate — emitting per-batch partial "
+        "top-refine, and the exact-cosine refine joins only "
+        "refine x |Q| rows. Growth is encode + the codes scan, "
+        "rows-linear at fixed |Q|."
+    ),
+    "ann_ivfpq_topk": (
+        "the FAISS composition: coarse cells route the scan "
+        "(isin(probed cells) — partition pruning once the codes "
+        "table is written partitionBy(cell)), residual PQ codes "
+        "shrink what the scan reads to m bytes/vector, both "
+        "quantizers train on the fixed 2048-vector sample. Growth "
+        "is cell assignment + encode (map-only) plus the probed "
+        "fraction of the codes scan."
     ),
 }
 

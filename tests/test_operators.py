@@ -128,8 +128,10 @@ def test_ivf_topk_recall_and_exact_scores(spark, sf_dir):
 def test_pq_topk_recall_and_exact_scores(spark, sf_dir):
     """PQ/ADC candidates carry exact cosine (refine recomputes it);
     recall@5 vs brute force at the registered config (m=16, ksub=16,
-    refine=100) measured 0.96 on this table — pin a 0.8 floor."""
+    refine=100, codebooks trained on the fixed 2048-vector sample)
+    measured 0.96 on this table — pin a 0.8 floor."""
     from mldag_spark.operators.similarity import pq_topk, pq_train
+    from mldag_spark.queries.vectors import _train_sample
     from pyspark.sql import functions as F
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -138,7 +140,7 @@ def test_pq_topk_recall_and_exact_scores(spark, sf_dir):
         (r["query_id"], r["neighbor_id"]): r["cos"]
         for r in brute_force_topk(emb, q, k=5).collect()
     }
-    books = pq_train(emb, m=16, ksub=16)
+    books = pq_train(_train_sample(emb), m=16, ksub=16)
     assert books.shape == (16, 16, 4)  # (m, ksub, dim/m) for 64 dims
     pq = pq_topk(emb, q, books, k=5, refine=100).collect()
     assert len(pq) > 0
@@ -148,6 +150,42 @@ def test_pq_topk_recall_and_exact_scores(spark, sf_dir):
             assert r["cos"] == pytest.approx(bf[key], abs=1e-6)
     hits = sum(1 for r in pq if (r["query_id"], r["neighbor_id"]) in bf)
     assert hits / len(bf) >= 0.8
+
+
+def test_ivfpq_topk_recall_exact_scores_and_code_shape(spark, sf_dir):
+    """IVF-PQ: residual codes route through probed cells only; refine
+    recomputes exact cosine. Recall at n_probe=half the cells with a
+    PQ-refine of 100 should clear the IVF floor."""
+    from mldag_spark.operators.similarity import (
+        ivfpq_encode,
+        ivfpq_topk,
+        ivfpq_train,
+    )
+    from mldag_spark.queries.vectors import _train_sample
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    coarse, books = ivfpq_train(_train_sample(emb), n_lists=4, m=16, ksub=16)
+    assert coarse.shape == (4, 64) and books.shape == (16, 16, 4)
+
+    codes = ivfpq_encode(emb, coarse, books).collect()
+    assert len(codes) == emb.count()
+    assert all(len(r["code"]) == 16 for r in codes)  # m bytes per vector
+    assert all(0 <= r["cell"] < 4 for r in codes)
+
+    bf = {
+        (r["query_id"], r["neighbor_id"]): r["cos"]
+        for r in brute_force_topk(emb, q, k=5).collect()
+    }
+    res = ivfpq_topk(emb, q, coarse, books, k=5, n_probe=2, refine=100).collect()
+    assert len(res) > 0
+    for r in res:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in bf:
+            assert r["cos"] == pytest.approx(bf[key], abs=1e-6)
+    hits = sum(1 for r in res if (r["query_id"], r["neighbor_id"]) in bf)
+    assert hits / len(bf) > 0.4  # the IVF floor at n_probe=2/4
 
 
 def test_winnow_fingerprints_dup_and_overlap(spark):
