@@ -87,8 +87,19 @@ _GATE_ORDER = [
     "corpus_source_overlap",
     "corpus_zipf_slope",
     # Decontamination — the summary-stats half rotates in; the filter
-    # half banks after two green gated rounds
+    # half banks after two green gated rounds.
+    # r11 late rotation #3: the r11-NEW broadcast-bloom
+    # decontamination path enters debut-gated per the standing norm
+    # (hash-verified at sf0.001 + sf0.01 via scripts/check_oracle.py
+    # before entering; its oracle replays the EXACT bloom arithmetic,
+    # deterministic false positives included, so the gate is
+    # non-vacuous by construction). sample_global_shuffle banks
+    # after two green gated rounds (r9-r10) to make room — the
+    # sampling category keeps five window entries including the
+    # pinned deterministic split, and the global-shuffle pattern
+    # stays under its SCALING row + the continuous sf0.001 sweep.
     "contamination_check",
+    "text_decontaminate_bloom",
     # Deduplication (jaccard/cluster-stats/keep-representatives bank
     # multi-round green; the LSH + components pins stay, the r9-new
     # pair ops keep their driver proof). r11: dedup_overlap_pairs
@@ -110,7 +121,6 @@ _GATE_ORDER = [
     "text_pii_scrub",
     # Sampling / splits (r10: the four never-gated sampling patterns)
     "sample_deterministic_split",
-    "sample_global_shuffle",
     "sample_balanced_per_lang",
     "sample_kfold_assignment",
     "sample_source_cap",

@@ -1,0 +1,124 @@
+"""Broadcast Bloom-filter membership — the no-shuffle side channel
+for anti-join-shaped ops (decontamination, blocklists, seen-before
+checks).
+
+The exact decontamination pass (`queries/text.py
+text_decontaminate_filter`) is an inverted-index equality join: every
+TRAIN shingle is shuffled at least once. But the right side of that
+join — the benchmark/test corpus — is SMALL by construction, which is
+exactly the shape a Bloom filter collapses: build an m-bit filter
+over the test shingles once (one bounded pass), broadcast the bitmap
+(m/8 bytes rides in a task closure), and the 100 TB train side is
+probed MAP-ONLY — no shuffle of corpus shingles at all. The price is
+a deterministic, arithmetic-defined false-positive set (extra drops,
+never missed contamination — the safe direction for
+decontamination).
+
+Spark 4.1 registers ``bloom_filter_agg`` but not ``might_contain``,
+and its filter binary is engine-private either way — so membership
+here is defined by PORTABLE arithmetic both Spark and an ANSI oracle
+can replay bit-for-bit (the repo's md5 convention, cf. the split
+bucket in `queries/text.py`):
+
+    h1 = int(md5(x)[0:8], 16)        # first 8 hex chars
+    h2 = int(md5(x)[8:16], 16)       # next 8 hex chars
+    position_i = (h1 + i*h2) % m_bits,   i = 0..k-1   (double hashing)
+
+A value is "contained" iff all k positions are set. DuckDB replays
+this as a position-set semi-join, so the gate compares EXACT results
+— false positives included — rather than trusting the filter.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, Column, functions as F
+
+BLOOM_M_BITS = 1 << 20  # registered-query default: 128 KiB bitmap
+BLOOM_K = 4
+
+
+def _h1h2(col: Column) -> tuple[Column, Column]:
+    md = F.md5(col)
+    h1 = F.conv(F.substring(md, 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(md, 9, 8), 16, 10).cast("long")
+    return h1, h2
+
+
+def bloom_build(
+    df: DataFrame,
+    col: str,
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+) -> bytes:
+    """Build the m-bit filter over ``df[col]`` and return the bitmap.
+
+    One MAP-ONLY pass: position arithmetic is JVM expressions, each
+    partition ORs its positions into a local numpy bitmap
+    (``np.bitwise_or.at`` — idempotent, so no distinct and therefore
+    NO shuffle anywhere), and the driver ORs the ≤|partitions|
+    partial bitmaps (m/8 bytes each — the bounded-collect law).
+    Production sizes ``m_bits`` to the small side's cardinality
+    (~16 bits/element keeps FPR < 0.5% at k=4)."""
+    if m_bits % 8:
+        raise ValueError("m_bits must be a multiple of 8")
+    h1, h2 = _h1h2(F.col(col))
+    pos = df.select(
+        F.explode(
+            F.array(*[(h1 + F.lit(i) * h2) % m_bits for i in range(k)])
+        ).alias("p")
+    )
+    nbytes = m_bits // 8
+
+    def kernel(batches):
+        bm = np.zeros(nbytes, dtype=np.uint8)
+        seen = False
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            p = pdf["p"].to_numpy(dtype=np.int64)
+            np.bitwise_or.at(
+                bm, p >> 3, (1 << (p & 7).astype(np.uint8)).astype(np.uint8)
+            )
+            seen = True
+        if seen:
+            yield pd.DataFrame({"bm": [bm.tobytes()]})
+
+    out = np.zeros(nbytes, dtype=np.uint8)
+    for row in pos.mapInPandas(kernel, "bm binary").collect():
+        out |= np.frombuffer(row["bm"], dtype=np.uint8)
+    return out.tobytes()
+
+
+def bloom_might_contain(
+    bitmap: bytes, m_bits: int = BLOOM_M_BITS, k: int = BLOOM_K
+):
+    """Column function: ``f(col) -> boolean`` membership probe.
+
+    The bitmap rides in the task closure (broadcast once per
+    executor); h1/h2 stay JVM-side and the k bit tests are one
+    vectorized numpy pass per Arrow batch — the probe composes
+    map-only with any scan."""
+    bm = np.frombuffer(bitmap, dtype=np.uint8)
+    if len(bm) * 8 != m_bits:
+        raise ValueError("bitmap length does not match m_bits")
+
+    @F.pandas_udf("boolean")
+    def _probe(h1: pd.Series, h2: pd.Series) -> pd.Series:
+        if len(h1) == 0:
+            return pd.Series([], dtype="bool")
+        a = h1.to_numpy(dtype=np.int64)
+        b = h2.to_numpy(dtype=np.int64)
+        ok = np.ones(len(a), dtype=bool)
+        for i in range(k):
+            p = (a + i * b) % m_bits
+            ok &= ((bm[p >> 3] >> (p & 7)) & 1).astype(bool)
+        return pd.Series(ok)
+
+    def apply(col: Column) -> Column:
+        h1, h2 = _h1h2(col)
+        return _probe(h1, h2)
+
+    return apply

@@ -406,6 +406,65 @@ def banded_signature_udf(dim: int, n_bands: int, band_bits: int):
 # ---------------------------------------------------------------------------
 
 
+# Quantizer training inputs are SAMPLES by contract (the FAISS
+# convention: a representative few thousand vectors train codebooks
+# as well as the corpus does). The trainers therefore collect the
+# sample once and run in-memory Lloyd — a pyspark.ml fit per
+# subspace was measured at ~35s of pure scheduler overhead for a
+# 2048-row sample that numpy trains in milliseconds. The cap makes
+# an accidental full-corpus collect an ERROR, not an OOM.
+_TRAIN_COLLECT_CAP = 65536
+
+
+def _collect_training_matrix(corpus: DataFrame, vec_col: str) -> np.ndarray:
+    rows = corpus.select(vec_col).limit(_TRAIN_COLLECT_CAP + 1).collect()
+    if len(rows) > _TRAIN_COLLECT_CAP:
+        raise ValueError(
+            f"quantizer training input exceeds {_TRAIN_COLLECT_CAP} rows; "
+            "pass a bounded sample (the training-set contract)"
+        )
+    if not rows:
+        raise ValueError("empty quantizer training input")
+    X = np.array([r[0] for r in rows], dtype=np.float64)
+    n = np.linalg.norm(X, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return X / n
+
+
+def _np_lloyd(
+    X: np.ndarray, k: int, seed: int, iters: int = 25
+) -> np.ndarray:
+    """Seeded in-memory Lloyd for quantizer training: deterministic
+    sample init, matmul distances, empty clusters reseeded to the
+    point farthest from its centroid. Training sets are
+    closure-sized by contract, so this runs in milliseconds."""
+    rng = np.random.default_rng(seed)
+    n = len(X)
+    if n <= k:
+        C = np.zeros((k, X.shape[1]))
+        C[:n] = X
+        return C
+    C = X[rng.choice(n, size=k, replace=False)].copy()
+    xn = (X * X).sum(axis=1)
+    for _ in range(iters):
+        d = (C * C).sum(axis=1)[None, :] - 2.0 * (X @ C.T)
+        a = np.argmin(d, axis=1)
+        # full squared distance to the assigned center (the matmul
+        # form drops the per-row ||x||², constant per ROW but needed
+        # for the farthest-point argmax ACROSS rows)
+        full = xn + d[np.arange(n), a]
+        moved = False
+        for j in range(k):
+            mask = a == j
+            nc = X[mask].mean(axis=0) if mask.any() else X[np.argmax(full)]
+            if not np.allclose(nc, C[j]):
+                moved = True
+            C[j] = nc
+        if not moved:
+            break
+    return C
+
+
 def pq_train(
     corpus: DataFrame,
     vec_col: str = "embedding",
@@ -413,38 +472,24 @@ def pq_train(
     ksub: int = 16,
     seed: int = 42,
 ) -> np.ndarray:
-    """Train the (m, ksub, dim/m) PQ codebooks: the vector column is
-    sliced into ``m`` subspaces and each gets an independent
-    ``pyspark.ml`` KMeans of ``ksub`` centers over UNIT-NORMALIZED
-    vectors (normalization makes subspace L2 rank-equivalent to
-    cosine downstream). m distributed fits over the corpus; the model
-    is m·ksub·(dim/m) = dim·ksub floats — a few KB that rides in task
-    closures forever after ("broadcast the model", never the data).
-    Production trains on a sample (pass ``corpus.sample(...)``); only
-    the fit input changes."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    dim = len(corpus.select(vec_col).first()[0])
+    """Train the (m, ksub, dim/m) PQ codebooks: the (bounded, sampled
+    — see ``_TRAIN_COLLECT_CAP``) training input is collected once,
+    unit-normalized (normalization makes subspace L2 rank-equivalent
+    to cosine downstream), sliced into ``m`` subspaces, and each
+    subspace gets a seeded in-memory Lloyd of ``ksub`` centers. The
+    model is m·ksub·(dim/m) = dim·ksub floats — a few KB that rides
+    in task closures forever after ("broadcast the model", never the
+    data); training cost is CONSTANT in corpus size because the
+    sample is."""
+    X = _collect_training_matrix(corpus, vec_col)
+    dim = X.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     dsub = dim // m
-    unit = _unit_normalized(corpus, vec_col)
-    books = []
-    for j in range(m):
-        sub = unit.select(
-            array_to_vector(
-                F.slice(F.col("_uv"), j * dsub + 1, dsub)
-            ).alias("_feat")
-        )
-        km = KMeans(
-            k=ksub, seed=seed + j, featuresCol="_feat",
-            predictionCol="_c",
-        )
-        books.append(
-            np.array([np.asarray(c) for c in km.fit(sub).clusterCenters()])
-        )
-    return np.stack(books)  # (m, ksub, dsub)
+    Xs = X.reshape(len(X), m, dsub)
+    return np.stack(
+        [_np_lloyd(Xs[:, j, :], ksub, seed + j) for j in range(m)]
+    )  # (m, ksub, dsub)
 
 
 def _unit_normalized(df: DataFrame, vec_col: str) -> DataFrame:
@@ -657,42 +702,28 @@ def ivfpq_train(
     seed: int = 42,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Train (coarse centroids (n_lists, dim), residual PQ codebooks
-    (m, ksub, dim/m)). The coarse quantizer is one distributed
-    ``pyspark.ml`` KMeans over unit-normalized vectors; residuals are
-    computed map-only (centroid matrix in the closure) and each
-    subspace gets an independent KMeans over the residual slice. The
-    whole model is (n_lists + ksub)·dim floats — closure-sized.
-    Production trains on a sample; only the fit input changes."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    dim = len(corpus.select(vec_col).first()[0])
+    (m, ksub, dim/m)). The (bounded, sampled — see
+    ``_TRAIN_COLLECT_CAP``) training input is collected once; the
+    coarse quantizer is a seeded in-memory Lloyd over the
+    unit-normalized sample, residuals x − c(x) are taken against it
+    with the SAME argmin arithmetic the encode kernel uses, and each
+    subspace gets an independent Lloyd over its residual slice. The
+    whole model is (n_lists + ksub)·dim floats — closure-sized;
+    training cost is CONSTANT in corpus size because the sample is."""
+    X = _collect_training_matrix(corpus, vec_col)
+    dim = X.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     dsub = dim // m
-    unit = _unit_normalized(corpus, vec_col).select(
-        array_to_vector("_uv").alias("_feat")
-    )
-    km = KMeans(k=n_lists, seed=seed, featuresCol="_feat",
-                predictionCol="_c")
-    coarse = np.array(
-        [np.asarray(c) for c in km.fit(unit).clusterCenters()]
-    )
+    coarse = _np_lloyd(X, n_lists, seed)
 
-    res = _residuals(corpus.select(vec_col), coarse, vec_col).select("_res")
-    books = []
-    for j in range(m):
-        sub = res.select(
-            array_to_vector(
-                F.slice(F.col("_res"), j * dsub + 1, dsub)
-            ).alias("_feat")
-        )
-        kmj = KMeans(k=ksub, seed=seed + 1 + j, featuresCol="_feat",
-                     predictionCol="_c")
-        books.append(
-            np.array([np.asarray(c) for c in kmj.fit(sub).clusterCenters()])
-        )
-    return coarse, np.stack(books)
+    d = (coarse * coarse).sum(axis=1)[None, :] - 2.0 * (X @ coarse.T)
+    R = X - coarse[np.argmin(d, axis=1)]
+    Rs = R.reshape(len(R), m, dsub)
+    books = np.stack(
+        [_np_lloyd(Rs[:, j, :], ksub, seed + 1 + j) for j in range(m)]
+    )
+    return coarse, books
 
 
 def _residuals(

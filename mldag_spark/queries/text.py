@@ -1017,6 +1017,116 @@ def text_decontaminate_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Bloom membership constants shared by the Spark query and its
+# oracle: 2^20-bit bitmap, k=4 double-hashed md5 positions. The
+# oracle replays the EXACT bloom arithmetic as a position-set
+# semi-join, so the gate compares identical results — deterministic
+# false positives included — rather than trusting the filter.
+_BLOOM_M = 1 << 20
+
+_DECON_BLOOM_ORACLE = f"""
+    WITH t AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                 % 100 AS bucket,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+                   AS toks
+        FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id, bucket,
+               array_to_string(toks[u:u+4], ' ') AS s
+        FROM (SELECT doc_id, bucket, toks,
+                     unnest(generate_series(1, len(toks) - 4)) AS u
+              FROM t)
+    ), hashed AS (
+        SELECT doc_id, bucket, s,
+               ('0x' || substr(md5(s), 1, 8))::BIGINT AS h1,
+               ('0x' || substr(md5(s), 9, 8))::BIGINT AS h2
+        FROM sh
+    ), pos AS (
+        SELECT DISTINCT (h1 + g.i * h2) % {_BLOOM_M} AS p
+        FROM (SELECT h1, h2 FROM hashed WHERE bucket >= 90),
+             unnest([0, 1, 2, 3]) AS g(i)
+    ), dirty AS (
+        SELECT doc_id
+        FROM hashed
+        WHERE bucket < 80
+          AND (h1 + 0 * h2) % {_BLOOM_M} IN (SELECT p FROM pos)
+          AND (h1 + 1 * h2) % {_BLOOM_M} IN (SELECT p FROM pos)
+          AND (h1 + 2 * h2) % {_BLOOM_M} IN (SELECT p FROM pos)
+          AND (h1 + 3 * h2) % {_BLOOM_M} IN (SELECT p FROM pos)
+        GROUP BY doc_id
+        HAVING COUNT(*) >= 3
+    )
+    SELECT d.doc_id, d.source, d.n_chars
+    FROM documents d
+    JOIN t ON t.doc_id = d.doc_id
+    WHERE t.bucket < 80
+      AND d.doc_id NOT IN (SELECT doc_id FROM dirty)
+"""
+
+
+@register("text_decontaminate_bloom", oracle=_DECON_BLOOM_ORACLE)
+def text_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontaminated TRAIN split via a broadcast Bloom filter — the
+    NO-SHUFFLE scale path for the same contract as
+    ``text_decontaminate_filter`` (md5 split buckets, complete
+    5-grams, drop train docs with >= 3 distinct test-shared
+    shingles).
+
+    Why it exists: the exact pass shuffles every train shingle
+    through an inverted-index join, but the join's other side — the
+    benchmark corpus — is SMALL by construction. Here the test
+    shingles build a 2^20-bit filter in one map-only pass (per-
+    partition numpy bitmaps, driver ORs <= |partitions| 128 KiB
+    partials), the bitmap rides in task closures, and the 100 TB
+    train side is probed MAP-ONLY: the only shuffle in the whole
+    query is the distinct on HIT shingle rows (contamination-sized,
+    not corpus-sized). The price is a deterministic, arithmetic-
+    defined false-positive set — extra drops, never missed
+    contamination, the safe direction for decontamination. The
+    DuckDB oracle replays the exact bloom arithmetic (position-set
+    semi-join), so the gate compares identical results, FPs
+    included; tests/test_operators.py pins the superset property
+    (bloom drops ⊇ exact drops) against the exact pass."""
+    from mldag_spark.functions import shingle_rows
+    from mldag_spark.operators.bloom import bloom_build, bloom_might_contain
+
+    d = load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    docs = d.withColumn("bucket", bucket)
+    # dup-bearing shingle rows: dedup happens AFTER the probe, on the
+    # hit set only (duplicates probe identically, so filter-then-
+    # distinct == distinct-then-filter — pinned by test)
+    sh = shingle_rows(
+        docs, "doc_id", "text", 5, carry=("bucket",), complete_only=True
+    ).select("doc_id", "bucket", F.col("shingle").alias("s"))
+
+    bitmap = bloom_build(sh.filter(F.col("bucket") >= 90).select("s"),
+                         "s", m_bits=_BLOOM_M)
+    probe = bloom_might_contain(bitmap, m_bits=_BLOOM_M)
+
+    dirty = (
+        sh.filter(F.col("bucket") < 80)
+        .filter(probe(F.col("s")))
+        .select("doc_id", "s")
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+        .filter(F.col("hits") >= 3)
+        .select("doc_id")
+    )
+    return (
+        docs.filter(F.col("bucket") < 80)
+        .join(dirty, "doc_id", "left_anti")
+        .select("doc_id", "source", "n_chars")
+    )
+
+
 # DSIR feature space: hashed bigram buckets. 4096 keeps the
 # log-ratio table broadcast-trivial at ANY corpus size (the paper
 # uses 10^4; the bucket count is a quality/κ-variance knob, not a

@@ -114,6 +114,9 @@ QUERIES = (
     "text_bpe_token_counts",
     "ann_pq_topk",
     "ann_ivfpq_topk",
+    # r11: the broadcast-bloom decontamination path (no corpus
+    # shuffle; the row measures build + map-only probe + hit agg)
+    "text_decontaminate_bloom",
 )
 
 # VERDICT r6 #6: every scale row now gets a 30x datapoint (was 12/26)
@@ -177,6 +180,7 @@ SF3_QUERIES = (
     "text_bpe_token_counts",
     "ann_pq_topk",
     "ann_ivfpq_topk",
+    "text_decontaminate_bloom",
     # ...heaviest (prefix-join + closure) last: even with per-query
     # session recovery, a JVM death costs every later row its warm cache
     "dedup_ngram_jaccard",
@@ -629,6 +633,14 @@ SF3_DIAGNOSES_RAW = {
         "quantizers train on the fixed 2048-vector sample. Growth "
         "is cell assignment + encode (map-only) plus the probed "
         "fraction of the codes scan."
+    ),
+    "text_decontaminate_bloom": (
+        "the no-shuffle decontamination path: test shingles build a "
+        "2^20-bit filter in one map-only pass (driver ORs <= "
+        "|partitions| 128 KiB partial bitmaps), the bitmap rides in "
+        "task closures, the train side probes MAP-ONLY, and the only "
+        "shuffle is the distinct on HIT rows (contamination-sized). "
+        "Growth is the two linear shingle scans."
     ),
 }
 

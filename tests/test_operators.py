@@ -1601,3 +1601,57 @@ def test_bpe_top_words_cap_bounds_the_vocab(spark):
     assert (merges[0].left, merges[0].right, merges[0].count) == (
         "a", "a", 9,
     )
+
+
+def test_bloom_membership_matches_python_replay(spark):
+    """The bloom probe is defined by portable md5 double-hashing: the
+    Spark path (JVM h1/h2 + numpy bitmap kernel) must agree with a
+    pure-python replay bit-for-bit — false positives included (tiny
+    m=256 forces them) — and inserted values can never miss."""
+    import hashlib
+
+    from mldag_spark.operators.bloom import bloom_build, bloom_might_contain
+    from pyspark.sql import functions as F
+
+    vals = [f"tok{i}" for i in range(60)]
+    inserted = vals[:25]
+    bm = bloom_build(
+        spark.createDataFrame([(v,) for v in inserted], ["s"]),
+        "s", m_bits=256, k=4,
+    )
+    probe = bloom_might_contain(bm, m_bits=256, k=4)
+    got = {
+        r["s"]: r["hit"]
+        for r in spark.createDataFrame([(v,) for v in vals], ["s"])
+        .select("s", probe(F.col("s")).alias("hit"))
+        .collect()
+    }
+
+    def positions(x: str) -> list[int]:
+        h = hashlib.md5(x.encode()).hexdigest()
+        h1, h2 = int(h[:8], 16), int(h[8:16], 16)
+        return [(h1 + i * h2) % 256 for i in range(4)]
+
+    bits = {p for v in inserted for p in positions(v)}
+    want = {v: all(p in bits for p in positions(v)) for v in vals}
+    assert got == want
+    assert all(got[v] for v in inserted)  # no false negatives, ever
+    # the tiny filter must actually exhibit a false positive, or this
+    # test is vacuous (the range-join lesson)
+    assert any(got[v] for v in vals if v not in inserted)
+
+
+def test_decontaminate_bloom_is_safe_superset_of_exact(spark, sf_dir):
+    """Bloom decontamination may over-drop (deterministic FPs) but can
+    NEVER keep a document the exact pass drops: survivors(bloom) ⊆
+    survivors(exact). Also pins that both passes agree on the train
+    split itself (same bucket contract)."""
+    from mldag_spark.queries.text import (
+        text_decontaminate_bloom,
+        text_decontaminate_filter,
+    )
+
+    exact = {r["doc_id"] for r in text_decontaminate_filter(spark, sf_dir).collect()}
+    bloom = {r["doc_id"] for r in text_decontaminate_bloom(spark, sf_dir).collect()}
+    assert bloom, "bloom pass returned no survivors"
+    assert bloom <= exact
