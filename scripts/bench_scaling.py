@@ -723,6 +723,41 @@ SF10_DIAGNOSES_RAW = {
         "the 100x ratio over a ~1.5s constant-dominated sf0.1 base "
         "stays far below the 100x data factor."
     ),
+    "dedup_substring_spans": (
+        "r11 clean restamp clearing the earlier dirty-marked 33.5s "
+        "upper bound (both flanks green this time): all stages are "
+        "window-fingerprint aggregates and a window-keyed linear "
+        "join-back — nothing pairwise — so the 100x ratio over a "
+        "3.6s sf0.1 base on half the cores is the rolling-window "
+        "explode term, data-linear."
+    ),
+    "multimodal_video_decode": (
+        "per-row Y4M parse with every-k-th-frame sampling, NO "
+        "Exchange (plan-pinned): the sf10 wall is the Arrow codec "
+        "kernel over 100x payload rows on half the cores — "
+        "per core-unit-of-data sub-linear, no shuffle term exists."
+    ),
+    "ann_pq_topk": (
+        "trainer reads the FIXED 2048-vector sample (constant), "
+        "encode+ADC scan the 200k-vector codes table map-only, the "
+        "refine join ships refine x |Q| rows: the 100x ratio is "
+        "the codes-scan term over a 2.2s constant-heavy base — "
+        "the memory-side design goal (m bytes/vector) measured."
+    ),
+    "ann_ivfpq_topk": (
+        "coarse cells cut the ADC scan to the probed fraction and "
+        "residual codes keep it m bytes/vector; both quantizers "
+        "train on the fixed sample. The 100x ratio tracks the "
+        "probed-cells scan + encode, both map-only."
+    ),
+    "text_decontaminate_bloom": (
+        "the no-shuffle decontamination path at 100x: two linear "
+        "shingle scans (filter build + map-only probe against the "
+        "closure bitmap) and one contamination-sized distinct; the "
+        "ratio over a 1.4s constant-dominated sf0.1 base on half "
+        "the cores is the scan term — the exact pass's "
+        "inverted-index join is gone entirely."
+    ),
 }
 
 

@@ -90,6 +90,13 @@ TARGETS = (
     # PNG codec round-trip (first sf10 rows, debut guards as above)
     "dedup_substring_spans",
     "multimodal_image_decode",
+    # r11 final wave: first sf10 rows for the Y4M codec, both PQ ANN
+    # paths (in-memory-trainer era), and the bloom decontamination
+    # pass — debut guards (divergence rerun + probe flanks)
+    "multimodal_video_decode",
+    "ann_pq_topk",
+    "ann_ivfpq_topk",
+    "text_decontaminate_bloom",
 )  # subset via --targets
 SF_10 = os.path.join(REPO, ".testdata", "sf10")
 ANCHOR_16C = 0.34 * 32 / 16
