@@ -183,3 +183,25 @@ def token_counts(enc: DataFrame, top_n: Optional[int] = None) -> DataFrame:
     if top_n is not None:
         out = out.orderBy(F.col("n_occurrences").desc(), "tok").limit(top_n)
     return out
+
+
+def bpe_apply(enc: DataFrame, merges) -> DataFrame:
+    """Apply an ORDERED merge table to a symbolized vocabulary — the
+    production path: merges are learned once (or loaded from the
+    published parquet artifact, <= n_merges rows by construction,
+    collected once) and applied as the same codegen literal-replace
+    chain ``bpe_learn`` builds, so artifact-driven encoding is
+    bit-identical to learn-time encoding. Accepts the
+    ``text_bpe_merges`` DataFrame shape (merge_rank, left_sym,
+    right_sym) or a list of :class:`Merge`."""
+    if isinstance(merges, DataFrame):
+        rows = merges.orderBy("merge_rank").collect()
+        pairs = [(r["left_sym"], r["right_sym"]) for r in rows]
+    else:
+        pairs = [(m.left, m.right) for m in merges]
+    for left, right in pairs:
+        pat, rep = merge_pattern(left, right)
+        enc = enc.withColumn(
+            "s", F.replace(F.col("s"), F.lit(pat), F.lit(rep))
+        )
+    return enc

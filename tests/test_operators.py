@@ -1692,3 +1692,64 @@ def test_ivfpq_codes_artifact_partition_pruning_roundtrip(spark, sf_dir, tmp_pat
     # the cell predicate must NOT survive as a post-scan data filter —
     # pruning happened at the file level
     assert probed.count() == sum(1 for c, _ in got.values() if c in (0, 2))
+
+
+def test_bpe_merge_artifact_parquet_roundtrip_bit_identical(spark, tmp_path):
+    """The BPE production handoff (the DSIR-artifact pattern): the
+    ordered merge table is written to parquet, read back, and applied
+    to a fresh symbolized vocabulary via bpe_apply — learned-token
+    counts must be bit-identical to the learn-time encoding."""
+    from mldag_spark.operators.tokenizer import (
+        bpe_apply,
+        bpe_learn,
+        symbolize,
+        token_counts,
+        word_vocab,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    merges, enc_learn = bpe_learn(docs, "text", n_merges=5)
+    assert merges, "no merges learned — vacuous round-trip"
+
+    mdf = spark.createDataFrame(
+        [(m.rank, m.left, m.right) for m in merges],
+        "merge_rank int, left_sym string, right_sym string",
+    )
+    path = str(tmp_path / "bpe_merges.parquet")
+    mdf.write.mode("overwrite").parquet(path)
+
+    enc_prod = bpe_apply(
+        symbolize(word_vocab(docs, "text")), spark.read.parquet(path)
+    )
+    want = {r["tok"]: r["n_occurrences"] for r in token_counts(enc_learn).collect()}
+    got = {r["tok"]: r["n_occurrences"] for r in token_counts(enc_prod).collect()}
+    assert got == want
+
+
+def test_bloom_bitmap_artifact_parquet_roundtrip(spark, tmp_path):
+    """The bloom production handoff: the bitmap (one binary row) is
+    written to parquet and probes through the round-tripped artifact
+    agree with the freshly built filter on every value."""
+    from mldag_spark.operators.bloom import bloom_build, bloom_might_contain
+    from pyspark.sql import functions as F
+
+    vals = [f"w{i}" for i in range(40)]
+    bm = bloom_build(
+        spark.createDataFrame([(v,) for v in vals[:15]], ["s"]),
+        "s", m_bits=512, k=4,
+    )
+    path = str(tmp_path / "bloom.parquet")
+    spark.createDataFrame([(bytearray(bm),)], "bm binary").write.mode(
+        "overwrite"
+    ).parquet(path)
+    bm_back = bytes(spark.read.parquet(path).first()["bm"])
+    assert bm_back == bm
+
+    probe = bloom_might_contain(bm_back, m_bits=512, k=4)
+    df = spark.createDataFrame([(v,) for v in vals], ["s"])
+    fresh = bloom_might_contain(bm, m_bits=512, k=4)
+    rows = df.select(
+        "s", probe(F.col("s")).alias("a"), fresh(F.col("s")).alias("b")
+    ).collect()
+    assert all(r["a"] == r["b"] for r in rows)
+    assert all(r["a"] for r in rows if r["s"] in set(vals[:15]))
