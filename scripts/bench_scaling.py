@@ -758,6 +758,55 @@ SF10_DIAGNOSES_RAW = {
         "the cores is the scan term — the exact pass's "
         "inverted-index join is gone entirely."
     ),
+    "q1_pricing_summary": (
+        "the relational flagship's first 100x point: pushdown-pruned "
+        "scan, map-side partial DECIMAL aggregation, one 8-key "
+        "shuffle — the wall is the codegen scan+aggregate over 60M "
+        "lineitem rows on half the cores, data-linear."
+    ),
+    "join_range_parts_in_price_band": (
+        "the r10-verdict fix measured at 100x: both sides aggregate "
+        "to their BOUNDED value domains before the band join, so "
+        "the wall is constant-dominated (0.66s at 100x data — "
+        "sub-second because the value-domain tables barely grow); "
+        "the pair-level alternative this replaced measured 66x at "
+        "30x and would be minutes here."
+    ),
+    "events_anomaly_mad": (
+        "the r9 scale-killer rewrite at 100x: one persisted "
+        "projection scan, two grouped partial-merge medians "
+        "broadcast back, no Window operator — 2.3s for 10M events, "
+        "the grouped-aggregate term."
+    ),
+    "multimodal_audio_decode": (
+        "completes the codec trio at sf10: per-row stdlib WAV "
+        "encode+parse in Arrow kernels, NO Exchange — 1.9s for 100x "
+        "payload rows, the most sub-linear codec row."
+    ),
+    "text_bpe_merges": (
+        "merge learning at 100x: the corpus term is ONE vocabulary "
+        "aggregate; the per-merge pair counts stay vocab-sized, so "
+        "100x data costs 2x the sf0.1 wall — the flattest iterative "
+        "row in the table."
+    ),
+    "text_bpe_token_counts": (
+        "the distributed rewrite check at 100x: corpus vocabulary "
+        "aggregate + vocab-sized replace chain + one token-key "
+        "shuffle; same flat shape as the merge row."
+    ),
+    "text_pii_scrub": (
+        "map-only JVM regexp_replace chain at 100x: 3.9s for 500k "
+        "documents on half the cores — rows-linear, no shuffle "
+        "term exists."
+    ),
+    "text_ngram_coverage_stats": (
+        "the heaviest quality filter at 100x: n-gram windows are "
+        "map-only zip-slices but the interval-union coverage runs "
+        "one lead() window PER DOC over matched positions — the "
+        "27.5s wall is that per-doc window term, linear in matched "
+        "positions and embarrassingly parallel across docs (the "
+        "partition key is doc_id, never a low-cardinality key)."
+    ),
 }
 
 

@@ -97,6 +97,19 @@ TARGETS = (
     "ann_pq_topk",
     "ann_ivfpq_topk",
     "text_decontaminate_bloom",
+    # r11 batch #2 — 100x points for the claims that matter most:
+    # the relational flagship, the r10-verdict range-join fix (the
+    # "O(N) not O(N*M)" claim measured), the r9 MAD rewrite, the
+    # audio codec (completing the codec trio at sf10), the BPE pair,
+    # and the two quality filters
+    "q1_pricing_summary",
+    "join_range_parts_in_price_band",
+    "events_anomaly_mad",
+    "multimodal_audio_decode",
+    "text_bpe_merges",
+    "text_bpe_token_counts",
+    "text_pii_scrub",
+    "text_ngram_coverage_stats",
 )  # subset via --targets
 SF_10 = os.path.join(REPO, ".testdata", "sf10")
 ANCHOR_16C = 0.34 * 32 / 16
