@@ -98,8 +98,16 @@ _GATE_ORDER = [
     # sampling category keeps five window entries including the
     # pinned deterministic split, and the global-shuffle pattern
     # stays under its SCALING row + the continuous sf0.001 sweep.
+    # r11 late rotation #4: the STREAMING bloom probe enters
+    # debut-gated next to its batch twin (hash-verified at sf0.001 +
+    # sf0.01 first; it shares the batch query's oracle VERBATIM, so
+    # the gated property is streaming/batch parity — the
+    # stream_incremental_dedup precedent). embedding_norm_by_label
+    # banks after two green gated rounds (r9-r10); the embedding
+    # diagnostics keep three window entries.
     "contamination_check",
     "text_decontaminate_bloom",
+    "stream_decontaminate_bloom",
     # Deduplication (jaccard/cluster-stats/keep-representatives bank
     # multi-round green; the LSH + components pins stay, the r9-new
     # pair ops keep their driver proof). r11: dedup_overlap_pairs
@@ -131,7 +139,6 @@ _GATE_ORDER = [
     # (r2-r10; its window-rides-join-exchange plan pin and the sf10
     # SCALING row stand) to make room for the r11-NEW video decode
     "ann_cosine_topk",
-    "embedding_norm_by_label",
     "embedding_centroid_distances",
     "embedding_dim_variance",
     "embedding_int8_quantization",

@@ -336,3 +336,60 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out_path).select(
         "batch_id", "index_id", "jaccard"
     )
+
+
+@register("stream_decontaminate_bloom")  # oracle set below: shares the
+# batch query's oracle VERBATIM so the two can never drift
+
+def stream_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming decontamination — the production crawl-ingest shape:
+    the benchmark bloom is built ONCE from the static test split
+    (closure-sized bitmap), and every arriving micro-batch of train
+    documents is probed MAP-ONLY inside ``foreachBatch``
+    (``bloom_survivors`` — contamination is decided per document, so
+    any micro-batch slicing computes identical survivors), landing in
+    the `_mb_id`-idempotent parquet sink. The result must equal the
+    batch query, so it shares ``text_decontaminate_bloom``'s oracle
+    VERBATIM — streaming/batch parity is the gated property, exactly
+    like ``stream_incremental_dedup``."""
+    import tempfile
+
+    from mldag_spark.queries.tables import load
+    from mldag_spark.queries.text import (
+        _split_bucket,
+        bloom_survivors,
+        decontamination_bloom,
+    )
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "bucket", _split_bucket()
+    )
+    bitmap = decontamination_bloom(docs)
+
+    stream = (
+        S.documents_stream(spark, sf_dir)
+        .withColumn("bucket", _split_bucket())
+        .filter(F.col("bucket") < 80)
+    )
+    work = tempfile.mkdtemp(prefix="stream_decon_")
+    out_path = f"{work}/survivors"
+    S.map_stream_to_parquet(
+        stream,
+        lambda batch: bloom_survivors(batch, bitmap).selectExpr(
+            "cast(doc_id as bigint) doc_id",
+            "cast(source as string) source",
+            "cast(n_chars as bigint) n_chars",
+        ),
+        "doc_id bigint, source string, n_chars bigint",
+        out_path=out_path,
+        checkpoint=f"{work}/ckpt",
+    )
+    return spark.read.parquet(out_path).select("doc_id", "source", "n_chars")
+
+
+# the streaming result must hash-match the BATCH bloom pass — share
+# its oracle string verbatim so the two can never drift
+from mldag_spark.queries import ORACLES as _ORACLES  # noqa: E402
+from mldag_spark.queries.text import _DECON_BLOOM_ORACLE as _DBO  # noqa: E402
+
+_ORACLES["stream_decontaminate_bloom"] = _DBO

@@ -1093,26 +1093,52 @@ def text_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mldag_spark.operators.bloom import bloom_build, bloom_might_contain
 
     d = load(spark, sf_dir, "documents")
-    bucket = (
+    docs = d.withColumn("bucket", _split_bucket())
+    bitmap = decontamination_bloom(docs)
+    return bloom_survivors(docs.filter(F.col("bucket") < 80), bitmap)
+
+
+def _split_bucket():
+    return (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
         .cast("long")
         % 100
     )
-    docs = d.withColumn("bucket", bucket)
-    # dup-bearing shingle rows: dedup happens AFTER the probe, on the
-    # hit set only (duplicates probe identically, so filter-then-
-    # distinct == distinct-then-filter — pinned by test)
+
+
+def decontamination_bloom(docs: DataFrame) -> bytes:
+    """Build the test-split bloom (2^20 bits, k=4) from a documents
+    frame carrying the md5 ``bucket`` column — one map-only pass over
+    the test slice's complete 5-grams (dup-bearing rows: the OR is
+    idempotent, so no distinct and no shuffle)."""
+    from mldag_spark.functions import shingle_rows
+    from mldag_spark.operators.bloom import bloom_build
+
     sh = shingle_rows(
-        docs, "doc_id", "text", 5, carry=("bucket",), complete_only=True
-    ).select("doc_id", "bucket", F.col("shingle").alias("s"))
+        docs.filter(F.col("bucket") >= 90), "doc_id", "text", 5,
+        complete_only=True,
+    )
+    return bloom_build(sh.select(F.col("shingle").alias("s")),
+                       "s", m_bits=_BLOOM_M)
 
-    bitmap = bloom_build(sh.filter(F.col("bucket") >= 90).select("s"),
-                         "s", m_bits=_BLOOM_M)
+
+def bloom_survivors(train_docs: DataFrame, bitmap: bytes) -> DataFrame:
+    """The probe half, shared by the batch query and the streaming
+    micro-batch path (contamination is decided per document, so any
+    slicing of the train side computes identical survivors): map-only
+    probe on dup-bearing shingle rows (duplicates probe identically,
+    so filter-then-distinct == distinct-then-filter), distinct on the
+    HIT rows only (contamination-sized), >= 3 distinct-hit docs drop,
+    survivors (doc_id, source, n_chars)."""
+    from mldag_spark.functions import shingle_rows
+    from mldag_spark.operators.bloom import bloom_might_contain
+
     probe = bloom_might_contain(bitmap, m_bits=_BLOOM_M)
-
+    sh = shingle_rows(
+        train_docs, "doc_id", "text", 5, complete_only=True
+    ).select("doc_id", F.col("shingle").alias("s"))
     dirty = (
-        sh.filter(F.col("bucket") < 80)
-        .filter(probe(F.col("s")))
+        sh.filter(probe(F.col("s")))
         .select("doc_id", "s")
         .distinct()
         .groupBy("doc_id")
@@ -1121,8 +1147,7 @@ def text_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     return (
-        docs.filter(F.col("bucket") < 80)
-        .join(dirty, "doc_id", "left_anti")
+        train_docs.join(dirty, "doc_id", "left_anti")
         .select("doc_id", "source", "n_chars")
     )
 

@@ -325,6 +325,87 @@ def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _seed_idempotent_sink(
+    spark: SparkSession, out_path: str, checkpoint: str, schema_ddl: str
+) -> None:
+    """Prepare a per-micro-batch-partitioned parquet sink for the
+    at-least-once-safe `_mb_id` overwrite discipline (extracted from
+    ``incremental_dedup_stream``, byte-identical behavior):
+
+    - seed the sink with an empty, correctly-typed frame in a
+      sentinel ``_mb_id=-1`` partition so readers never race a
+      not-yet-created directory (a batch with no output writes
+      nothing) — written ONLY if out_path holds no ``_mb_id=*``
+      partitions yet (a restart on an existing checkpoint must not
+      destroy previously committed output; bare/empty directories
+      still get the seed or spark.read could not infer a schema);
+    - the seed is NOT a committed batch: only non-sentinel partitions
+      trigger the fresh-checkpoint refusal (ADVICE r6) — a FRESH
+      checkpoint renumbers micro-batches from 0, so per-_mb_id
+      overwrite would leave the old numbering's stale partitions
+      alive, silently duplicating rows. Refuse instead.
+
+    Existence checks go through the Hadoop FileSystem API (out_path
+    may be s3a://... on a cluster)."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(out_path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    glob_mb = spark._jvm.org.apache.hadoop.fs.Path(f"{out_path}/_mb_id=*")
+    statuses = (
+        list(fs.globStatus(glob_mb) or []) if fs.exists(jpath) else []
+    )
+    has_batches = any(
+        s.getPath().getName() != "_mb_id=-1" for s in statuses
+    )
+    if not statuses:
+        empty = spark.createDataFrame([], schema_ddl)
+        empty.write.mode("overwrite").parquet(f"{out_path}/_mb_id=-1")
+    elif has_batches:
+        ckpt = spark._jvm.org.apache.hadoop.fs.Path(checkpoint)
+        cfs = ckpt.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not cfs.exists(ckpt):
+            raise ValueError(
+                f"out_path {out_path!r} holds batches from a previous "
+                f"run but checkpoint {checkpoint!r} is fresh; resume "
+                "with the original checkpoint or point at a clean "
+                "out_path"
+            )
+
+
+def map_stream_to_parquet(
+    stream: DataFrame,
+    transform_fn,
+    schema_ddl: str,
+    out_path: str,
+    checkpoint: str,
+):
+    """Generic DETERMINISTIC micro-batch → parquet pipeline with the
+    `_mb_id` idempotency discipline: ``transform_fn(batch) ->
+    DataFrame`` runs per micro-batch and its result overwrites that
+    batch's own partition directory, so an at-least-once retry
+    REPLACES instead of appending — exactly-once per micro-batch id
+    within a checkpoint (see ``incremental_dedup_stream`` for the
+    full sink-semantics discussion; this is its generalization for
+    map-shaped streaming ops like the bloom decontamination probe).
+    Runs with an ``availableNow`` trigger and blocks to termination;
+    read ``out_path`` for the accumulated result."""
+    spark = stream.sparkSession
+    _seed_idempotent_sink(spark, out_path, checkpoint, schema_ddl)
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        transform_fn(batch).write.mode("overwrite").parquet(
+            f"{out_path}/_mb_id={int(batch_id)}"
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def incremental_dedup_stream(
     batch_stream: DataFrame,
     index_rows: DataFrame,
@@ -394,52 +475,10 @@ def incremental_dedup_stream(
     ).persist()
     index_bands.count()
 
-    # seed the sink with an empty, correctly-typed frame so readers of
-    # out_path never race a not-yet-created directory (a batch with no
-    # near-dups writes nothing). The seed lives in a sentinel
-    # `_mb_id=-1` partition directory so the layout matches the
-    # per-batch partitions, and is written ONLY if out_path does not
-    # exist yet — a restart on an existing checkpoint must not destroy
-    # previously committed output. Existence goes through the Hadoop
-    # FileSystem API (out_path may be s3a://... on a cluster).
-    jpath = spark._jvm.org.apache.hadoop.fs.Path(out_path)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    glob_mb = spark._jvm.org.apache.hadoop.fs.Path(f"{out_path}/_mb_id=*")
-    statuses = (
-        list(fs.globStatus(glob_mb) or []) if fs.exists(jpath) else []
+    _seed_idempotent_sink(
+        spark, out_path, checkpoint,
+        "batch_id bigint, index_id bigint, jaccard double",
     )
-    # the `_mb_id=-1` empty seed is NOT a committed batch: counting it
-    # would refuse reruns of a run that crashed between seeding and
-    # creating the checkpoint, or that committed zero batches — there
-    # is nothing in the sink to duplicate (ADVICE r6). It still counts
-    # for the seed-skip decision (the sink is already readable).
-    has_batches = any(
-        s.getPath().getName() != "_mb_id=-1" for s in statuses
-    )
-    if not statuses:
-        # a bare/empty directory (pre-created prefix, leftover
-        # _SUCCESS) must still be seeded: "exists" alone would skip
-        # the seed and leave a sink spark.read cannot infer a schema
-        # from when every batch has zero pairs
-        empty = spark.createDataFrame(
-            [], "batch_id bigint, index_id bigint, jaccard double"
-        )
-        empty.write.mode("overwrite").parquet(f"{out_path}/_mb_id=-1")
-    elif has_batches:
-        # batches exist but the checkpoint does not: a FRESH checkpoint
-        # renumbers micro-batches from 0, and per-_mb_id overwrite
-        # would only replace the ids the new decomposition happens to
-        # reuse — stale partitions from the old run would survive and
-        # duplicate pairs. Refuse rather than silently double-count.
-        ckpt = spark._jvm.org.apache.hadoop.fs.Path(checkpoint)
-        cfs = ckpt.getFileSystem(spark._jsc.hadoopConfiguration())
-        if not cfs.exists(ckpt):
-            raise ValueError(
-                f"out_path {out_path!r} holds batches from a previous "
-                f"run but checkpoint {checkpoint!r} is fresh; resume "
-                "with the original checkpoint or point at a clean "
-                "out_path"
-            )
 
     def _process(batch: DataFrame, batch_id: int) -> None:
         rows = shingle_fn(batch)

@@ -117,6 +117,8 @@ QUERIES = (
     # r11: the broadcast-bloom decontamination path (no corpus
     # shuffle; the row measures build + map-only probe + hit agg)
     "text_decontaminate_bloom",
+    # r11: its streaming twin (foreachBatch probe, _mb_id sink)
+    "stream_decontaminate_bloom",
 )
 
 # VERDICT r6 #6: every scale row now gets a 30x datapoint (was 12/26)
@@ -181,6 +183,7 @@ SF3_QUERIES = (
     "ann_pq_topk",
     "ann_ivfpq_topk",
     "text_decontaminate_bloom",
+    "stream_decontaminate_bloom",
     # ...heaviest (prefix-join + closure) last: even with per-query
     # session recovery, a JVM death costs every later row its warm cache
     "dedup_ngram_jaccard",
@@ -634,6 +637,13 @@ SF3_DIAGNOSES_RAW = {
         "is cell assignment + encode (map-only) plus the probed "
         "fraction of the codes scan."
     ),
+    "stream_decontaminate_bloom": (
+        "streaming/batch parity twin: the bitmap builds once on the "
+        "static side, each micro-batch probes map-only in "
+        "foreachBatch and overwrites its own _mb_id partition — "
+        "growth is the batch query's probe term over the stream "
+        "slice plus fixed checkpoint overhead."
+    ),
     "text_decontaminate_bloom": (
         "the no-shuffle decontamination path: test shingles build a "
         "2^20-bit filter in one map-only pass (driver ORs <= "
@@ -798,6 +808,13 @@ SF10_DIAGNOSES_RAW = {
         "map-only JVM regexp_replace chain at 100x: 3.9s for 500k "
         "documents on half the cores — rows-linear, no shuffle "
         "term exists."
+    ),
+    "stream_decontaminate_bloom": (
+        "the streaming twin of the bloom pass: the static side "
+        "builds the bitmap once, each micro-batch probes map-only "
+        "inside foreachBatch and overwrites its own _mb_id "
+        "partition — per-batch work is the batch query's probe term "
+        "over the batch slice, independent of history size."
     ),
     "text_ngram_coverage_stats": (
         "the heaviest quality filter at 100x: n-gram windows are "
