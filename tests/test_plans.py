@@ -572,3 +572,25 @@ def test_pq_codes_table_is_map_only_no_shuffle(spark):
     assert "Exchange" not in final, final
     # the codebooks ride in the closure: no join against a model table
     assert "Join" not in final, final
+
+
+def test_bloom_decontaminate_shuffles_only_hit_rows(spark, registry):
+    # the bloom pass's design claim: the corpus side is probed
+    # MAP-ONLY (bitmap in the closure) — the only shuffles in the
+    # whole query are on the HIT rows (distinct + per-doc count,
+    # contamination-sized), and the anti join broadcasts the small
+    # dirty-id side. A SortMergeJoin or a shingle-keyed Exchange here
+    # would mean the exact pass's corpus shuffle crept back in.
+    df = registry["text_decontaminate_bloom"](spark, SF_DIR)
+    df.collect()  # AQE: pin the EXECUTED plan
+    plan = _plan(df)
+    final = plan.split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" not in final
+    assert "BroadcastHashJoin LeftAnti" in final
+    # two shuffle exchanges: hit-row distinct, per-doc hit count
+    n_shuffle = sum(
+        1 for l in final.splitlines()
+        if l.strip().startswith(("+- Exchange", "Exchange"))
+        and "BroadcastExchange" not in l
+    )
+    assert n_shuffle <= 2, final
