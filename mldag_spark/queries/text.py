@@ -914,7 +914,12 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("train_doc"), "s"
     )
     pairs = (
-        test.join(train, "s")
+        # merge hints on BOTH post-aggregate sides (the repo-wide law,
+        # cf. dedup_substring_spans): at sf10 the static size estimate
+        # for the test slice is garbage and Spark broadcast tens of
+        # millions of shingle rows — 4g-driver OOM, found by the 100x
+        # remeasure; the shingle join must stay sort-merge
+        test.hint("merge").join(train.hint("merge"), "s")
         .groupBy("test_doc", "train_doc")
         .agg(F.count(F.lit(1)).alias("shared"))
         .filter(F.col("shared") >= 3)
@@ -999,7 +1004,9 @@ def text_decontaminate_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("train_doc"), "s"
     )
     dirty = (
-        test.join(train, "s")
+        # merge hints: same sf10 broadcast-OOM class as the check (see
+        # contamination_check's pairs join)
+        test.hint("merge").join(train.hint("merge"), "s")
         .groupBy("test_doc", "train_doc")
         .agg(F.count(F.lit(1)).alias("shared"))
         .filter(F.col("shared") >= 3)

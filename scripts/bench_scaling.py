@@ -824,6 +824,46 @@ SF10_DIAGNOSES_RAW = {
         "positions and embarrassingly parallel across docs (the "
         "partition key is doc_id, never a low-cardinality key)."
     ),
+    "q5_local_supplier_volume": (
+        "broadcast-dim joins at 100x: every dimension side stays a "
+        "BroadcastHashJoin (plan-pinned), so the wall is the fact "
+        "scan + one group-key shuffle — data-linear."
+    ),
+    "q10_returned_items": (
+        "same broadcast-dim shape as q5 with the returnflag filter "
+        "pushed to the scan; the 100x wall is scan + one customer-"
+        "key aggregate."
+    ),
+    "window_topk_orders_per_customer": (
+        "the window-family 100x point: one customer-key shuffle "
+        "feeds the ranking window; 1.8s for 15M orders — the "
+        "per-key sort is bounded by group size, never global."
+    ),
+    "events_sessionization": (
+        "sessionization at 100x: one user_id shuffle + lag/running-"
+        "sum windows; 2.2s for 10M events, the single-shuffle "
+        "design measured."
+    ),
+    "dedup_exact": (
+        "the simplest dedup at 100x: fingerprint groupBy with "
+        "map-side partials — 0.8s for 500k docs, constant-"
+        "dominated."
+    ),
+    "text_quality_score": (
+        "the HOF quality filter at 100x: single-pass map-only "
+        "column expressions (the measured IN-list-lambda-beats-"
+        "explode decision) — 1.2s, rows-linear with no shuffle."
+    ),
+    "pack_token_budget_batches": (
+        "packing at 100x: quantile prefix-sum bucketing — one "
+        "bounded percentile aggregate + a bucket-key window; 2.4s "
+        "for 500k docs."
+    ),
+    "knn_label_vote": (
+        "bounded-query kNN vote at 100x: the Arrow brute-force scan "
+        "against the fixed query set + one neighbor aggregate; 3.1s "
+        "for 200k vectors, scan-linear."
+    ),
 }
 
 

@@ -110,6 +110,31 @@ TARGETS = (
     "text_bpe_token_counts",
     "text_pii_scrub",
     "text_ngram_coverage_stats",
+    # r11 batch #3 — family coverage: broadcast-dim joins, windows,
+    # sessionization, exact dedup, the HOF quality filter, packing,
+    # kNN, and the TPC-H returned-items pattern
+    "q5_local_supplier_volume",
+    "q10_returned_items",
+    "window_topk_orders_per_customer",
+    "events_sessionization",
+    "dedup_exact",
+    "text_quality_score",
+    "pack_token_budget_batches",
+    "knn_label_vote",
+    # r11 batch #4 — the heavy tail: the EXACT decontamination pair
+    # at 100x (the direct comparison the bloom pass is measured
+    # against), DSIR, surprisal, novelty, the one-pass profile, the
+    # near-dup histogram, the streaming bloom twin, and the
+    # iterative Lloyd kernel
+    "text_decontaminate_filter",
+    "contamination_check",
+    "text_dsir_weights",
+    "text_bigram_surprisal",
+    "text_shingle_novelty",
+    "dq_column_profile",
+    "embedding_near_dup_stats",
+    "stream_decontaminate_bloom",
+    "kmeans_embedding_clusters",
 )  # subset via --targets
 SF_10 = os.path.join(REPO, ".testdata", "sf10")
 ANCHOR_16C = 0.34 * 32 / 16
