@@ -864,6 +864,54 @@ SF10_DIAGNOSES_RAW = {
         "against the fixed query set + one neighbor aggregate; 3.1s "
         "for 200k vectors, scan-linear."
     ),
+    "text_decontaminate_filter": (
+        "the EXACT pass at 100x — the row that found a real bug: "
+        "the first attempt OOM'd the 4g driver because Spark "
+        "broadcast the test shingle slice on a garbage post-"
+        "aggregate estimate; with both join sides merge-hinted "
+        "(the repo-wide law) it runs 16.1s. At this corpus-to-"
+        "benchmark ratio the exact and bloom passes cost the same "
+        "(both split slices scale together here); bloom's win is "
+        "the production shape where train >> test and the shingle "
+        "shuffle dominates."
+    ),
+    "contamination_check": (
+        "the audit half at 100x: same merge-hinted shingle join, "
+        "two bounded aggregates — 14.6s, join fan-out riding "
+        "shared-shingle df as designed."
+    ),
+    "text_dsir_weights": (
+        "DSIR at 100x: one scan + one explode + one (doc, f) "
+        "shuffle + the broadcast <=4096-row scoring join "
+        "(ReusedExchange pinned) — 13.4s for 500k docs."
+    ),
+    "text_bigram_surprisal": (
+        "bigram-LM scoring at 100x: the distinct-bigram rescore "
+        "reuses the frequency exchange; 7.8s, tokens-linear."
+    ),
+    "text_shingle_novelty": (
+        "novelty at 100x: shingle-keyed MIN(doc_id) + merge "
+        "join-back, nothing pairwise — 15.4s, shingle-rows-linear "
+        "at any passage multiplicity."
+    ),
+    "dq_column_profile": (
+        "the one-pass profile at 100x: a single scan feeding "
+        "per-column bounded reduces — 15.6s for the widest-scan "
+        "row in the dq family."
+    ),
+    "stream_decontaminate_bloom": (
+        "the streaming twin at 100x: 17.1s vs the batch pass's "
+        "16.5s — foreachBatch + checkpoint overhead is ~4% once "
+        "the probe term dominates; per-batch work is independent "
+        "of history size."
+    ),
+    "kmeans_embedding_clusters": (
+        "the iterative Lloyd kernel at 100x: 5 fixed iterations x "
+        "(one k-key shuffle of map-side decimal partials + a <=k-"
+        "row collect) over persisted data — 28.9s, per-iteration "
+        "cost data-linear and the iteration count a quality knob, "
+        "not a scale knob."
+    ),
 }
 
 
