@@ -912,6 +912,14 @@ SF10_DIAGNOSES_RAW = {
         "cost data-linear and the iteration count a quality knob, "
         "not a scale knob."
     ),
+    "embedding_near_dup_stats": (
+        "the histogram/mode layer over the blocked near-dup front "
+        "half: committed on a second attempt after the protocol "
+        "refused a faster-min window whose post control read 79s "
+        "(2.1x the band) — the clean-flanked 45.8s stands as the "
+        "conservative number; the work term is the bounded-candidate "
+        "verify plus output-sized aggregates."
+    ),
 }
 
 
