@@ -920,6 +920,81 @@ SF10_DIAGNOSES_RAW = {
         "conservative number; the work term is the bounded-candidate "
         "verify plus output-sized aggregates."
     ),
+    "q3_shipping_priority": (
+        "broadcast-dim join + date-filtered scan + TakeOrdered "
+        "top-10 at 100x — scan-linear."
+    ),
+    "q6_revenue_forecast": (
+        "the pure pushdown row at 100x: filters reach the scan, one "
+        "1-row aggregate — the cheapest possible shape."
+    ),
+    "agg_rollup_flag_status": (
+        "ROLLUP over two low-cardinality keys with map-side decimal "
+        "partials at 100x — one bounded shuffle."
+    ),
+    "embedding_norm_by_label": (
+        "per-label norm moments at 100x: one label-key aggregate "
+        "over JVM vector expressions — bounded output."
+    ),
+    "link_fuzzy_part_names": (
+        "token-blocked fuzzy linkage at 100x: candidates bounded by "
+        "block occupancy, Levenshtein only on the pruned pairs."
+    ),
+    "events_transition_matrix": (
+        "Markov transitions at 100x: one user-key window for lag + "
+        "one (from,to) aggregate — bounded output."
+    ),
+    "dq_lineitem_expectations": (
+        "the expectations suite at 100x: one scan feeding bounded "
+        "conditional aggregates — no shuffle growth."
+    ),
+    "sample_global_shuffle": (
+        "content-hash global shuffle at 100x: per-shard row_number, "
+        "no global sort — the documented sampling shape."
+    ),
+    "events_multilevel_rollup": (
+        "minute->hour->day re-aggregation at 100x: the fact scan "
+        "happens once and coarser grains fold partial decimal sums "
+        "(ReusedExchange pinned)."
+    ),
+    "events_ewma_value": (
+        "EWMA at 100x: 8 codegen lag taps in one user-key window — "
+        "single shuffle, rows-linear."
+    ),
+    "events_funnel": (
+        "the funnel at 100x: per-user min-timestamps per stage + a "
+        "broadcast 1-row corpus total — bounded output."
+    ),
+    "events_asof_latest_order": (
+        "as-of join at 100x: union + one window pass, no per-row "
+        "subqueries — the single-shuffle as-of shape."
+    ),
+    "ann_cosine_topk": (
+        "the exact JVM brute-force baseline at 100x: broadcast "
+        "query set, one corpus scan, partial top-k before the "
+        "ranking window."
+    ),
+    "text_vocab_encode": (
+        "vocab encoding at 100x: one token aggregate builds the "
+        "broadcast vocabulary, the rewrite is map-only."
+    ),
+    "events_gapfill_hourly": (
+        "gap-fill at 100x: the hour grid comes from broadcast "
+        "bounds, one merge join against the observed hours."
+    ),
+    "dq_orphan_audit": (
+        "FK orphan audit at 100x: two anti joins on the key "
+        "columns, both equi-keyed — scan-linear."
+    ),
+    "text_boilerplate_chunks": (
+        "boilerplate at 100x: vocabulary-bounded chunk frequencies "
+        "+ one join-back — the chunk explode is the linear term."
+    ),
+    "dedup_containment_pairs": (
+        "containment at 100x: shares the df_cap=64 overlap front "
+        "half (join work <= 32x element rows) plus totals joins "
+        "against the pruned pair set."
+    ),
 }
 
 

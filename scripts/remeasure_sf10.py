@@ -135,6 +135,26 @@ TARGETS = (
     "embedding_near_dup_stats",
     "stream_decontaminate_bloom",
     "kmeans_embedding_clusters",
+    # r11 batch #5/#6 — complete the table: every query with a scale
+    # row gets a 100x point
+    "q3_shipping_priority",
+    "q6_revenue_forecast",
+    "agg_rollup_flag_status",
+    "embedding_norm_by_label",
+    "link_fuzzy_part_names",
+    "events_transition_matrix",
+    "dq_lineitem_expectations",
+    "sample_global_shuffle",
+    "events_multilevel_rollup",
+    "events_ewma_value",
+    "events_funnel",
+    "events_asof_latest_order",
+    "ann_cosine_topk",
+    "text_vocab_encode",
+    "events_gapfill_hourly",
+    "dq_orphan_audit",
+    "text_boilerplate_chunks",
+    "dedup_containment_pairs",
 )  # subset via --targets
 SF_10 = os.path.join(REPO, ".testdata", "sf10")
 ANCHOR_16C = 0.34 * 32 / 16
