@@ -733,6 +733,26 @@ SF10_DIAGNOSES_RAW = {
         "the 100x ratio over a ~1.5s constant-dominated sf0.1 base "
         "stays far below the 100x data factor."
     ),
+    "dedup_overlap_pairs": (
+        "first capped-overlap 100x point (df_cap=64 contract): the "
+        "38x ratio is the half-core session over a 1.7s base — the "
+        "join work term itself is DuckDB-counted sub-linear per "
+        "unit of data (the cap bounds join rows to 32x element "
+        "rows at any scale)."
+    ),
+    "dedup_semantic_clusters": (
+        "SemDeDup's clean sf10 point (r11, both flanks green, "
+        "replacing the dirty-marked 82.1s bound): the persisted "
+        "Lloyd loop is k-key shuffles + <=k collects, the within-"
+        "cluster window partitions on (cid, id-bucket) — never the "
+        "bare k-valued cid — and candidates are O(N*W); at-trend "
+        "with its 30x 5.01."
+    ),
+    "multimodal_image_decode": (
+        "the stdlib-PNG codec round-trip at 100x: per-row "
+        "encode+CRC-verified parse in Arrow kernels, NO Exchange "
+        "(plan-pinned) — rows-linear zlib+filter work."
+    ),
     "dedup_substring_spans": (
         "r11 clean restamp clearing the earlier dirty-marked 33.5s "
         "upper bound (both flanks green this time): all stages are "
