@@ -907,3 +907,97 @@ def ivfpq_topk(
         .select("query_id", "neighbor_id")
     )
     return _exact_refine(cand, corpus, queries, id_col, vec_col, k)
+
+
+# ---------------------------------------------------------------------------
+# PCA — the standard embedding pre-transform (FAISS PCAMatrix): fit is
+# driver math on a BOUNDED covariance aggregate (each partition
+# reduces to one (n, Σx, Σxxᵀ) row — ≤|partitions| rows collected, the
+# effective-rank pattern), and projection is map-only with the (d × r)
+# matrix riding in the closure. Used for dimensionality reduction
+# before PQ/IVF (smaller codes, decorrelated subspaces) and for
+# whitening-style embedding-space repairs.
+# ---------------------------------------------------------------------------
+
+
+def pca_fit(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    r: int = 8,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Fit PCA over the corpus: returns (mean (d,), components (d, r),
+    eigvals (r,)) with components sign-canonicalized (the largest-
+    magnitude entry of each eigenvector is made positive) so the
+    model — and everything projected through it — is deterministic
+    under any partitioning. One distributed pass: per-partition
+    (n, Σx, Σxxᵀ) partials via one syrk-style matmul per Arrow batch,
+    driver collects ≤|partitions| rows and runs the O(d³) eigh on the
+    d×d covariance."""
+    first = corpus.select(vec_col).first()
+    if first is None:
+        raise ValueError("empty PCA fit input")
+    dim = len(first[0])
+    if not 1 <= r <= dim:
+        raise ValueError(f"r must be in [1, {dim}]")
+
+    def partials(batches):
+        n = 0
+        s = np.zeros(dim)
+        ss = np.zeros((dim, dim))
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array(list(pdf[vec_col]), dtype=np.float64)
+            n += m.shape[0]
+            s += m.sum(axis=0)
+            ss += m.T @ m
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "s": [s.tolist()], "ss": [ss.ravel().tolist()]}
+            )
+
+    rows = corpus.select(vec_col).mapInPandas(
+        partials, "n long, s array<double>, ss array<double>"
+    ).collect()
+    n = sum(row["n"] for row in rows)
+    s = np.sum([row["s"] for row in rows], axis=0)
+    ss = np.sum([row["ss"] for row in rows], axis=0).reshape(dim, dim)
+    mean = s / n
+    cov = ss / n - np.outer(mean, mean)
+    w, v = np.linalg.eigh(cov)          # ascending
+    w = np.clip(w[::-1], 0.0, None)[:r]
+    v = v[:, ::-1][:, :r]
+    for j in range(v.shape[1]):         # deterministic sign
+        if v[np.argmax(np.abs(v[:, j])), j] < 0:
+            v[:, j] = -v[:, j]
+    return mean, v, w
+
+
+def pca_project(
+    corpus: DataFrame,
+    mean: np.ndarray,
+    components: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """(vec_id, proj array<double>): centered projection onto the
+    fitted components — map-only, the (d × r) matrix in the closure,
+    one matmul per Arrow batch; rounded so partition/summation order
+    cannot leak into the output."""
+    mu = np.asarray(mean, dtype=np.float64)
+    V = np.asarray(components, dtype=np.float64)
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(list(pdf[vec_col]), dtype=np.float64)
+            P = np.round((X - mu) @ V, round_dp)
+            yield pd.DataFrame(
+                {"vec_id": pdf[id_col], "proj": list(P)}
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        kernel, "vec_id long, proj array<double>"
+    )

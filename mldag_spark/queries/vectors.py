@@ -139,6 +139,26 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("embedding_pca_project")  # rows-only: eigendecomposition is
+# not SQL-expressible; numpy-pinned + partition-invariant in pytest
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection of the embedding corpus to its top-8 components
+    — the standard pre-transform before PQ/IVF (FAISS PCAMatrix:
+    smaller codes, decorrelated subspaces) and the repair for
+    anisotropic spaces ``embedding_effective_rank`` diagnoses. Fit is
+    driver math on a BOUNDED covariance aggregate (≤|partitions|
+    partial rows); projection is map-only with the (d × r) matrix in
+    the closure; components are sign-canonicalized and outputs
+    rounded, so the result is deterministic under any partitioning
+    (property-pinned, with a numpy reference match, in
+    tests/test_operators.py)."""
+    from mldag_spark.operators.similarity import pca_fit, pca_project
+
+    emb = load(spark, sf_dir, "embeddings")
+    mean, comps, _w = pca_fit(emb, r=8)
+    return pca_project(emb, mean, comps)
+
+
 @register("ann_lsh_topk")  # no oracle: bucket recall is hash-specific
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-5 — the scale path (candidates only

@@ -1753,3 +1753,38 @@ def test_bloom_bitmap_artifact_parquet_roundtrip(spark, tmp_path):
     ).collect()
     assert all(r["a"] == r["b"] for r in rows)
     assert all(r["a"] for r in rows if r["s"] in set(vals[:15]))
+
+
+def test_pca_fit_project_matches_numpy_and_is_partition_invariant(spark, sf_dir):
+    """PCA: components orthonormal, eigenvalues descending and equal to
+    the projected-data variance, projection matches the numpy reference
+    at the rounding precision, and the model is identical under a
+    different partitioning (sign canonicalization at work)."""
+    import numpy as np
+
+    from mldag_spark.operators.similarity import pca_fit, pca_project
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    mean, V, w = pca_fit(emb, r=8)
+    assert V.shape == (64, 8) and w.shape == (8,)
+    assert np.allclose(V.T @ V, np.eye(8), atol=1e-9)       # orthonormal
+    assert all(w[i] >= w[i + 1] - 1e-12 for i in range(7))  # descending
+
+    X = np.array(
+        [r["embedding"] for r in emb.select("embedding").collect()],
+        dtype=np.float64,
+    )
+    ref = (X - X.mean(axis=0)) @ V
+    # projected variance per component == eigenvalues (population var)
+    assert np.allclose(ref.var(axis=0), w, rtol=1e-6, atol=1e-9)
+
+    got = {
+        r["vec_id"]: r["proj"] for r in pca_project(emb, mean, V).collect()
+    }
+    ids = [r["vec_id"] for r in emb.select("vec_id").collect()]
+    for i, vid in enumerate(ids):
+        assert np.allclose(got[vid], np.round(ref[i], 6), atol=1e-6)
+
+    mean2, V2, w2 = pca_fit(emb.repartition(7), r=8)
+    assert np.allclose(mean, mean2) and np.allclose(w, w2)
+    assert np.allclose(V, V2)
