@@ -119,6 +119,8 @@ QUERIES = (
     "text_decontaminate_bloom",
     # r11: its streaming twin (foreachBatch probe, _mb_id sink)
     "stream_decontaminate_bloom",
+    # r11: PCA fit (bounded covariance collect) + map-only projection
+    "embedding_pca_project",
 )
 
 # VERDICT r6 #6: every scale row now gets a 30x datapoint (was 12/26)
@@ -184,6 +186,7 @@ SF3_QUERIES = (
     "ann_ivfpq_topk",
     "text_decontaminate_bloom",
     "stream_decontaminate_bloom",
+    "embedding_pca_project",
     # ...heaviest (prefix-join + closure) last: even with per-query
     # session recovery, a JVM death costs every later row its warm cache
     "dedup_ngram_jaccard",
@@ -349,6 +352,13 @@ SF3_DIAGNOSES_RAW = {
     "q1_pricing_summary": (
         "single map-side-partial aggregate over the fact scan; 6-group "
         "reduce side is constant-size."
+    ),
+    "embedding_pca_project": (
+        "PCA at scale: fit is one pass of per-partition (n, sum, "
+        "outer-product) partials — <=|partitions| rows collected — "
+        "and projection is a second map-only pass with the (d x r) "
+        "matrix in the closure; growth is two linear scans, no "
+        "shuffle anywhere."
     ),
     "q3_shipping_priority": (
         "broadcast dims + one fact shuffle; top-k is TakeOrdered "

@@ -155,6 +155,7 @@ TARGETS = (
     "dq_orphan_audit",
     "text_boilerplate_chunks",
     "dedup_containment_pairs",
+    "embedding_pca_project",
 )  # subset via --targets
 SF_10 = os.path.join(REPO, ".testdata", "sf10")
 ANCHOR_16C = 0.34 * 32 / 16
