@@ -942,6 +942,11 @@ SF10_DIAGNOSES_RAW = {
         "cost data-linear and the iteration count a quality knob, "
         "not a scale knob."
     ),
+    "embedding_pca_project": (
+        "PCA at 100x: 0.75s — the bounded covariance collect plus "
+        "one map-only projection pass; the flattest row in the "
+        "table, constant-dominated at every measured scale."
+    ),
     "embedding_near_dup_stats": (
         "the histogram/mode layer over the blocked near-dup front "
         "half: committed on a second attempt after the protocol "
