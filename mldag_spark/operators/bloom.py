@@ -65,7 +65,10 @@ def bloom_build(
     if m_bits % 8:
         raise ValueError("m_bits must be a multiple of 8")
     h1, h2 = _h1h2(F.col(col))
-    pos = df.select(
+    # NULLs are not members: md5(NULL) is NULL and would reach the
+    # kernel as NaN positions (int-cast crash); drop them here, and
+    # the probe returns false for NULL symmetrically
+    pos = df.filter(F.col(col).isNotNull()).select(
         F.explode(
             F.array(*[(h1 + F.lit(i) * h2) % m_bits for i in range(k)])
         ).alias("p")
@@ -109,9 +112,12 @@ def bloom_might_contain(
     def _probe(h1: pd.Series, h2: pd.Series) -> pd.Series:
         if len(h1) == 0:
             return pd.Series([], dtype="bool")
-        a = h1.to_numpy(dtype=np.int64)
-        b = h2.to_numpy(dtype=np.int64)
-        ok = np.ones(len(a), dtype=bool)
+        # NULL input -> NULL md5 -> NaN here; not a member (mirrors
+        # the build side dropping NULLs)
+        valid = h1.notna().to_numpy()
+        a = h1.fillna(0).to_numpy(dtype=np.int64)
+        b = h2.fillna(0).to_numpy(dtype=np.int64)
+        ok = valid.copy()
         for i in range(k):
             p = (a + i * b) % m_bits
             ok &= ((bm[p >> 3] >> (p & 7)) & 1).astype(bool)

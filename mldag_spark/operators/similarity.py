@@ -453,10 +453,15 @@ def _np_lloyd(
         # form drops the per-row ||x||², constant per ROW but needed
         # for the farthest-point argmax ACROSS rows)
         full = xn + d[np.arange(n), a]
+        # successive farthest points for empty-cluster reseeds: two
+        # clusters emptying in the same iteration must NOT both get
+        # the single argmax row (identical centroids = a permanently
+        # wasted code point)
+        far_order = iter(np.argsort(-full))
         moved = False
         for j in range(k):
             mask = a == j
-            nc = X[mask].mean(axis=0) if mask.any() else X[np.argmax(full)]
+            nc = X[mask].mean(axis=0) if mask.any() else X[next(far_order)]
             if not np.allclose(nc, C[j]):
                 moved = True
             C[j] = nc
@@ -613,13 +618,21 @@ def pq_topk(
             d = np.zeros((len(ids), len(qids)), dtype=np.float64)
             for j in range(m):
                 d += lut[:, j, :][:, C[:, j]].T
+            # drop self BEFORE truncation (its ~0 ADC distance would
+            # burn one of this batch's r candidate slots)
+            d[ids[:, None] == qids[None, :]] = np.inf
             r = min(refine, len(ids))
             part = np.argpartition(d, r - 1, axis=0)[:r]  # (r, n_q)
             out_q = np.repeat(qids, r)
             out_n = ids[part.T.ravel()]
             out_d = np.take_along_axis(d, part, axis=0).T.ravel()
+            keep = np.isfinite(out_d)
             yield pd.DataFrame(
-                {"query_id": out_q, "neighbor_id": out_n, "adc": out_d}
+                {
+                    "query_id": out_q[keep],
+                    "neighbor_id": out_n[keep],
+                    "adc": out_d[keep],
+                }
             )
 
     partial = codes.mapInPandas(
@@ -649,7 +662,13 @@ def _exact_refine(
     pairs equi-join back to the corpus vectors by id (only
     refine·|Q| rows move), TRUE cosine is computed (Arrow BLAS), and
     the ranking window emits exact-scored (query_id, neighbor_id,
-    cos, rk) — approximate candidate set, exact reported scores."""
+    cos, rk) — approximate candidate set, exact reported scores.
+
+    The candidate side is refine·|Q| rows BY CONSTRUCTION but sits
+    behind a window over a mapInPandas stage — exactly the
+    garbage-static-estimate shape that OOM'd the decontamination
+    join at sf10 — so it carries an explicit broadcast hint: the
+    corpus side must never shuffle for this join (plan-pinned)."""
     qdf = queries.select(
         F.col(id_col).alias("query_id"),
         _as_double(F.col(vec_col)).alias("qv"),
@@ -659,7 +678,7 @@ def _exact_refine(
         _as_double(F.col(vec_col)).alias("cv"),
     )
     sims = (
-        cand.join(cvec, "neighbor_id")
+        F.broadcast(cand).join(cvec, "neighbor_id")
         .join(F.broadcast(qdf), "query_id")
         .select(
             "query_id",
@@ -843,8 +862,17 @@ def ivfpq_topk(
     dq = ((cm * cm).sum(axis=1)[None, :] - 2.0 * (Q @ cm.T))
     probed = np.argsort(dq, axis=1, kind="stable")[:, :n_probe]  # (n_q, p)
 
-    # luts[(qi, cell)] = (m, ksub) table of subspace residual distances
+    # luts[(qi, cell)] = (m, ksub) table of subspace residual distances.
+    # coarse_term[(qi, cell)] = ||q - c(cell)||² — FAISS's dis0: the
+    # LUT sums estimate ||r̂||² − 2(q−c)·r̂, which is the true distance
+    # MINUS this per-cell constant; candidates from DIFFERENT probed
+    # cells are ranked in one global window, so dropping it would make
+    # their scores incommensurable (far-cell noise crowding out
+    # near-cell neighbors — a silent recall hole no loose floor
+    # catches).
+    qn = (Q * Q).sum(axis=1)
     luts: dict[tuple[int, int], np.ndarray] = {}
+    coarse_term: dict[tuple[int, int], float] = {}
     for qi in range(len(qids)):
         for cell in probed[qi]:
             t = (Q[qi] - cm[cell]).reshape(m, dsub)
@@ -853,6 +881,10 @@ def ivfpq_topk(
                     cbn[j] - 2.0 * (cb[j] @ t[j])
                     for j in range(m)
                 ]
+            )
+            # dq holds ||c||² − 2 q·c; add ||q||² for the full norm
+            coarse_term[(qi, int(cell))] = float(
+                qn[qi] + dq[qi, int(cell)]
             )
 
     cells = sorted({int(c) for row in probed for c in row})
@@ -878,15 +910,21 @@ def ivfpq_topk(
                 ).reshape(len(ids), m)
                 for qi in qi_by_cell.get(cell, ()):
                     lut = luts[(qi, cell)]
-                    d = np.zeros(len(ids), dtype=np.float64)
+                    d = np.full(len(ids), coarse_term[(qi, cell)])
                     for j in range(m):
                         d += lut[j][C[:, j]]
+                    # drop self BEFORE truncation, or the query's own
+                    # ~0-distance code burns one of this batch's r
+                    # candidate slots
+                    d[ids == qids[qi]] = np.inf
                     r = min(refine, len(ids))
                     part = np.argpartition(d, r - 1)[:r]
+                    keep = np.isfinite(d[part])
+                    part = part[keep]
                     frames.append(
                         pd.DataFrame(
                             {
-                                "query_id": np.full(r, qids[qi]),
+                                "query_id": np.full(len(part), qids[qi]),
                                 "neighbor_id": ids[part],
                                 "adc": d[part],
                             }
@@ -981,12 +1019,15 @@ def pca_project(
     vec_col: str = "embedding",
     round_dp: int = 6,
 ) -> DataFrame:
-    """(vec_id, proj array<double>): centered projection onto the
+    """(``id_col``, proj array<double>): centered projection onto the
     fitted components — map-only, the (d × r) matrix in the closure,
     one matmul per Arrow batch; rounded so partition/summation order
-    cannot leak into the output."""
+    cannot leak into the output. The id column keeps its name AND
+    type (schema derived from the input, the ``_residuals``
+    convention — a string doc_id works as well as a long vec_id)."""
     mu = np.asarray(mean, dtype=np.float64)
     V = np.asarray(components, dtype=np.float64)
+    id_ddl = corpus.schema[id_col].simpleString().replace(":", " ", 1)
 
     def kernel(batches):
         for pdf in batches:
@@ -995,9 +1036,9 @@ def pca_project(
             X = np.array(list(pdf[vec_col]), dtype=np.float64)
             P = np.round((X - mu) @ V, round_dp)
             yield pd.DataFrame(
-                {"vec_id": pdf[id_col], "proj": list(P)}
+                {id_col: pdf[id_col], "proj": list(P)}
             )
 
     return corpus.select(id_col, vec_col).mapInPandas(
-        kernel, "vec_id long, proj array<double>"
+        kernel, f"{id_ddl}, proj array<double>"
     )

@@ -894,14 +894,9 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mldag_spark.functions import shingle_rows
 
     d = load(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long")
-        % 100
-    )
     sh = (
         shingle_rows(
-            d.withColumn("bucket", bucket), "doc_id", "text", 5,
+            d.withColumn("bucket", _split_bucket()), "doc_id", "text", 5,
             carry=("bucket",), complete_only=True,
         )
         .select("doc_id", "bucket", F.col("shingle").alias("s"))
@@ -985,12 +980,7 @@ def text_decontaminate_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mldag_spark.functions import shingle_rows
 
     d = load(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long")
-        % 100
-    )
-    docs = d.withColumn("bucket", bucket)
+    docs = d.withColumn("bucket", _split_bucket())
     sh = (
         shingle_rows(docs, "doc_id", "text", 5,
                      carry=("bucket",), complete_only=True)
@@ -1096,9 +1086,6 @@ def text_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     semi-join), so the gate compares identical results, FPs
     included; tests/test_operators.py pins the superset property
     (bloom drops ⊇ exact drops) against the exact pass."""
-    from mldag_spark.functions import shingle_rows
-    from mldag_spark.operators.bloom import bloom_build, bloom_might_contain
-
     d = load(spark, sf_dir, "documents")
     docs = d.withColumn("bucket", _split_bucket())
     bitmap = decontamination_bloom(docs)

@@ -839,13 +839,6 @@ SF10_DIAGNOSES_RAW = {
         "documents on half the cores — rows-linear, no shuffle "
         "term exists."
     ),
-    "stream_decontaminate_bloom": (
-        "the streaming twin of the bloom pass: the static side "
-        "builds the bitmap once, each micro-batch probes map-only "
-        "inside foreachBatch and overwrites its own _mb_id "
-        "partition — per-batch work is the batch query's probe term "
-        "over the batch slice, independent of history size."
-    ),
     "text_ngram_coverage_stats": (
         "the heaviest quality filter at 100x: n-gram windows are "
         "map-only zip-slices but the interval-union coverage runs "

@@ -1640,6 +1640,22 @@ def test_bloom_membership_matches_python_replay(spark):
     # test is vacuous (the range-join lesson)
     assert any(got[v] for v in vals if v not in inserted)
 
+    # NULLs: dropped on build, non-member on probe — neither crashes
+    bm2 = bloom_build(
+        spark.createDataFrame(
+            [(v,) for v in inserted] + [(None,)], "s string"
+        ),
+        "s", m_bits=256, k=4,
+    )
+    assert bm2 == bm  # the NULL contributed nothing
+    probe2 = bloom_might_contain(bm2, m_bits=256, k=4)
+    rows = (
+        spark.createDataFrame([(inserted[0],), (None,)], "s string")
+        .select("s", probe2(F.col("s")).alias("hit"))
+        .collect()
+    )
+    assert {r["s"]: r["hit"] for r in rows} == {inserted[0]: True, None: False}
+
 
 def test_decontaminate_bloom_is_safe_superset_of_exact(spark, sf_dir):
     """Bloom decontamination may over-drop (deterministic FPs) but can

@@ -594,3 +594,16 @@ def test_bloom_decontaminate_shuffles_only_hit_rows(spark, registry):
         and "BroadcastExchange" not in l
     )
     assert n_shuffle <= 2, final
+
+
+def test_pq_refine_join_broadcasts_candidates_not_corpus(spark, registry):
+    # the exact-refine tail joins refine·|Q| candidate pairs back to
+    # the corpus vectors; the candidate side sits behind a window over
+    # a mapInPandas stage (garbage static estimate — the
+    # decontamination sf10 OOM shape), so it carries an explicit
+    # broadcast hint: the corpus must never shuffle for this join
+    df = registry["ann_pq_topk"](spark, SF_DIR)
+    plan = _plan(df)
+    final = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final
+    assert "SortMergeJoin" not in final, final
