@@ -635,9 +635,12 @@ def pq_topk(
                 }
             )
 
+    # self-matches are dropped IN the kernel (before truncation) —
+    # no neighbor_id == query_id row can reach this plan, pinned by
+    # the no-self assertion in tests/test_operators.py
     partial = codes.mapInPandas(
         adc_kernel, "query_id long, neighbor_id long, adc double"
-    ).filter(F.col("neighbor_id") != F.col("query_id"))
+    )
     wr = Window.partitionBy("query_id").orderBy(
         F.asc("adc"), F.asc("neighbor_id")
     )
@@ -667,8 +670,20 @@ def _exact_refine(
     The candidate side is refine·|Q| rows BY CONSTRUCTION but sits
     behind a window over a mapInPandas stage — exactly the
     garbage-static-estimate shape that OOM'd the decontamination
-    join at sf10 — so it carries an explicit broadcast hint: the
-    corpus side must never shuffle for this join (plan-pinned)."""
+    join at sf10 — so it is COLLECTED (the bounded-collect law: the
+    same contract that already collects the query set bounds
+    refine·|Q|) and re-created as a local frame before the broadcast
+    join. This also decouples the broadcast build from the ADC scan's
+    latency: hinting the lazy `cand` would put the whole codes-scan
+    pipeline inside ``spark.sql.broadcastTimeout``, turning a slow
+    scan into a hard query failure. The corpus side never shuffles
+    for this join (plan-pinned)."""
+    spark = corpus.sparkSession
+    cand_rows = cand.collect()
+    cand_local = spark.createDataFrame(
+        [(r["query_id"], r["neighbor_id"]) for r in cand_rows],
+        "query_id long, neighbor_id long",
+    )
     qdf = queries.select(
         F.col(id_col).alias("query_id"),
         _as_double(F.col(vec_col)).alias("qv"),
@@ -678,7 +693,7 @@ def _exact_refine(
         _as_double(F.col(vec_col)).alias("cv"),
     )
     sims = (
-        F.broadcast(cand).join(cvec, "neighbor_id")
+        F.broadcast(cand_local).join(cvec, "neighbor_id")
         .join(F.broadcast(qdf), "query_id")
         .select(
             "query_id",
@@ -745,6 +760,12 @@ def ivfpq_train(
     return coarse, books
 
 
+def _field_ddl(schema, name: str) -> str:
+    """StructField → DDL snippet ("vec_id bigint") — shared by every
+    kernel that derives its output schema from the input's."""
+    return schema[name].simpleString().replace(":", " ", 1)
+
+
 def _residuals(
     corpus: DataFrame, coarse: np.ndarray, vec_col: str
 ) -> DataFrame:
@@ -760,7 +781,7 @@ def _residuals(
 
     cols = [f.name for f in corpus.schema.fields if f.name != vec_col]
     out_schema = ", ".join(
-        [corpus.schema[c].simpleString().replace(":", " ", 1) for c in cols]
+        [_field_ddl(corpus.schema, c) for c in cols]
         + ["cell int", "_res array<double>"]
     )
 
@@ -933,9 +954,10 @@ def ivfpq_topk(
             if frames:
                 yield pd.concat(frames, ignore_index=True)
 
+    # self-matches dropped in-kernel, as in pq_topk
     partial = codes.mapInPandas(
         adc_kernel, "query_id long, neighbor_id long, adc double"
-    ).filter(F.col("neighbor_id") != F.col("query_id"))
+    )
     wr = Window.partitionBy("query_id").orderBy(
         F.asc("adc"), F.asc("neighbor_id")
     )
@@ -1027,7 +1049,7 @@ def pca_project(
     convention — a string doc_id works as well as a long vec_id)."""
     mu = np.asarray(mean, dtype=np.float64)
     V = np.asarray(components, dtype=np.float64)
-    id_ddl = corpus.schema[id_col].simpleString().replace(":", " ", 1)
+    id_ddl = _field_ddl(corpus.schema, id_col)
 
     def kernel(batches):
         for pdf in batches:

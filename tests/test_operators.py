@@ -144,6 +144,7 @@ def test_pq_topk_recall_and_exact_scores(spark, sf_dir):
     assert books.shape == (16, 16, 4)  # (m, ksub, dim/m) for 64 dims
     pq = pq_topk(emb, q, books, k=5, refine=100).collect()
     assert len(pq) > 0
+    assert all(r["query_id"] != r["neighbor_id"] for r in pq)
     for r in pq:
         key = (r["query_id"], r["neighbor_id"])
         if key in bf:
@@ -180,6 +181,9 @@ def test_ivfpq_topk_recall_exact_scores_and_code_shape(spark, sf_dir):
     }
     res = ivfpq_topk(emb, q, coarse, books, k=5, n_probe=2, refine=100).collect()
     assert len(res) > 0
+    # self-matches are dropped IN the ADC kernels (the plan carries no
+    # post-filter anymore) — none may surface
+    assert all(r["query_id"] != r["neighbor_id"] for r in res)
     for r in res:
         key = (r["query_id"], r["neighbor_id"])
         if key in bf:

@@ -603,7 +603,6 @@ def test_pq_refine_join_broadcasts_candidates_not_corpus(spark, registry):
     # decontamination sf10 OOM shape), so it carries an explicit
     # broadcast hint: the corpus must never shuffle for this join
     df = registry["ann_pq_topk"](spark, SF_DIR)
-    plan = _plan(df)
-    final = plan.split("== Initial Plan ==")[0]
-    assert "BroadcastHashJoin" in final
-    assert "SortMergeJoin" not in final, final
+    plan = _plan(df)  # static formatted explain — no AQE marker to split
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
