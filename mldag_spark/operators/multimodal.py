@@ -8,16 +8,18 @@ decode/feature-extraction runs as Arrow-batched Python over
 never per row.
 
 The heavyweight codecs (PIL/ffmpeg/torchaudio) are NOT installed in
-this environment. Audio (r10) and images (r11) are REAL anyway via
-stdlib codecs — ``wave`` for RIFF/PCM and zlib+struct for PNG, both
-encoded AND parsed on the executors, with a guarded-import PIL path
-for arbitrary image formats where pillow exists. The remaining
-video/feature kernels are stubbed: importable, correctly shaped,
-deterministic — each raises ``NotImplementedError`` at the point the
-real library call would happen unless ``deterministic_fake`` is set,
-in which case it derives stable fake features from the bytes (so the
-Spark-side plumbing — schema, batching, partitioning — is fully
-testable).
+this environment. Audio (r10), images (r11), video (r11), and resize
+(r12) are REAL anyway via stdlib codecs — ``wave`` for RIFF/PCM,
+zlib+struct for PNG (decode AND re-encode, so resize is a genuine
+decode → downsample → encode round trip), YUV4MPEG2 for video — all
+encoded AND parsed on the executors, with guarded-import PIL paths
+for arbitrary image formats where pillow exists. ONE seam remains
+fake: :func:`extract_features` (a real embedding model does not exist
+in stdlib) — importable, correctly shaped, deterministic; it raises
+``NotImplementedError`` at the point the real model call would happen
+unless ``deterministic_fake`` is set, in which case it derives stable
+fake features from the bytes (so the Spark-side plumbing — schema,
+batching, partitioning — is fully testable).
 """
 
 from __future__ import annotations
@@ -31,6 +33,7 @@ from mldag_spark.functions import davg
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    BooleanType,
     DoubleType,
     IntegerType,
     LongType,
@@ -213,74 +216,149 @@ def chunk_payloads(media: DataFrame, chunk_bytes: int = 256) -> DataFrame:
     )
 
 
+def _resize_gray_nn(px, nw: int, nh: int):
+    """Integer-exact nearest-neighbor downsample: output pixel (i, j)
+    samples input pixel (i*h//nh, j*w//nw) — deterministic across
+    engines and cluster sizes (no float rounding in the index map)."""
+    import numpy as np
+
+    h, w = px.shape
+    rows = (np.arange(nh, dtype=np.int64) * h) // nh
+    cols = (np.arange(nw, dtype=np.int64) * w) // nw
+    return px[rows][:, cols]
+
+
 def resize_media(
     media: DataFrame,
     max_px: int = 64,
-    deterministic_fake: bool = True,
+    engine: str = "auto",
 ) -> DataFrame:
     """Downscale images so the longest side is <= ``max_px`` via
     ``mapInPandas`` — same Arrow plumbing as :func:`extract_features`:
     payload bytes cross to Python once per columnar batch, the output
-    schema is the input MEDIA_SCHEMA (so resize composes with any
-    downstream media consumer), and rows already small enough pass
-    through untouched.
+    schema is the input MEDIA_SCHEMA plus an ``ok`` flag (so resize
+    composes with any downstream media consumer), and rows already
+    small enough pass through untouched.
 
     Dimension math is integer-exact (``new = old * max_px // longest``,
     downscale only) so results are reproducible bit-for-bit across
-    engines and cluster sizes. The stub "resize" truncates the payload
-    to ``len * max_px² // longest²`` bytes — the real kernel would be
-    a PIL/libvips call with the same signature (raises
-    ``NotImplementedError`` when ``deterministic_fake=False``).
+    engines and cluster sizes.
+
+    ``engine`` (the r12 seam closure — VERDICT r11 #2):
+
+    - ``"native"`` — REAL decode → resize → re-encode via the stdlib
+      PNG codec (:func:`_png_parse_gray` / :func:`png_encode_gray`):
+      the payload is parsed (CRC-checked), nearest-neighbor
+      downsampled with the integer-exact index map
+      (:func:`_resize_gray_nn`), and re-encoded; output width/height
+      come from the PARSED container, not the metadata columns.
+      Corrupt or non-gray-PNG payloads yield ok=false pass-through
+      rows (the audio/image-stats pattern) — a bad document must
+      never kill a 100 TB pass.
+    - ``"pil"`` — guarded-import pillow path for arbitrary formats
+      (grayscale-converted, NEAREST; raises ImportError at kernel
+      build time on the driver if pillow is absent, never mid-task).
+    - ``"auto"`` (default) — PIL when importable, else native.
+    - ``"fake"`` — the deterministic metadata-arithmetic stub (payload
+      truncated to ``len * max_px² // longest²`` bytes, dims from the
+      metadata columns, ok always true): the engine of record for the
+      ``multimodal_resize_audit`` oracle gate, whose arithmetic an
+      ANSI oracle can replay without a PNG decoder.
     """
+    import importlib.util
+
+    import numpy as np
     import pandas as pd
 
     if max_px <= 0:
         raise ValueError("max_px must be positive")
+    if engine not in ("auto", "native", "pil", "fake"):
+        raise ValueError(f"unknown engine {engine!r}")
+    use_pil = (
+        engine == "pil"
+        or (engine == "auto" and importlib.util.find_spec("PIL") is not None)
+    )
+    if engine == "pil" and importlib.util.find_spec("PIL") is None:
+        raise ImportError("engine='pil' requires PIL (pillow)")
+    fake = engine == "fake"
+
+    def resize_real(data: bytes):
+        """-> (new_payload, new_w, new_h); raises on undecodable."""
+        if use_pil:
+            import io
+
+            from PIL import Image
+
+            img = Image.open(io.BytesIO(data))
+            px = np.asarray(img.convert("L"), dtype=np.uint8)
+        else:
+            _w, _h, px = _png_parse_gray(data)
+        h0, w0 = px.shape
+        longest = max(w0, h0)
+        if longest <= max_px:
+            return data, w0, h0
+        nw = max(w0 * max_px // longest, 1)
+        nh = max(h0 * max_px // longest, 1)
+        return png_encode_gray(_resize_gray_nn(px, nw, nh)), nw, nh
 
     def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             out = {k: [] for k in (
-                "media_id", "mime", "payload", "width", "height", "duration_ms"
+                "media_id", "mime", "payload", "width", "height",
+                "duration_ms", "ok",
             )}
             for mid, mime, p, w, h, dur in zip(
                 pdf["media_id"], pdf["mime"], pdf["payload"],
                 pdf["width"], pdf["height"], pdf["duration_ms"],
             ):
-                if not deterministic_fake:
-                    raise NotImplementedError(
-                        "real image resize requires PIL/libvips; "
-                        "not available in this environment"
-                    )
                 # null payload stays null (not coerced to b''); null
                 # dimensions mean "nothing to resize" — pass through
                 data = bytes(p) if p is not None else None
-                if pd.isna(w) or pd.isna(h):
+                ok = True
+                if fake:
+                    if pd.isna(w) or pd.isna(h):
+                        nw = None if pd.isna(w) else int(w)
+                        nh = None if pd.isna(h) else int(h)
+                    else:
+                        longest = max(int(w), int(h))
+                        if longest > max_px:
+                            nw = int(w) * max_px // longest
+                            nh = int(h) * max_px // longest
+                            if data is not None:
+                                nlen = (
+                                    len(data) * max_px * max_px
+                                    // (longest * longest)
+                                )
+                                data = data[:nlen]
+                        else:
+                            nw, nh = int(w), int(h)
+                else:
                     nw = None if pd.isna(w) else int(w)
                     nh = None if pd.isna(h) else int(h)
-                else:
-                    longest = max(int(w), int(h))
-                    if longest > max_px:
-                        nw = int(w) * max_px // longest
-                        nh = int(h) * max_px // longest
-                        if data is not None:
-                            nlen = (
-                                len(data) * max_px * max_px
-                                // (longest * longest)
-                            )
-                            data = data[:nlen]
-                    else:
-                        nw, nh = int(w), int(h)
+                    try:
+                        data, nw, nh = resize_real(
+                            data if data is not None else b""
+                        )
+                    except Exception:
+                        ok = False  # pass-through, original bytes/dims
+                        data = bytes(p) if p is not None else None
                 out["media_id"].append(mid)
                 out["mime"].append(mime)
                 out["payload"].append(data)
                 out["width"].append(nw)
                 out["height"].append(nh)
                 out["duration_ms"].append(dur)
+                out["ok"].append(ok)
             yield pd.DataFrame(out)
 
     return media.select(
         "media_id", "mime", "payload", "width", "height", "duration_ms"
-    ).mapInPandas(kernel, schema=MEDIA_SCHEMA)
+    ).mapInPandas(
+        kernel,
+        schema=StructType(
+            MEDIA_SCHEMA.fields + [StructField("ok", BooleanType())]
+        ),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -16,6 +16,8 @@ batch), never row-at-a-time Python.
 
 from __future__ import annotations
 
+from typing import Optional
+
 import numpy as np
 import pandas as pd
 
@@ -51,6 +53,28 @@ def _cosine_arrow():
 
 def _as_double(col):
     return col.cast("array<double>")
+
+
+# Driver-side collects in this module are bounded BY CONTRACT (query
+# sets, refine·|Q| candidate sets, training samples). The cap makes
+# that contract enforceable (VERDICT r11 #3): an oversized input is an
+# ERROR with a clear message, never a silent driver OOM.
+_QUERY_COLLECT_CAP = 65536
+
+
+def _collect_bounded(df: DataFrame, cap: int, what: str) -> list:
+    """collect() with a hard row cap — the `_TRAIN_COLLECT_CAP`
+    pattern extracted for every query-set / candidate-set / sample
+    collect. The limit(cap+1) bounds what even a misuse can pull to
+    the driver."""
+    rows = df.limit(cap + 1).collect()
+    if len(rows) > cap:
+        raise ValueError(
+            f"{what} exceeds {cap} rows; driver-side collects in ANN "
+            "operators are bounded by contract — pass a bounded "
+            f"{what} (or raise the cap deliberately)"
+        )
+    return rows
 
 
 def brute_force_topk(
@@ -113,7 +137,9 @@ def brute_force_topk_arrow(
     """
     import numpy as np
 
-    q_rows = queries.select(id_col, vec_col).collect()
+    q_rows = _collect_bounded(
+        queries.select(id_col, vec_col), _QUERY_COLLECT_CAP, "query set"
+    )
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
     q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
@@ -416,13 +442,25 @@ def banded_signature_udf(dim: int, n_bands: int, band_bits: int):
 _TRAIN_COLLECT_CAP = 65536
 
 
-def _collect_training_matrix(corpus: DataFrame, vec_col: str) -> np.ndarray:
-    rows = corpus.select(vec_col).limit(_TRAIN_COLLECT_CAP + 1).collect()
-    if len(rows) > _TRAIN_COLLECT_CAP:
+def _require_training_rows(n: int, k: int, what: str) -> None:
+    """The undersized mirror of ``_TRAIN_COLLECT_CAP`` (ADVICE r11):
+    a training sample with <= k rows makes ``_np_lloyd`` pad the
+    codebook with all-zero centroids — duplicate/degenerate codewords
+    that silently skew ADC rankings. Make it an error, not a skew."""
+    if n <= k:
         raise ValueError(
-            f"quantizer training input exceeds {_TRAIN_COLLECT_CAP} rows; "
-            "pass a bounded sample (the training-set contract)"
+            f"quantizer training input has {n} rows but {what}={k} "
+            "centers were requested; a sample smaller than the "
+            "codebook degenerates to zero-padded centroids — pass a "
+            f"larger sample (> {k} rows)"
         )
+
+
+def _collect_training_matrix(corpus: DataFrame, vec_col: str) -> np.ndarray:
+    rows = _collect_bounded(
+        corpus.select(vec_col), _TRAIN_COLLECT_CAP,
+        "quantizer training input",
+    )
     if not rows:
         raise ValueError("empty quantizer training input")
     X = np.array([r[0] for r in rows], dtype=np.float64)
@@ -487,6 +525,7 @@ def pq_train(
     data); training cost is CONSTANT in corpus size because the
     sample is."""
     X = _collect_training_matrix(corpus, vec_col)
+    _require_training_rows(len(X), ksub, "ksub")
     dim = X.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
@@ -565,8 +604,14 @@ def pq_topk(
     vec_col: str = "embedding",
     k: int = 5,
     refine: int = 50,
+    codes: Optional[DataFrame] = None,
 ) -> DataFrame:
     """PQ/ADC approximate top-k with exact refine.
+
+    ``codes``: a precomputed (vec_id, code) table (the published
+    artifact) — skips the per-query corpus re-encode; falls back to
+    :func:`pq_encode` when absent. Codes must come from the SAME
+    codebooks model.
 
     Stage 1 (ADC scan — the scale path): the bounded query set is
     collected once (the brute-force/IVF bounded-collect contract),
@@ -585,10 +630,10 @@ def pq_topk(
     m, ksub, dsub = codebooks.shape
     cb = codebooks.astype(np.float64)
 
-    q = (
+    q = _collect_bounded(
         _unit_normalized(queries, vec_col)
-        .select(F.col(id_col).alias("query_id"), "_uv")
-        .collect()
+        .select(F.col(id_col).alias("query_id"), "_uv"),
+        _QUERY_COLLECT_CAP, "query set",
     )
     if not q:
         raise ValueError("empty query set")
@@ -603,7 +648,9 @@ def pq_topk(
         axis=1,
     )  # (n_q, m, ksub)
 
-    codes = pq_encode(corpus, codebooks, id_col, vec_col)
+    if codes is None:
+        codes = pq_encode(corpus, codebooks, id_col, vec_col)
+    codes = codes.select("vec_id", "code")
 
     def adc_kernel(batches):
         for pdf in batches:
@@ -679,7 +726,9 @@ def _exact_refine(
     scan into a hard query failure. The corpus side never shuffles
     for this join (plan-pinned)."""
     spark = corpus.sparkSession
-    cand_rows = cand.collect()
+    cand_rows = _collect_bounded(
+        cand, _QUERY_COLLECT_CAP, "refine candidate set"
+    )
     cand_local = spark.createDataFrame(
         [(r["query_id"], r["neighbor_id"]) for r in cand_rows],
         "query_id long, neighbor_id long",
@@ -745,6 +794,8 @@ def ivfpq_train(
     whole model is (n_lists + ksub)·dim floats — closure-sized;
     training cost is CONSTANT in corpus size because the sample is."""
     X = _collect_training_matrix(corpus, vec_col)
+    _require_training_rows(len(X), n_lists, "n_lists")
+    _require_training_rows(len(X), ksub, "ksub")
     dim = X.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
@@ -853,6 +904,7 @@ def ivfpq_topk(
     k: int = 5,
     n_probe: int = 4,
     refine: int = 50,
+    codes: Optional[DataFrame] = None,
 ) -> DataFrame:
     """IVF-PQ approximate top-k with exact refine.
 
@@ -865,16 +917,25 @@ def ivfpq_topk(
     partitioned by cell), groups each Arrow batch by cell, and scores
     candidates with m table lookups each — per-batch partial
     top-``refine`` per query, global ranking window, then the shared
-    exact-cosine refine tail (:func:`_exact_refine`)."""
+    exact-cosine refine tail (:func:`_exact_refine`).
+
+    ``codes``: a precomputed (vec_id, cell, code) table — the
+    production path (ADVICE r11): pass the ``partitionBy("cell")``
+    parquet artifact back in and the ``isin(probed cells)`` filter
+    becomes REAL partition pruning on disk, so each query pays a
+    ~n_probe/n_lists fraction of the codes scan instead of a
+    full-corpus re-encode. Falls back to :func:`ivfpq_encode` over
+    ``corpus`` when absent (codes must have been produced by the SAME
+    coarse/codebooks model — artifact round-trip pinned by test)."""
     m, ksub, dsub = codebooks.shape
     cm = coarse.astype(np.float64)
     cb = codebooks.astype(np.float64)
     cbn = (cb * cb).sum(axis=2)  # (m, ksub)
 
-    q = (
+    q = _collect_bounded(
         _unit_normalized(queries, vec_col)
-        .select(F.col(id_col).alias("query_id"), "_uv")
-        .collect()
+        .select(F.col(id_col).alias("query_id"), "_uv"),
+        _QUERY_COLLECT_CAP, "query set",
     )
     if not q:
         raise ValueError("empty query set")
@@ -909,7 +970,9 @@ def ivfpq_topk(
             )
 
     cells = sorted({int(c) for row in probed for c in row})
-    codes = ivfpq_encode(corpus, coarse, codebooks, id_col, vec_col).filter(
+    if codes is None:
+        codes = ivfpq_encode(corpus, coarse, codebooks, id_col, vec_col)
+    codes = codes.select("vec_id", "cell", "code").filter(
         F.col("cell").isin(cells)
     )
 

@@ -15,7 +15,10 @@ Words with Subword Units"). The scale shape is the textbook one —
    as the Lloyd loop in ``queries/vectors.py`` (<= k rows per round);
 3. the rewrite is a literal JVM ``replace`` (whole-stage codegen, no
    Python) appended to the symbolization chain over the persisted
-   vocabulary.
+   vocabulary; every ``CHECKPOINT_EVERY`` merges the encoded vocab is
+   materialized and the chain reset, so plan depth and per-merge cost
+   stay bounded at production merge counts (measured to 1,024 merges
+   — SCALING.json ``bpe_merge_axis``).
 
 Symbol strings are self-delimiting: every symbol is rendered as
 ``\\x1e<sym>\\x1f`` (record-separator / unit-separator control chars,
@@ -119,29 +122,62 @@ def merge_pattern(left: str, right: str) -> tuple[str, str]:
     )
 
 
+# Materialize the encoded vocabulary and reset the replace chain
+# every this-many merges. Without batching, merge i evaluates i
+# nested ``replace`` expressions (O(n²) total vocab passes) and the
+# final plan is an n_merges-deep expression tree — at production
+# merge counts (tens of thousands) Catalyst analysis/codegen becomes
+# the bottleneck long before data does. With batching, plan depth is
+# <= CHECKPOINT_EVERY at all times and total vocab work is O(n·K):
+# per-merge cost stays flat as the merge count grows (measured to
+# 1,024 merges on the sf0.1 vocabulary — SCALING.json
+# `bpe_merge_axis`).
+CHECKPOINT_EVERY = 64
+
+
+def _materialize_vocab(enc: DataFrame) -> DataFrame:
+    """Cut the replace-chain lineage: eagerly localCheckpoint the
+    encoded vocabulary so subsequent merges read materialized rows
+    through a fresh (depth-0) plan. Each snapshot is vocab-sized
+    (production caps via ``top_words``: ~100k words ≈ a few MB), so
+    the ceil(n_merges / CHECKPOINT_EVERY) snapshots a long run
+    accumulates are trivially memory-bounded; a reliable-storage
+    alternative with identical semantics is the parquet artifact
+    round-trip that :func:`bpe_apply` already supports."""
+    return enc.localCheckpoint(eager=True)
+
+
 def bpe_learn(
     docs: DataFrame,
     text_col: str = "text",
     n_merges: int = 6,
     top_words: Optional[int] = None,
+    checkpoint_every: Optional[int] = CHECKPOINT_EVERY,
 ) -> tuple[list[Merge], DataFrame]:
     """Learn ``n_merges`` BPE merges over the corpus; returns the
     ordered merge table and the final encoded vocabulary (s, cnt)
     with every merge applied.
 
     The vocabulary is persisted ONCE; each learned merge appends one
-    literal JVM ``replace`` to the expression chain, so iteration i
-    re-reads the cached vocab through i codegen replaces (cheap map
-    work — the vocab is orders of magnitude smaller than the corpus).
-    Per iteration the only driver traffic is the 1-row argmax collect.
-    Production trainers run thousands of merges over a ``top_words``-
-    capped vocabulary; only the loop count changes — per-merge cost is
-    vocab-bounded, never corpus-bounded."""
+    literal JVM ``replace`` to the expression chain, and every
+    ``checkpoint_every`` merges the encoded vocabulary is materialized
+    (lineage cut — :func:`_materialize_vocab`) so the chain restarts
+    at depth 0. Iteration i therefore re-reads a vocab-sized snapshot
+    through at most ``checkpoint_every`` codegen replaces; per-merge
+    cost is vocab-bounded AND merge-count-invariant, so production
+    merge counts (thousands) change only the loop count. Per
+    iteration the only driver traffic is the 1-row argmax collect.
+    ``checkpoint_every=None`` disables batching (the chain grows one
+    replace per merge — test/debug only; results are bit-identical
+    either way, pinned by test)."""
     if n_merges < 0:
         raise ValueError("n_merges must be >= 0")
+    if checkpoint_every is not None and checkpoint_every < 1:
+        raise ValueError("checkpoint_every must be >= 1 or None")
     base = symbolize(word_vocab(docs, text_col, top_words)).persist()
     merges: list[Merge] = []
     enc = base
+    chain_depth = 0
     try:
         for i in range(n_merges):
             top = (
@@ -158,6 +194,10 @@ def bpe_learn(
             enc = enc.withColumn(
                 "s", F.replace(F.col("s"), F.lit(pat), F.lit(rep))
             )
+            chain_depth += 1
+            if checkpoint_every is not None and chain_depth >= checkpoint_every:
+                enc = _materialize_vocab(enc)
+                chain_depth = 0
     finally:
         # no cache leaks across the ~150-query registry: the returned
         # frame recomputes its (cheap, vocab-sized) lineage lazily if
@@ -185,23 +225,34 @@ def token_counts(enc: DataFrame, top_n: Optional[int] = None) -> DataFrame:
     return out
 
 
-def bpe_apply(enc: DataFrame, merges) -> DataFrame:
+def bpe_apply(
+    enc: DataFrame,
+    merges,
+    checkpoint_every: Optional[int] = CHECKPOINT_EVERY,
+) -> DataFrame:
     """Apply an ORDERED merge table to a symbolized vocabulary — the
     production path: merges are learned once (or loaded from the
     published parquet artifact, <= n_merges rows by construction,
     collected once) and applied as the same codegen literal-replace
-    chain ``bpe_learn`` builds, so artifact-driven encoding is
-    bit-identical to learn-time encoding. Accepts the
-    ``text_bpe_merges`` DataFrame shape (merge_rank, left_sym,
-    right_sym) or a list of :class:`Merge`."""
+    chain ``bpe_learn`` builds — with the same ``checkpoint_every``
+    chain batching, so plan depth stays bounded at production merge
+    counts — making artifact-driven encoding bit-identical to
+    learn-time encoding. Accepts the ``text_bpe_merges`` DataFrame
+    shape (merge_rank, left_sym, right_sym) or a list of
+    :class:`Merge`."""
     if isinstance(merges, DataFrame):
         rows = merges.orderBy("merge_rank").collect()
         pairs = [(r["left_sym"], r["right_sym"]) for r in rows]
     else:
         pairs = [(m.left, m.right) for m in merges]
+    chain_depth = 0
     for left, right in pairs:
         pat, rep = merge_pattern(left, right)
         enc = enc.withColumn(
             "s", F.replace(F.col("s"), F.lit(pat), F.lit(rep))
         )
+        chain_depth += 1
+        if checkpoint_every is not None and chain_depth >= checkpoint_every:
+            enc = _materialize_vocab(enc)
+            chain_depth = 0
     return enc

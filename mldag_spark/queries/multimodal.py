@@ -151,7 +151,11 @@ def multimodal_resize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from mldag_spark.operators.multimodal import resize_media
 
-    resized = resize_media(_media(spark, sf_dir), max_px=64)
+    # engine="fake" is the engine of record here: its metadata
+    # arithmetic is what an ANSI oracle can replay without a PNG
+    # decoder. The REAL decode→resize→re-encode engines ("native" /
+    # "pil") are pinned by tests/test_multimodal.py round-trips.
+    resized = resize_media(_media(spark, sf_dir), max_px=64, engine="fake")
     return resized.select(
         "media_id", "width", "height",
         F.octet_length("payload").alias("n_out_bytes"),

@@ -76,7 +76,7 @@ def test_media_stats_metadata_only(spark, media):
 def test_resize_media_dims_and_truncation(spark, media):
     from mldag_spark.operators.multimodal import resize_media
 
-    out = resize_media(media, max_px=64)
+    out = resize_media(media, max_px=64, engine="fake")
     rows = {r["media_id"]: r for r in out.collect()}
     for r in media.collect():
         got = rows[r["media_id"]]
@@ -95,14 +95,115 @@ def test_resize_media_dims_and_truncation(spark, media):
         assert max(got["width"], got["height"]) <= max(longest, 64)
 
 
-def test_resize_media_stub_raises_without_fake(spark, media):
-    from py4j.protocol import Py4JJavaError
-    from pyspark.errors import PythonException
+def test_resize_media_native_real_png_roundtrip(spark):
+    """The r12 seam closure (VERDICT r11 #2): engine="native" REALLY
+    decodes the PNG payload, nearest-neighbor downsamples it with the
+    integer-exact index map, and re-encodes — verified by parsing the
+    OUTPUT payload back and checking pixels against an in-test numpy
+    reference on the original image."""
+    import numpy as np
 
+    from mldag_spark.operators.multimodal import (
+        _png_parse_gray,
+        png_encode_gray,
+        resize_media,
+    )
+
+    rng = np.random.RandomState(7)
+    imgs = {
+        1: rng.randint(0, 256, (96, 200), dtype=np.uint8),   # wide
+        2: rng.randint(0, 256, (150, 40), dtype=np.uint8),   # tall
+        3: rng.randint(0, 256, (30, 50), dtype=np.uint8),    # small
+    }
+    rows = [
+        (mid, "image/png", png_encode_gray(px), px.shape[1], px.shape[0],
+         None)
+        for mid, px in imgs.items()
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, mime string, payload binary, width int, "
+        "height int, duration_ms long",
+    )
+    out = {r["media_id"]: r for r in
+           resize_media(media, max_px=64, engine="native").collect()}
+    for mid, px in imgs.items():
+        r = out[mid]
+        assert r["ok"] is True
+        h0, w0 = px.shape
+        longest = max(w0, h0)
+        if longest <= 64:
+            assert (r["width"], r["height"]) == (w0, h0)
+            assert bytes(r["payload"]) == bytes(rows[mid - 1][2])
+            continue
+        nw, nh = w0 * 64 // longest, h0 * 64 // longest
+        assert (r["width"], r["height"]) == (nw, nh)
+        got_w, got_h, got_px = _png_parse_gray(bytes(r["payload"]))
+        assert (got_w, got_h) == (nw, nh)
+        ri = (np.arange(nh, dtype=np.int64) * h0) // nh
+        ci = (np.arange(nw, dtype=np.int64) * w0) // nw
+        assert np.array_equal(got_px, px[ri][:, ci])
+
+
+def test_resize_media_native_corrupt_rows_ok_false(spark, media):
+    """Non-PNG payloads (the synthesize_media fake bytes) must come
+    back ok=false pass-through under the real engine — a bad document
+    never kills the pass (the decode_image_stats pattern)."""
     from mldag_spark.operators.multimodal import resize_media
 
-    with pytest.raises((PythonException, Py4JJavaError)):
-        resize_media(media, max_px=64, deterministic_fake=False).collect()
+    out = resize_media(media, max_px=64, engine="native").collect()
+    assert len(out) == 50
+    assert all(r["ok"] is False for r in out)
+    orig = {r["media_id"]: r for r in media.collect()}
+    for r in out:
+        o = orig[r["media_id"]]
+        assert bytes(r["payload"]) == bytes(o["payload"])
+        assert (r["width"], r["height"]) == (o["width"], o["height"])
+
+
+def test_resize_media_pil_parity_where_present(spark):
+    """Guarded-import PIL engine: dims and decodability must match the
+    native stdlib engine on gray PNGs (pixel policy may differ across
+    resamplers, so parity here is container-level). Skipped where
+    pillow is absent — the decode_image_stats precedent."""
+    import importlib.util
+
+    if importlib.util.find_spec("PIL") is None:
+        pytest.skip("pillow not installed")
+    import numpy as np
+
+    from mldag_spark.operators.multimodal import (
+        _png_parse_gray,
+        png_encode_gray,
+        resize_media,
+    )
+
+    px = np.arange(0, 96 * 200, dtype=np.int64).reshape(96, 200) % 256
+    media = spark.createDataFrame(
+        [(1, "image/png", png_encode_gray(px.astype(np.uint8)), 200, 96,
+          None)],
+        "media_id long, mime string, payload binary, width int, "
+        "height int, duration_ms long",
+    )
+    nat = resize_media(media, max_px=64, engine="native").collect()[0]
+    pil = resize_media(media, max_px=64, engine="pil").collect()[0]
+    assert pil["ok"] is True
+    assert (pil["width"], pil["height"]) == (nat["width"], nat["height"])
+    w, h, _ = _png_parse_gray(bytes(pil["payload"]))
+    assert (w, h) == (nat["width"], nat["height"])
+
+
+def test_resize_media_pil_engine_raises_on_driver_when_absent(spark, media):
+    """engine='pil' without pillow must fail at kernel BUILD time on
+    the driver (ImportError), never mid-task on an executor."""
+    import importlib.util
+
+    if importlib.util.find_spec("PIL") is not None:
+        pytest.skip("pillow installed — absence path not testable")
+    from mldag_spark.operators.multimodal import resize_media
+
+    with pytest.raises(ImportError, match="pillow"):
+        resize_media(media, max_px=64, engine="pil")
 
 
 def test_wav_decode_real_codec_roundtrip(spark):

@@ -1607,6 +1607,67 @@ def test_bpe_top_words_cap_bounds_the_vocab(spark):
     )
 
 
+def test_bpe_checkpoint_batching_is_bit_identical(spark):
+    """Chain batching is an execution detail, not a semantics change:
+    learning with a tiny checkpoint interval must produce the SAME
+    merge table and the SAME encoded vocabulary, row for row, as the
+    unbatched chain (checkpoint_every=None)."""
+    from mldag_spark.operators.tokenizer import bpe_learn
+
+    wc = {"aaaaa": 3, "ab": 5, "cd": 5, "abab": 2, "abcd": 1, "bcbc": 2}
+    docs = _bpe_docs(spark, wc)
+    m_batched, enc_batched = bpe_learn(docs, n_merges=9, checkpoint_every=2)
+    m_plain, enc_plain = bpe_learn(docs, n_merges=9, checkpoint_every=None)
+    assert m_batched == m_plain
+    rows_b = sorted((r["s"], r["cnt"]) for r in enc_batched.collect())
+    rows_p = sorted((r["s"], r["cnt"]) for r in enc_plain.collect())
+    assert rows_b == rows_p
+
+
+def test_bpe_checkpoint_bounds_plan_depth(spark):
+    """The production-merge-count fix (VERDICT r11 #1): the analyzed
+    plan of the encoded vocabulary must carry at most
+    ``checkpoint_every`` nested ``replace`` expressions, however many
+    merges were learned — the unbatched chain grows one per merge."""
+    from mldag_spark.operators.tokenizer import bpe_learn
+
+    wc = {"aaaaa": 3, "ab": 5, "cd": 5, "abab": 2, "abcd": 1, "bcbc": 2}
+    docs = _bpe_docs(spark, wc)
+
+    def replace_depth(df):
+        import re
+
+        # bare `replace(` only — the symbolize/tokenize
+        # `regexp_replace(` calls are not part of the merge chain
+        plan = df._jdf.queryExecution().analyzed().toString()
+        return len(re.findall(r"(?<![a-z_])replace\(", plan))
+
+    _m, enc = bpe_learn(docs, n_merges=8, checkpoint_every=3)
+    # checkpoints fire after merges 3 and 6; merges 7-8 remain chained
+    assert replace_depth(enc) <= 3
+    _m2, enc_plain = bpe_learn(docs, n_merges=8, checkpoint_every=None)
+    assert replace_depth(enc_plain) == 8
+
+
+def test_bpe_apply_checkpointing_matches_learn(spark):
+    """Artifact-driven encoding (bpe_apply) with chain batching is
+    bit-identical to learn-time encoding — the parquet-round-trip
+    production path stays exact under the depth fix."""
+    from mldag_spark.operators.tokenizer import (
+        bpe_apply, bpe_learn, symbolize, word_vocab,
+    )
+
+    wc = {"aaaaa": 3, "ab": 5, "cd": 5, "abab": 2, "abcd": 1}
+    docs = _bpe_docs(spark, wc)
+    merges, enc_learn = bpe_learn(docs, n_merges=7, checkpoint_every=2)
+    enc_apply = bpe_apply(
+        symbolize(word_vocab(docs)), merges, checkpoint_every=3
+    )
+    assert sorted((r["s"], r["cnt"]) for r in enc_learn.collect()) == sorted(
+        (r["s"], r["cnt"]) for r in enc_apply.collect()
+    )
+
+
 def test_bloom_membership_matches_python_replay(spark):
     """The bloom probe is defined by portable md5 double-hashing: the
     Spark path (JVM h1/h2 + numpy bitmap kernel) must agree with a
@@ -1712,6 +1773,54 @@ def test_ivfpq_codes_artifact_partition_pruning_roundtrip(spark, sf_dir, tmp_pat
     # the cell predicate must NOT survive as a post-scan data filter —
     # pruning happened at the file level
     assert probed.count() == sum(1 for c, _ in got.values() if c in (0, 2))
+
+    # the API path to the artifact (ADVICE r11): ivfpq_topk accepts
+    # the read-back codes table and must return EXACTLY what the
+    # fallback full-corpus re-encode returns
+    from mldag_spark.operators.similarity import ivfpq_topk
+
+    q = emb.filter(F.col("vec_id") < 3)
+    via_artifact = sorted(
+        map(tuple, ivfpq_topk(
+            emb, q, coarse, books, k=5, n_probe=2, refine=50, codes=back
+        ).collect())
+    )
+    via_encode = sorted(
+        map(tuple, ivfpq_topk(
+            emb, q, coarse, books, k=5, n_probe=2, refine=50
+        ).collect())
+    )
+    assert via_artifact == via_encode
+
+
+def test_collect_bounded_enforces_the_contract(spark):
+    """VERDICT r11 #3: every query-set/candidate/training collect in
+    the ANN operators goes through _collect_bounded — an oversized
+    input raises with a clear message instead of OOMing the driver."""
+    import pytest
+
+    from mldag_spark.operators.similarity import _collect_bounded
+
+    df = spark.range(20)
+    assert len(_collect_bounded(df, 20, "query set")) == 20
+    with pytest.raises(ValueError, match="query set exceeds 10 rows"):
+        _collect_bounded(df, 10, "query set")
+
+
+def test_quantizer_training_rejects_undersized_sample(spark):
+    """ADVICE r11: a training sample with <= k rows would zero-pad
+    the codebook (degenerate codewords silently skewing ADC) — both
+    trainers must reject it."""
+    import pytest
+
+    from mldag_spark.operators.similarity import ivfpq_train, pq_train
+
+    rows = [(i, [float(i + j) for j in range(16)]) for i in range(8)]
+    tiny = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="ksub=16"):
+        pq_train(tiny, m=4, ksub=16)
+    with pytest.raises(ValueError, match="n_lists=8"):
+        ivfpq_train(tiny, n_lists=8, m=4, ksub=4)
 
 
 def test_bpe_merge_artifact_parquet_roundtrip_bit_identical(spark, tmp_path):
