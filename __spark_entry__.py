@@ -63,9 +63,30 @@ _GATE_ORDER = [
     # r1-r9) banks to make room; EstimatorNode fit/transform coverage
     # stays under tests/test_dag.py + the continuous sf0.001 sweep.
     #
+    # r12 rotation (VERDICT r11 #5 — evidence-age law: every window
+    # entry's gate evidence stays <= 3 rounds old). TEN of the r10
+    # rotation's two-round-green entries bank (each green r10+r11 and
+    # staying under the continuous sf0.001 sweep):
+    # corpus_pmi_pairs, corpus_source_overlap, corpus_zipf_slope,
+    # sample_kfold_assignment, sample_source_cap,
+    # embedding_dim_variance, embedding_int8_quantization,
+    # events_ewma_value, events_transition_matrix,
+    # agg_hll_partitioned_union.
+    # TEN of the r10-banked queries (last gated r9 — the oldest
+    # evidence in the ledger) re-admit, each re-verified hash-green at
+    # sf0.001 AND sf0.01 via scripts/check_oracle.py this session
+    # before entering (the standing norm): text_quality_score,
+    # text_bigram_surprisal, text_fingerprint, dedup_ngram_jaccard,
+    # dedup_cluster_stats, kmeans_embedding_clusters,
+    # stream_sliding_counts, multimodal_media_stats,
+    # graph_pagerank_bipartite, text_bm25_topk.
+    # The nine r11 debuts stay for their second gated round.
+    #
     # DAG engine (fit/transform through the scheduler)
     "dag_pipeline_priority_revenue",
     "dedup_semantic_clusters",
+    "kmeans_embedding_clusters",
+    "graph_pagerank_bipartite",
     # Text analysis — unigram logprob keeps its r10 slot.
     # r11: text_shingle_novelty banks after two green gated rounds
     # (r9-r10, sf0.001 sweep continues) to make room for the r11-NEW
@@ -81,11 +102,12 @@ _GATE_ORDER = [
     "text_bpe_merges",
     "text_bpe_token_counts",
     "text_unigram_logprob",
+    "text_quality_score",
+    "text_bigram_surprisal",
+    "text_fingerprint",
+    "text_bm25_topk",
     # Corpus statistics (r10: the four never-gated corpus ops)
     "corpus_idf_top_terms",
-    "corpus_pmi_pairs",
-    "corpus_source_overlap",
-    "corpus_zipf_slope",
     # Decontamination — the summary-stats half rotates in; the filter
     # half banks after two green gated rounds.
     # r11 late rotation #3: the r11-NEW broadcast-bloom
@@ -123,6 +145,17 @@ _GATE_ORDER = [
     "dedup_minhash_lsh",
     "dedup_components",
     "dedup_substring_spans",
+    # r12 NEW: the REMOVAL half of substring dedup (Lee et al. cut the
+    # spans out; detection alone cleans nothing) — cleaned TEXT
+    # verified byte-for-byte. Debut-gated per the standing norm
+    # (hash-green at sf0.001 + sf0.01 via scripts/check_oracle.py
+    # before entering); multimodal_payload_chunks banks after two
+    # green gated rounds (r10-r11) to make room — multimodal keeps
+    # five window entries (media_stats, resize audit, audio, image,
+    # video).
+    "text_remove_duplicate_spans",
+    "dedup_ngram_jaccard",
+    "dedup_cluster_stats",
     # Repetition/PII quality passes (r11 NEW): Gopher coverage-form
     # n-gram rules + the byte-exact-verified PII redaction pass
     "text_ngram_coverage_stats",
@@ -130,8 +163,6 @@ _GATE_ORDER = [
     # Sampling / splits (r10: the four never-gated sampling patterns)
     "sample_deterministic_split",
     "sample_balanced_per_lang",
-    "sample_kfold_assignment",
-    "sample_source_cap",
     "sample_weighted_mix",
     # Similarity search / embeddings (r10: the three never-gated
     # embedding diagnostics rotate in). r11 late rotation #2:
@@ -140,17 +171,16 @@ _GATE_ORDER = [
     # SCALING row stand) to make room for the r11-NEW video decode
     "ann_cosine_topk",
     "embedding_centroid_distances",
-    "embedding_dim_variance",
-    "embedding_int8_quantization",
     # Structured Streaming
     "stream_incremental_dedup",
+    "stream_sliding_counts",
     # Multimodal (media_stats banks green r1-r9; the two never-gated
     # multimodal audits rotate in, plus the r10-NEW real-codec WAV
     # round-trip, debut-gated per the standing norm —
     # events_grouped_zscore banks after nine green gated rounds to
     # make room; grouped-zscore coverage stays under the continuous
     # sf0.001 sweep and its Arrow twin's pytest pins)
-    "multimodal_payload_chunks",
+    "multimodal_media_stats",
     "multimodal_resize_audit",
     "multimodal_audio_decode",
     # r11 NEW: real stdlib-PNG codec round-trip (encode + spec-correct
@@ -166,11 +196,9 @@ _GATE_ORDER = [
     # r9-rotated trio; MAD stays for driver proof of the r10 grouped-
     # median rewrite)
     "events_anomaly_mad",
-    "events_ewma_value",
     "events_gapfill_hourly",
     "events_asof_tolerance_order",
     "events_json_typed_agg",
-    "events_transition_matrix",
     "events_user_mode_arrow",
     # Relational: scans, filters, scalar functions
     "scalar_expressions",
@@ -187,7 +215,6 @@ _GATE_ORDER = [
     # histogram; rollup/quantity-stats bank multi-round green)
     "agg_salted_returnflag_totals",
     "agg_approx_percentile_invariant",
-    "agg_hll_partitioned_union",
     "agg_price_histogram",
     # Set ops + sort/limit (category coverage pinned by
     # tests/test_gate_window.py)

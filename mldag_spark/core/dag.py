@@ -804,11 +804,22 @@ class MLDag(Graph):
 
         return render(self, **kwargs)
 
-    def explain(self) -> str:
-        """Physical view: concatenated Spark plans for DataFrame outputs
-        of the most recent structure (requires running transform first
-        to obtain DataFrames; here we explain declared output nodes if
-        they cache DataFrames)."""
-        return "\n".join(
-            f"-- output {o.name}: {o.node.name}[{o.slot}]" for o in self.outputs
-        )
+    def explain(
+        self, run: Optional[MLDagRun] = None, mode: str = "formatted"
+    ) -> str:
+        """Physical view. With a completed ``run``: every node in
+        execution order with its DAG edge annotations and the Spark
+        physical plan of each DataFrame output —
+        ``display.to_dot``'s metadata graph mapped onto what Catalyst
+        actually schedules (see
+        :func:`mldag_spark.display.explain_run`). Without a run
+        (plans only exist on materialized DataFrames): the declared
+        output wiring."""
+        if run is None:
+            return "\n".join(
+                f"-- output {o.name}: {o.node.name}[{o.slot}]"
+                for o in self.outputs
+            )
+        from mldag_spark.display import explain_run
+
+        return explain_run(self, run, mode)

@@ -278,3 +278,58 @@ def explain(run: MLDagRun, mode: str = "formatted") -> str:
             )
             chunks.append(f"== DAG output: {name} ==\n{plan}")
     return "\n".join(chunks)
+
+
+def _spark_plan(value, mode: str) -> Optional[str]:
+    if hasattr(value, "_jdf"):  # a pyspark DataFrame
+        return value._sc._jvm.PythonSQLUtils.explainString(
+            value._jdf.queryExecution(), mode
+        )
+    return None
+
+
+def explain_run(dag: MLDag, run: MLDagRun, mode: str = "formatted") -> str:
+    """The DAG-level physical view (VERDICT r11 #8): every node of a
+    completed run, in execution order, with its boundary annotations —
+    which DAG inputs/upstream slots fed it, where each output slot
+    flows — followed by the Spark physical plan of each DataFrame
+    output. :func:`to_dot` shows the metadata graph; this shows which
+    DAG edges became which Spark plans (and, since nodes compose
+    lazily, where Catalyst fused several DAG edges into ONE plan —
+    the node boundary exists in the metadata, not as a stage
+    barrier).
+
+    Non-DataFrame outputs (models, scalars) print their type only.
+    """
+    chunks = [f"== MLDag physical view (run {run.run_id}) =="]
+    for node_name in run.node_outputs:  # insertion order = execution order
+        node = dag.node_dict.get(node_name)
+        chunks.append(f"\n-- node: {node_name} --")
+        if node is not None:
+            feeds = [
+                f"dag input '{i.name}' -> {i.slot}"
+                for i in dag.inputs
+                if i.node is node
+            ] + [
+                f"{e.upstream.name}.{e.upstream_slot} -> {e.downstream_slot}"
+                for e in dag.get_upstream_edges(node)
+            ]
+            sinks = [
+                f"{e.upstream_slot} -> {e.downstream.name}.{e.downstream_slot}"
+                for e in dag.get_downstream_edges(node)
+            ] + [
+                f"{o.slot} -> dag output '{o.name}'"
+                for o in dag.outputs
+                if o.node is node
+            ]
+            chunks.append(f"   inputs:  {feeds or ['(none)']}")
+            chunks.append(f"   outputs: {sinks or ['(none)']}")
+        for slot, value in run.node_outputs[node_name].items():
+            plan = _spark_plan(value, mode)
+            if plan is None:
+                chunks.append(
+                    f"   [{slot}] (non-DataFrame: {type(value).__name__})"
+                )
+            else:
+                chunks.append(f"   [{slot}] Spark plan:\n{plan}")
+    return "\n".join(chunks)

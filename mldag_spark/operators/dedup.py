@@ -1062,3 +1062,75 @@ def substring_spans(
             "n_windows",
         )
     )
+
+
+def remove_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str,
+    token_col: str,
+) -> DataFrame:
+    """Apply a :func:`substring_spans` result — the REMOVAL half of
+    substring-level dedup (Lee et al. 2022 cut the duplicated
+    passages out of the training set; detection alone cleans
+    nothing): every token position covered by any span is dropped
+    and the cleaned token stream is rebuilt in order.
+
+    Scale shape: one map-only posexplode of the corpus tokens, one
+    doc-keyed LEFT ANTI join against the span table (equi on the id +
+    a positional band; spans per doc are few, and the span side is a
+    post-aggregate projection whose size estimate is garbage — the
+    repo-wide merge-hint law — so sort-merge, never a corpus-scaled
+    broadcast build), then a per-doc order-preserving rebuild whose
+    groupBy REUSES the join's id partitioning (no extra shuffle; the
+    per-doc sort inside the rebuild is bounded by document length).
+    Docs with every token covered still emit a row (n_kept=0,
+    clean_text='') via the final left join from the corpus.
+
+    Returns (id, n_tokens, n_removed, clean_text).
+    """
+    pos_tok = df.select(
+        F.col(id_col),
+        F.posexplode(F.col(token_col)).alias("_p0", "tok"),
+    ).select(F.col(id_col), (F.col("_p0") + 1).alias("pos"), "tok")
+    sp = spans.select(id_col, "span_start", "span_end")
+    kept = pos_tok.join(
+        sp.hint("merge"),
+        on=[
+            pos_tok[id_col] == sp[id_col],
+            F.col("pos") >= F.col("span_start"),
+            F.col("pos") <= F.col("span_end"),
+        ],
+        how="left_anti",
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("_n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "tok"))
+                ),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    base = df.select(
+        F.col(id_col), F.size(F.col(token_col)).alias("n_tokens")
+    )
+    # rebuilt is one row per doc WITH the rebuilt text — corpus-scaled
+    # — yet sits behind an aggregate whose size estimate is garbage:
+    # unhinted, Catalyst broadcast-builds it (the exact sf10 OOM shape
+    # the substring join-back already hit). Merge-hint, like every
+    # post-aggregate join side repo-wide.
+    return (
+        base.join(rebuilt.hint("merge"), id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            (
+                F.col("n_tokens") - F.coalesce(F.col("_n_kept"), F.lit(0))
+            ).alias("n_removed"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )

@@ -23,6 +23,22 @@ def _unique(name: str) -> str:
     return f"{name}_{_COUNTER[0]}"
 
 
+def _stream_workdir(prefix: str) -> str:
+    """Fresh parquet-sink + checkpoint work dir, registered for
+    removal at interpreter exit (ADVICE r11: repeated registry/bench
+    runs were accumulating sink+checkpoint data in the temp dir on
+    both foreachBatch paths). Cleanup is deferred to atexit — not
+    done eagerly — because the returned DataFrames read the sink
+    lazily for the rest of the session."""
+    import atexit
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    return work
+
+
 @register(
     "stream_hourly_rollup",
     oracle="""
@@ -312,8 +328,6 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``incremental_lsh_pairs`` and matches land in a parquet sink.
     Must equal the batch formulation (``dedup_incremental_batch``) —
     streaming/batch parity for the dedup recurrence."""
-    import tempfile
-
     from mldag_spark.functions import shingle_rows
     from mldag_spark.queries.tables import load
 
@@ -321,7 +335,7 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     index_rows = shingle_rows(
         d.filter(F.col("doc_id") % 2 == 0), "doc_id", "text", 3
     )
-    work = tempfile.mkdtemp(prefix="stream_incdedup_")
+    work = _stream_workdir("stream_incdedup_")
     out_path = f"{work}/pairs"
     S.incremental_dedup_stream(
         S.documents_stream(spark, sf_dir).filter(F.col("doc_id") % 2 == 1),
@@ -352,8 +366,6 @@ def stream_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch query, so it shares ``text_decontaminate_bloom``'s oracle
     VERBATIM — streaming/batch parity is the gated property, exactly
     like ``stream_incremental_dedup``."""
-    import tempfile
-
     from mldag_spark.queries.tables import load
     from mldag_spark.queries.text import (
         _split_bucket,
@@ -371,7 +383,7 @@ def stream_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("bucket", _split_bucket())
         .filter(F.col("bucket") < 80)
     )
-    work = tempfile.mkdtemp(prefix="stream_decon_")
+    work = _stream_workdir("stream_decon_")
     out_path = f"{work}/survivors"
     S.map_stream_to_parquet(
         stream,

@@ -2872,6 +2872,76 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_spans(pre, "doc_id", "toks", window=_SUBSTR_W)
 
 
+_SPAN_REMOVE_ORACLE = f"""
+    WITH t AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+                   AS toks
+        FROM documents
+    ), wins AS (
+        SELECT doc_id, CAST(i AS INT) AS pos,
+               array_to_string(toks[i:i+{_SUBSTR_W - 1}], ' ') AS win
+        FROM t, LATERAL unnest(range(1, len(toks) - {_SUBSTR_W} + 2)) AS u(i)
+        WHERE len(toks) >= {_SUBSTR_W}
+    ), dup AS (
+        SELECT win FROM wins GROUP BY win HAVING COUNT(DISTINCT doc_id) >= 2
+    ), marked AS (
+        SELECT w.doc_id, w.pos FROM wins w JOIN dup d USING (win)
+    ), runs AS (
+        SELECT doc_id, pos,
+               pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS grp
+        FROM marked
+    ), spans AS (
+        SELECT doc_id, MIN(pos) AS s, MAX(pos) + {_SUBSTR_W - 1} AS e
+        FROM runs GROUP BY doc_id, grp
+    ), pos AS (
+        SELECT doc_id, CAST(i AS INT) AS pos, toks[i] AS tok
+        FROM t, LATERAL unnest(range(1, len(toks) + 1)) AS u(i)
+    ), kept AS (
+        SELECT p.doc_id, p.pos, p.tok FROM pos p
+        WHERE NOT EXISTS (
+            SELECT 1 FROM spans s
+            WHERE s.doc_id = p.doc_id AND p.pos BETWEEN s.s AND s.e
+        )
+    ), rebuilt AS (
+        SELECT doc_id, COUNT(*) AS n_kept,
+               string_agg(tok, ' ' ORDER BY pos) AS clean_text
+        FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.toks) AS INT) AS n_tokens,
+           CAST(len(t.toks) - COALESCE(r.n_kept, 0) AS INT) AS n_removed,
+           COALESCE(r.clean_text, '') AS clean_text
+    FROM t LEFT JOIN rebuilt r USING (doc_id)"""
+
+
+@register("text_remove_duplicate_spans", oracle=_SPAN_REMOVE_ORACLE)
+def text_remove_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVAL half of substring-level dedup (r12): Lee et al.
+    2022 cut the repeated passages out of the training corpus —
+    detection alone cleans nothing. ``operators.dedup.remove_spans``
+    drops every token position covered by a detected span and
+    rebuilds the cleaned text in order; the gate verifies the cleaned
+    TEXT byte-for-byte per document (the PII-scrub lesson: scrubbed
+    output, not just counts), including all-covered docs emitting
+    (n_kept=0, ''). Scale shape: map-only posexplode, one doc-keyed
+    anti join (merge-hinted — span side is a garbage-estimate
+    post-aggregate), and a rebuild groupBy that reuses the join's
+    partitioning."""
+    d = load(spark, sf_dir, "documents")
+    from mldag_spark.operators.dedup import remove_spans, substring_spans
+
+    pre = d.select("doc_id", tokenize(F.col("text")).alias("toks"))
+    spans = substring_spans(pre, "doc_id", "toks", window=_SUBSTR_W)
+    return remove_spans(pre, spans, "doc_id", "toks").select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.col("n_removed").cast("int").alias("n_removed"),
+        "clean_text",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Repetition filters (Gopher/MassiveText rules, token-n-gram form)
 # ---------------------------------------------------------------------------

@@ -33,6 +33,42 @@ def test_explain_shows_physical_plan(spark, sf_dir):
     assert "Scan parquet" in text or "FileScan" in text
 
 
+def test_dag_explain_physical_view_golden(spark, sf_dir):
+    """dag.explain(run) (VERDICT r11 #8): node boundaries in execution
+    order, edge annotations on both sides, and one Spark physical plan
+    per DataFrame output. The t1-pipeline shape (load -> aggregate ->
+    DAG output) is the golden: plan BODIES carry run-varying expr ids,
+    so the pin is the annotation skeleton plus load-bearing plan
+    content (scan + aggregate), not raw bytes."""
+    dag = m.MLDag()
+    n1 = dag["df"] >> m.as_node(region_count)
+    n2 = m.as_node(double_col)
+    n1 >> n2
+    n2["result"] >> dag["doubled"]
+    run = dag.transform(spark.read.parquet(f"{sf_dir}/region.parquet"))
+    text = dag.explain(run)
+
+    lines = text.splitlines()
+    assert lines[0].startswith("== MLDag physical view (run ")
+    # node sections in execution (topo) order
+    i1 = text.index("-- node: region_count --")
+    i2 = text.index("-- node: double_col --")
+    assert i1 < i2
+    # boundary annotations: DAG input feeds node 1, node 1 feeds node
+    # 2, node 2 feeds the DAG output
+    assert "dag input 'df' -> df" in text
+    assert "result -> double_col.df" in text
+    assert "region_count.result -> df" in text
+    assert "result -> dag output 'doubled'" in text
+    # each node's DataFrame output carries a physical plan with the
+    # scan at the bottom and the aggregate where the metadata graph
+    # promised it
+    assert text.count("[result] Spark plan:") == 2
+    seg1 = text[i1:i2]
+    assert "Scan parquet" in seg1 or "FileScan" in seg1
+    assert "HashAggregate" in seg1 or "Aggregate" in seg1
+
+
 def double_col(df):
     return df.withColumn("n2", F.col("n") * 2)
 

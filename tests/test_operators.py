@@ -1220,6 +1220,46 @@ def test_substring_spans_stitches_different_partners(spark):
     assert (1, 1, 6, 6, 4) in got
 
 
+def test_remove_spans_cleans_exactly_the_covered_positions(spark):
+    """The removal half (r12): cleaned text equals the original token
+    stream minus every span-covered position, in order; a doc whose
+    every token is covered emits (n_kept=0, ''); span-free docs pass
+    through verbatim."""
+    from mldag_spark.functions import tokenize
+    from mldag_spark.operators.dedup import remove_spans, substring_spans
+
+    shared = "the quick brown fox jumps over the lazy dog tonight"
+    corpus = [
+        (1, f"alpha beta {shared} gamma delta"),
+        (2, f"one two three four {shared} five"),
+        (3, "unrelated text with no repeated passage at all here"),
+        (4, shared),  # every token covered -> fully scrubbed
+        (5, shared),
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    pre = df.select("doc_id", tokenize(F.col("text")).alias("toks"))
+    spans = substring_spans(pre, "doc_id", "toks", window=5, min_docs=2)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["clean_text"])
+        for r in remove_spans(pre, spans, "doc_id", "toks").collect()
+    }
+    # brute-force reference: recompute covered sets per doc
+    span_rows = spans.collect()
+    for doc_id, text in corpus:
+        toks = text.lower().split()
+        covered = set()
+        for s in span_rows:
+            if s["doc_id"] == doc_id:
+                covered |= set(range(s["span_start"], s["span_end"] + 1))
+        clean = " ".join(
+            t for i, t in enumerate(toks, start=1) if i not in covered
+        )
+        assert got[doc_id] == (len(toks), len(covered), clean), doc_id
+    # the scrub really happened
+    assert got[4] == (10, 10, "")
+    assert got[3][1] == 0 and got[3][2] == corpus[2][1].lower()
+
+
 def test_substring_spans_randomized_matches_bruteforce(spark):
     import random
 
@@ -1668,6 +1708,30 @@ def test_bpe_apply_checkpointing_matches_learn(spark):
     )
 
 
+def test_bloom_tree_merge_bit_identical_and_auto_switch(spark):
+    """VERDICT r11 #7: a production-sized bitmap times |partitions|
+    can't be collected to one heap — the tree merge ORs chunk-keyed
+    partials executor-side and the driver receives exactly one
+    bitmap's worth. Both merges must be BIT-identical, and "auto"
+    must pick the tree path once |partitions|·m/8 crosses the
+    threshold."""
+    from mldag_spark.operators.bloom import bloom_build
+
+    vals = spark.createDataFrame(
+        [(f"tok{i}",) for i in range(500)], ["s"]
+    ).repartition(8)
+    m_bits = 1 << 16
+    via_driver = bloom_build(vals, "s", m_bits=m_bits, k=4, merge="driver")
+    via_tree = bloom_build(vals, "s", m_bits=m_bits, k=4, merge="tree")
+    assert via_driver == via_tree
+    # auto with a 1-byte threshold must route through the tree path
+    # and still produce the same filter
+    via_auto = bloom_build(
+        vals, "s", m_bits=m_bits, k=4, merge="auto", tree_merge_threshold=1
+    )
+    assert via_auto == via_driver
+
+
 def test_bloom_membership_matches_python_replay(spark):
     """The bloom probe is defined by portable md5 double-hashing: the
     Spark path (JVM h1/h2 + numpy bitmap kernel) must agree with a
@@ -1791,6 +1855,45 @@ def test_ivfpq_codes_artifact_partition_pruning_roundtrip(spark, sf_dir, tmp_pat
         ).collect())
     )
     assert via_artifact == via_encode
+
+
+def test_ivfpq_recall_monotone_in_nprobe(spark, sf_dir):
+    """The operating-point law a 100 TB user tunes against (VERDICT
+    r11 #4): with a refine budget >= the corpus (so the exact-cosine
+    tail ranks EVERY candidate), the probed-cell union grows with
+    n_probe, hence recall@k is weakly monotone — guaranteed, not
+    statistical. The measured curves live in SCALING.json
+    `ann_operating_points`."""
+    from mldag_spark.operators.similarity import (
+        brute_force_topk,
+        ivfpq_topk,
+        ivfpq_train,
+    )
+    from mldag_spark.queries.vectors import _train_sample
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    q = emb.filter(F.col("vec_id") < 5)
+    truth: dict[int, set] = {}
+    for r in brute_force_topk(emb, q, k=5).collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    coarse, books = ivfpq_train(_train_sample(emb), n_lists=8, m=8, ksub=16)
+
+    def recall(n_probe: int) -> float:
+        got: dict[int, set] = {}
+        rows = ivfpq_topk(
+            emb, q, coarse, books, k=5, n_probe=n_probe, refine=n + 5
+        ).collect()
+        for r in rows:
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return sum(
+            len(got.get(qid, set()) & t) / len(t) for qid, t in truth.items()
+        ) / len(truth)
+
+    rs = [recall(p) for p in (1, 2, 4, 8)]
+    assert all(a <= b + 1e-9 for a, b in zip(rs, rs[1:])), rs
+    assert rs[-1] == pytest.approx(1.0)  # all cells probed + full refine
 
 
 def test_collect_bounded_enforces_the_contract(spark):

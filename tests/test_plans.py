@@ -428,6 +428,21 @@ def test_substring_spans_is_aggregate_only_jvm_path(spark, registry):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
+def test_remove_spans_anti_join_merges_never_broadcasts(spark, registry):
+    # the removal half (r12): the positional anti join carries a band
+    # residual on an id-equi key — it must plan as a sort-merge anti
+    # join, never a nested loop; and BOTH post-aggregate join sides
+    # (the span table and the rebuilt-doc table, corpus-scaled with
+    # garbage size estimates) must merge, never broadcast-build (the
+    # sf10 OOM law)
+    plan = _plan(registry["text_remove_duplicate_spans"](spark, SF_DIR))
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "SortMergeJoin LeftAnti" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+
+
 def test_image_decode_is_map_only_no_shuffle(spark, registry):
     # encode → ship binary → parse is a per-row pipeline: the executed
     # plan must contain NO Exchange at all (Arrow kernels compose
