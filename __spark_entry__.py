@@ -99,8 +99,15 @@ _GATE_ORDER = [
     # scripts/check_oracle.py before entering). The merge table and
     # the distributed token-count check enter TOGETHER: the second
     # catches any rewrite divergence on any vocabulary word.
+    # r12 NEW: the corpus-ENCODING half of BPE (vocab-bounded replace
+    # work + one word-equi join; per-doc subword counts the oracle
+    # replays end-to-end). Debut-gated per the standing norm
+    # (hash-green at sf0.001 + sf0.01 via scripts/check_oracle.py
+    # before entering); events_json_typed_agg banks after two green
+    # gated rounds (r10-r11) — events keeps four window entries.
     "text_bpe_merges",
     "text_bpe_token_counts",
+    "text_bpe_encode_docs",
     "text_unigram_logprob",
     "text_quality_score",
     "text_bigram_surprisal",
@@ -198,7 +205,6 @@ _GATE_ORDER = [
     "events_anomaly_mad",
     "events_gapfill_hourly",
     "events_asof_tolerance_order",
-    "events_json_typed_agg",
     "events_user_mode_arrow",
     # Relational: scans, filters, scalar functions
     "scalar_expressions",

@@ -1011,9 +1011,10 @@ def substring_spans(
     win_text = F.concat_ws(" ", *[F.col(f"_z.{i}") for i in range(window)])
     # production shuffle key (hash_fingerprints=True): two independent
     # xxhash64 seeds of the window text — 128 collision-safe bits —
-    # instead of the W-token string itself, shrinking groupBy/join
-    # shuffle bytes ~10x at 100 TB. The string key stays the default
-    # so the DuckDB oracle can recompute it; a test pins hashed ==
+    # instead of the W-token string itself; measured 2.7-2.8x fewer
+    # groupBy/join shuffle bytes at sf3.0/sf10 (SCALING.json
+    # `substring_hashed_key`). The string key stays the default so
+    # the DuckDB oracle can recompute it; a test pins hashed ==
     # string results.
     win_key = (
         F.struct(

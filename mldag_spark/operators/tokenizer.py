@@ -256,3 +256,18 @@ def bpe_apply(
             enc = _materialize_vocab(enc)
             chain_depth = 0
     return enc
+
+
+def encoded_word_tokens(enc: DataFrame) -> DataFrame:
+    """(w, n_toks) from an encoded vocabulary: the word recovered by
+    stripping the symbol delimiters, the token count by splitting on
+    them — the lookup table the corpus-encoding pass joins against
+    (encode the VOCABULARY once, join the corpus by word: the
+    production layout that keeps replace work vocab-bounded while the
+    100 TB side does only an equi join)."""
+    return enc.select(
+        F.regexp_replace(F.col("s"), f"[{SOH}{EOT}]", "").alias("w"),
+        F.size(
+            F.split(F.expr("substring(s, 2, length(s)-2)"), EOT + SOH)
+        ).alias("n_toks"),
+    )

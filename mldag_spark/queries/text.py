@@ -3326,3 +3326,57 @@ def text_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     _merges, enc = bpe_learn(docs, "text", n_merges=_BPE_N)
     return token_counts(enc, top_n=_BPE_TOP)
+
+
+_BPE_ENCODE_ORACLE = _bpe_oracle_ctes(_BPE_N) + f"""
+    , vocab_enc AS (
+        SELECT replace(replace(s, '{chr(30)}', ''), '{chr(31)}', '') AS w,
+               len(string_split(substring(s, 2, length(s)-2),
+                                '{chr(31)}{chr(30)}')) AS n_toks
+        FROM w{_BPE_N}
+    ), docw AS (
+        SELECT doc_id,
+               unnest(string_split(trim(regexp_replace(
+                   lower(text), '\\s+', ' ', 'g')), ' ')) AS w
+        FROM documents WHERE text IS NOT NULL
+    )
+    SELECT d.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(v.n_toks) AS BIGINT) AS n_bpe_tokens
+    FROM docw d JOIN vocab_enc v USING (w)
+    WHERE d.w <> ''
+    GROUP BY d.doc_id
+"""
+
+
+@register("text_bpe_encode_docs", oracle=_BPE_ENCODE_ORACLE)
+def text_bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CORPUS-ENCODING half of BPE (r12) — the job that actually
+    runs at 100 TB once merges are learned: every document's subword
+    token count under the trained tokenizer (the number an LLM
+    pipeline budgets, packs, and bills by). Scale shape: encode the
+    VOCABULARY once (replace work stays vocab-bounded — the learn
+    loop already produced the encoded vocab), recover (word ->
+    n_subwords) by stripping the symbol delimiters
+    (``encoded_word_tokens``), and the corpus side does ONE equi join
+    on the word plus a doc-keyed aggregate — no per-document replace
+    chain anywhere. The vocab side is post-aggregate
+    (garbage-estimate law: merge-hinted; with a ``top_words`` cap the
+    model-sized table could broadcast instead). The oracle replays
+    learning AND encoding per document."""
+    from mldag_spark.operators.tokenizer import bpe_learn, encoded_word_tokens
+
+    docs = load(spark, sf_dir, "documents")
+    _merges, enc = bpe_learn(docs, "text", n_merges=_BPE_N)
+    vocab_toks = encoded_word_tokens(enc)
+    docw = docs.select(
+        "doc_id", F.explode(tokenize(F.col("text"))).alias("w")
+    ).filter(F.length("w") > 0)
+    return (
+        docw.join(vocab_toks.hint("merge"), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_toks").alias("n_bpe_tokens"),
+        )
+    )

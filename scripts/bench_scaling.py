@@ -121,6 +121,10 @@ QUERIES = (
     "stream_decontaminate_bloom",
     # r11: PCA fit (bounded covariance collect) + map-only projection
     "embedding_pca_project",
+    # r12 new op: span REMOVAL (the other half of substring dedup)
+    "text_remove_duplicate_spans",
+    # r12 new op: BPE corpus encoding (vocab-bounded replace + word join)
+    "text_bpe_encode_docs",
 )
 
 # VERDICT r6 #6: every scale row now gets a 30x datapoint (was 12/26)
@@ -191,6 +195,8 @@ SF3_QUERIES = (
     # session recovery, a JVM death costs every later row its warm cache
     "dedup_ngram_jaccard",
     "dedup_components",
+    "text_remove_duplicate_spans",
+    "text_bpe_encode_docs",
 )
 
 SF_SMALL = "/root/testdata/sf0.1"
@@ -214,6 +220,10 @@ SF10_QUERIES = (
     # r9 (VERDICT r8 #6): a second-decade datapoint for BM25, whose
     # 30x ratio rested on an amortization argument
     "text_bm25_topk",
+    # r12 new op: span removal rides the substring-spans shuffle plus
+    # a doc-keyed anti join — complete its column set at 100x too
+    "text_remove_duplicate_spans",
+    "text_bpe_encode_docs",
 )
 
 
@@ -589,6 +599,21 @@ SF3_DIAGNOSES_RAW = {
         "distinct-doc count; the join-back is window-keyed linear "
         "and run-merging (pos - row_number) is a per-doc window "
         "over matched positions only — no pairwise joins anywhere."
+    ),
+    "text_bpe_encode_docs": (
+        "corpus encoding under the learned tokenizer: the replace "
+        "chain runs over the VOCABULARY only (learn's encoded vocab "
+        "is reused), the corpus side is one word-equi join plus a "
+        "doc-keyed aggregate — the learn loop's per-merge cost is "
+        "corpus-invariant (bpe_merge_axis), so growth here is the "
+        "vocab aggregate + the join, both corpus-linear."
+    ),
+    "text_remove_duplicate_spans": (
+        "span application: map-only token posexplode, ONE doc-keyed "
+        "sort-merge anti join (merge-hinted; spans per doc are few), "
+        "and an order-preserving rebuild whose groupBy reuses the "
+        "join partitioning — everything corpus-linear; clean_text "
+        "reconstruction adds a rows-linear string-build term."
     ),
     "multimodal_image_decode": (
         "encode -> ship binary -> spec-correct stdlib PNG parse is "

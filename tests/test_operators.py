@@ -1647,6 +1647,44 @@ def test_bpe_top_words_cap_bounds_the_vocab(spark):
     )
 
 
+def test_bpe_encode_docs_matches_textbook_per_word_lengths(spark):
+    """The corpus-encoding pass (r12): per-word subword counts
+    recovered from the encoded vocabulary (encoded_word_tokens) must
+    equal the textbook reference's final symbolization of every
+    word — so a document's n_bpe_tokens is exactly the sum over its
+    words."""
+    from mldag_spark.operators.tokenizer import (
+        bpe_learn,
+        encoded_word_tokens,
+    )
+
+    wc = {"aaaaa": 3, "ab": 5, "cd": 5, "abab": 2, "abcd": 1, "bcbc": 2}
+    docs = _bpe_docs(spark, wc)
+    _merges, enc = bpe_learn(docs, n_merges=5)
+    got = {
+        r["w"]: r["n_toks"] for r in encoded_word_tokens(enc).collect()
+    }
+
+    # reference: replay textbook BPE and symbolize each word
+    vocab = {tuple(w): c for w, c in wc.items()}
+    merges, _tokens = _ref_bpe(wc, 5)
+    for l, r, _c in merges:
+        new = {}
+        for syms, cnt in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new[tuple(out)] = new.get(tuple(out), 0) + cnt
+        vocab = new
+    want = {"".join(syms): len(syms) for syms in vocab}
+    assert got == want
+
+
 def test_bpe_checkpoint_batching_is_bit_identical(spark):
     """Chain batching is an execution detail, not a semantics change:
     learning with a tiny checkpoint interval must produce the SAME
