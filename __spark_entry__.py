@@ -135,6 +135,14 @@ _GATE_ORDER = [
     # banks after two green gated rounds (r9-r10); the embedding
     # diagnostics keep three window entries.
     "contamination_check",
+    # r12 NEW: the overlap-FRACTION rule (GPT-3-style dirty-document
+    # score vs the test-set union; every train doc kept, frac 0
+    # included, threshold flag both-sides-populated at gate size).
+    # Debut-gated per the standing norm (hash-green at sf0.001 +
+    # sf0.01 via scripts/check_oracle.py before entering);
+    # dq_orphan_audit banks after two green gated rounds (r10-r11) —
+    # dq keeps the lineitem expectations entry.
+    "text_contamination_fraction",
     "text_decontaminate_bloom",
     "stream_decontaminate_bloom",
     # Deduplication (jaccard/cluster-stats/keep-representatives bank
@@ -211,7 +219,6 @@ _GATE_ORDER = [
     # Data quality (r11 late rotation #2: dq_column_profile banks
     # after three green gated rounds — see the video-decode note)
     "dq_lineitem_expectations",
-    "dq_orphan_audit",
     # Joins
     "join_range_parts_in_price_band",
     # Windows

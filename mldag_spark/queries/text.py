@@ -927,6 +927,98 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CONTAM_FRAC_ORACLE = """
+    WITH t AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                 % 100 AS bucket,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+                   AS toks
+        FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id, bucket,
+               array_to_string(toks[u:u+4], ' ') AS s
+        FROM (SELECT doc_id, bucket, toks,
+                     unnest(generate_series(1, len(toks) - 4)) AS u
+              FROM t)
+    ), test_set AS (
+        SELECT DISTINCT s FROM sh WHERE bucket >= 90
+    ), train AS (
+        SELECT doc_id, s FROM sh WHERE bucket < 80
+    ), hits AS (
+        SELECT tr.doc_id, COUNT(*) AS n_contaminated
+        FROM train tr JOIN test_set te USING (s)
+        GROUP BY tr.doc_id
+    )
+    SELECT tr.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(COALESCE(MAX(h.n_contaminated), 0) AS BIGINT)
+               AS n_contaminated,
+           CAST(ROUND(COALESCE(MAX(h.n_contaminated), 0)
+                      / COUNT(*), 4) AS DOUBLE) AS contaminated_frac,
+           (COALESCE(MAX(h.n_contaminated), 0) / COUNT(*)) >= 0.1
+               AS flagged
+    FROM train tr LEFT JOIN hits h USING (doc_id)
+    GROUP BY tr.doc_id
+"""
+
+
+@register("text_contamination_fraction", oracle=_CONTAM_FRAC_ORACLE)
+def text_contamination_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document contamination SCORE (r12) — the n-gram overlap
+    FRACTION rule (the GPT-3-style "dirty document" criterion:
+    fraction of a train document's distinct 13-grams — 5-grams here,
+    the corpus's shingle contract — found anywhere in the held-out
+    set), complementing the pairwise >=3-shared-shingle rule of
+    ``contamination_check``: that flags pair evidence, this scores
+    aggregate leakage against the test-set UNION and keeps every
+    train doc (frac 0 included) so a pipeline can threshold, audit,
+    or reweight. Shape: one distinct-shingle build per split (the
+    shared shuffle), the test side collapsed to a distinct shingle
+    SET (sublinear), one shingle-equi LEFT SEMI join (merge-hinted —
+    both sides post-aggregate), and a doc-keyed aggregate. At 100 TB
+    compose with the broadcast-Bloom probe (`bloom_survivors`) to
+    prefilter map-only before the exact join."""
+    from mldag_spark.functions import shingle_rows
+
+    d = load(spark, sf_dir, "documents")
+    sh = (
+        shingle_rows(
+            d.withColumn("bucket", _split_bucket()), "doc_id", "text", 5,
+            carry=("bucket",), complete_only=True,
+        )
+        .select("doc_id", "bucket", F.col("shingle").alias("s"))
+        .distinct()
+    )
+    test_set = (
+        sh.filter(F.col("bucket") >= 90).select("s").distinct()
+    )
+    train = sh.filter(F.col("bucket") < 80).select("doc_id", "s")
+    hit = (
+        train.hint("merge").join(test_set.hint("merge"), "s", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    totals = train.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles")
+    )
+    frac = F.coalesce(F.col("n_contaminated"), F.lit(0)).cast(
+        "double"
+    ) / F.col("n_shingles")
+    return (
+        totals.join(hit.hint("merge"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce(F.col("n_contaminated"), F.lit(0)).alias(
+                "n_contaminated"
+            ),
+            F.round(frac, 4).alias("contaminated_frac"),
+            (frac >= 0.1).alias("flagged"),
+        )
+    )
+
+
 # The filter half of decontamination: the surviving TRAIN split.
 _DECON_ORACLE = """
     WITH t AS (

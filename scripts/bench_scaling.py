@@ -125,6 +125,8 @@ QUERIES = (
     "text_remove_duplicate_spans",
     # r12 new op: BPE corpus encoding (vocab-bounded replace + word join)
     "text_bpe_encode_docs",
+    # r12 new op: overlap-fraction contamination score
+    "text_contamination_fraction",
 )
 
 # VERDICT r6 #6: every scale row now gets a 30x datapoint (was 12/26)
@@ -197,6 +199,7 @@ SF3_QUERIES = (
     "dedup_components",
     "text_remove_duplicate_spans",
     "text_bpe_encode_docs",
+    "text_contamination_fraction",
 )
 
 SF_SMALL = "/root/testdata/sf0.1"
@@ -224,6 +227,7 @@ SF10_QUERIES = (
     # a doc-keyed anti join — complete its column set at 100x too
     "text_remove_duplicate_spans",
     "text_bpe_encode_docs",
+    "text_contamination_fraction",
 )
 
 
@@ -599,6 +603,13 @@ SF3_DIAGNOSES_RAW = {
         "distinct-doc count; the join-back is window-keyed linear "
         "and run-merging (pos - row_number) is a per-doc window "
         "over matched positions only — no pairwise joins anywhere."
+    ),
+    "text_contamination_fraction": (
+        "per-doc overlap fraction vs the test-set shingle UNION: two "
+        "distinct-shingle aggregates, one shingle-equi semi join "
+        "(merge-hinted), doc-keyed totals — all corpus-linear; the "
+        "test union is sublinear (distinct shingles of a fixed-rate "
+        "split)."
     ),
     "text_bpe_encode_docs": (
         "corpus encoding under the learned tokenizer: the replace "

@@ -95,6 +95,9 @@ def test_no_cartesian_products_anywhere(spark, registry):
         # the anti-join decontamination filter: its shingle join and
         # anti join are both equi-keyed
         "text_decontaminate_filter",
+        # r12: the overlap-fraction score — shingle semi join and the
+        # doc-keyed result join are merge-hinted equi joins
+        "text_contamination_fraction",
         # r9: DSIR's totals/log-ratio joins are broadcast 1-row /
         # <=4096-row tables; novelty's first-occurrence join is
         # shingle-equi-keyed; containment's totals joins are
