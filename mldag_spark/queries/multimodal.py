@@ -4,13 +4,14 @@ No real media files exist in the test environment, so media rows are
 synthesized deterministically from ``documents`` (payload = utf-8 text
 bytes; metadata derived from length — see
 ``operators.multimodal.synthesize_media``), which keeps every step
-oracle-checkable. The feature-extract kernel is the
-deterministic-fake path of ``extract_features`` (PIL/ffmpeg aren't
-installed; the Arrow/mapInPandas plumbing is the part under test) —
-EXCEPT audio and images, which run REAL codec round-trips on the
-executors: stdlib ``wave`` containers (r10) and stdlib-zlib PNG
-containers with a spec-correct parser (r11). Only video remains a
-documented fake seam.
+oracle-checkable. All three codecs run REAL round-trips on the
+executors — stdlib ``wave`` (r10), stdlib-zlib PNG with a
+spec-correct parser (r11), YUV4MPEG2 (r11) — and r12 made resize
+and native featurization real through the same codecs. The gated
+feature query keeps the deterministic-fake kernel as its engine of
+record (the stand-in for a LEARNED embedding — the one featurizer
+stdlib cannot provide); the native feature engines are
+numpy-reference-pinned in tests/test_multimodal.py.
 """
 
 from __future__ import annotations

@@ -31,7 +31,9 @@ def test_media_schema_and_payload(spark, media):
 
 def test_extract_features_shape_and_determinism(spark, media):
     out = extract_features(media, dim=8)
-    assert out.schema == FEATURE_SCHEMA
+    assert [f.name for f in out.schema.fields[:4]] == [
+        f.name for f in FEATURE_SCHEMA.fields
+    ]
     rows1 = {r["media_id"]: r["features"] for r in out.collect()}
     rows2 = {r["media_id"]: r["features"] for r in out.collect()}
     assert rows1 == rows2                       # deterministic kernel
@@ -42,10 +44,79 @@ def test_extract_features_shape_and_determinism(spark, media):
     assert n == src
 
 
-def test_extract_features_stub_raises_without_fake(spark, media):
-    out = extract_features(media, dim=4, deterministic_fake=False)
-    with pytest.raises(Exception, match="NotImplementedError|decode"):
-        out.collect()
+def test_extract_features_native_real_decode_all_codecs(spark):
+    """The r12 seam closure for featurization: engine="native" REALLY
+    decodes all three repo-native containers and computes genuine
+    signal features — PNG intensity histogram, WAV spectral band
+    power, Y4M temporal luma profile — each verified against an
+    in-test numpy reference on the raw signal."""
+    import io
+    import struct
+    import wave as wave_mod
+
+    import numpy as np
+
+    from mldag_spark.operators.multimodal import (
+        png_encode_gray,
+        y4m_encode,
+    )
+
+    dim = 8
+    rng = np.random.RandomState(11)
+
+    # PNG: known pixels -> histogram reference
+    px = rng.randint(0, 256, (40, 50), dtype=np.uint8)
+    png = png_encode_gray(px)
+    hist, _ = np.histogram(px, bins=dim, range=(0, 256))
+    want_png = (hist / hist.sum()).tolist()
+
+    # WAV: 440 Hz sine @8k -> rfft band power reference
+    sr, n = 8000, 2000
+    t = np.arange(n) / sr
+    s = (np.sin(2 * np.pi * 440 * t) * 20000).astype("<i2")
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(s.tobytes())
+    wav = buf.getvalue()
+    spec = np.abs(np.fft.rfft(s.astype(np.float64))) ** 2
+    edges = (np.arange(dim + 1, dtype=np.int64) * len(spec)) // dim
+    bands = np.array([spec[edges[i]:edges[i + 1]].mean() for i in range(dim)])
+    want_wav = (bands / bands.sum()).tolist()
+
+    # Y4M: 12 frames of known mean luma -> NN-resampled profile
+    frames = [
+        np.full((16, 16), v, dtype=np.uint8)
+        for v in rng.randint(0, 256, 12)
+    ]
+    y4m = y4m_encode(frames)
+    means = np.array([f.mean() for f in frames]) / 255.0
+    idx = (np.arange(dim, dtype=np.int64) * len(means)) // dim
+    want_y4m = means[idx].tolist()
+
+    rows = [
+        (1, "image/png", png),
+        (2, "audio/wav", wav),
+        (3, "video/y4m", y4m),
+        (4, "application/octet-stream", b"not a container"),
+    ]
+    media = spark.createDataFrame(
+        [(i, m, p, None, None, None) for i, m, p in rows],
+        "media_id long, mime string, payload binary, width int, "
+        "height int, duration_ms long",
+    )
+    got = {
+        r["media_id"]: r
+        for r in extract_features(media, dim=dim, engine="native").collect()
+    }
+    assert got[1]["ok"] and got[2]["ok"] and got[3]["ok"]
+    assert got[1]["features"] == pytest.approx(want_png)
+    assert got[2]["features"] == pytest.approx(want_wav)
+    assert got[3]["features"] == pytest.approx(want_y4m)
+    # unrecognized container -> ok=false, null features, never a crash
+    assert got[4]["ok"] is False and got[4]["features"] is None
 
 
 def test_frame_sample_plan(spark, sf_dir):
