@@ -198,6 +198,36 @@ def brute_force_topk_arrow(
     )
 
 
+def ivf_fit(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    seed: int = 42,
+):
+    """Train the IVF index ONCE: pyspark.ml KMeans over the corpus,
+    returning ``(centroids (n_lists × dim) ndarray, assigned
+    DataFrame (neighbor_id, cv, cell))``. The production handoff is
+    the same as IVF-PQ's: write ``assigned`` ``partitionBy("cell")``
+    and pass both back into :func:`ivf_topk` — per-query cost is then
+    a pruned scan + probe join, never a re-clustering of the corpus
+    (the training job must not run once per query set)."""
+    import numpy as np
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("cv"),
+    ).withColumn("_feat", array_to_vector("cv"))
+    km = KMeans(k=n_lists, seed=seed, featuresCol="_feat", predictionCol="cell")
+    model = km.fit(c)
+    assigned = model.transform(c).select("neighbor_id", "cv", "cell")
+    centroids = np.array([np.asarray(ctr) for ctr in model.clusterCenters()])
+    return centroids, assigned
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -207,34 +237,36 @@ def ivf_topk(
     n_lists: int = 16,
     n_probe: int = 4,
     seed: int = 42,
+    centroids=None,
+    assigned: Optional[DataFrame] = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: KMeans partitions the
     corpus into ``n_lists`` cells; each query probes only its
     ``n_probe`` nearest cells.
 
-    Scale shape: the corpus is clustered once (pyspark.ml KMeans) and
+    Scale shape: the corpus is clustered once (:func:`ivf_fit`) and
     written partitioned by cell; per query the candidate join is an
     equality join on the cell id, so the scan cost drops to
     ~``n_probe/n_lists`` of brute force. Centroids (n_lists × dim
     floats) are the only driver-side state. Recall depends on
     ``n_probe`` — true cosine is computed on candidates, so reported
     scores are exact.
+
+    ``centroids`` + ``assigned``: the precomputed :func:`ivf_fit`
+    model (pass the ``partitionBy("cell")`` artifact back for real
+    partition pruning — the ivfpq codes-artifact pattern, ADVICE
+    r11). Both or neither; when absent the fit runs here (convenient
+    at test scale, a per-query training job at 100 TB).
     """
     import numpy as np
 
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-    from pyspark.sql import functions as F
-
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        _as_double(F.col(vec_col)).alias("cv"),
-    ).withColumn("_feat", array_to_vector("cv"))
-    km = KMeans(k=n_lists, seed=seed, featuresCol="_feat", predictionCol="cell")
-    model = km.fit(c)
-    assigned = model.transform(c).select("neighbor_id", "cv", "cell")
-
-    centroids = np.array([np.asarray(ctr) for ctr in model.clusterCenters()])
+    if (centroids is None) != (assigned is None):
+        raise ValueError("pass both centroids and assigned, or neither")
+    if centroids is None:
+        centroids, assigned = ivf_fit(corpus, id_col, vec_col, n_lists, seed)
+    else:
+        centroids = np.asarray(centroids, dtype=np.float64)
+        assigned = assigned.select("neighbor_id", "cv", "cell")
 
     # Probe assignment stays distributed: the (n_lists × dim) centroid
     # matrix is closed over (broadcast with the task closure) and each

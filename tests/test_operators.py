@@ -1895,6 +1895,37 @@ def test_ivfpq_codes_artifact_partition_pruning_roundtrip(spark, sf_dir, tmp_pat
     assert via_artifact == via_encode
 
 
+def test_ivf_fit_artifact_roundtrip_matches_inline_fit(spark, sf_dir, tmp_path):
+    """The IVF production handoff (the ivfpq codes-artifact pattern,
+    extended per the same ADVICE shape): ivf_fit trains ONCE, the
+    assignment table round-trips through a partitionBy(cell) parquet
+    artifact, and ivf_topk(centroids=..., assigned=read-back) returns
+    EXACTLY what the inline per-call fit returns — so no caller ever
+    needs to re-cluster the corpus per query set."""
+    from mldag_spark.operators.similarity import ivf_fit, ivf_topk
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 4)
+    centroids, assigned = ivf_fit(emb, n_lists=8, seed=42)
+    path = str(tmp_path / "ivf_assigned.parquet")
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+    back = spark.read.parquet(path)
+
+    via_artifact = sorted(map(tuple, ivf_topk(
+        emb, q, k=5, n_lists=8, n_probe=3,
+        centroids=centroids, assigned=back,
+    ).collect()))
+    inline = sorted(map(tuple, ivf_topk(
+        emb, q, k=5, n_lists=8, n_probe=3, seed=42,
+    ).collect()))
+    assert via_artifact == inline
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="both"):
+        ivf_topk(emb, q, centroids=centroids)
+
+
 def test_ivfpq_recall_monotone_in_nprobe(spark, sf_dir):
     """The operating-point law a 100 TB user tunes against (VERDICT
     r11 #4): with a refine budget >= the corpus (so the exact-cosine
