@@ -345,6 +345,40 @@ def signature_udf(planes: list[list[float]]):
     return _sig
 
 
+def multiprobe_buckets_udf(planes: list[list[float]], n_probe: int):
+    """Multi-probe LSH probe sequence (Lv et al. 2007, "Multi-Probe
+    LSH"): per query, the home bucket plus single-bit-flip buckets in
+    order of INCREASING margin |q·plane| — the planes the query sits
+    closest to are the ones most likely to have split it from a true
+    neighbor, so those flips are probed first. Arrow-batched: one
+    (batch × dim) @ (dim × n_planes) matmul, an argsort of |margins|,
+    and ``n_probe`` bucket ids per row (array column; the caller
+    explodes). ``n_probe=1`` degenerates to the home bucket."""
+    from pyspark.sql.functions import pandas_udf
+
+    W = np.array(planes, dtype=np.float64)  # (n_planes, dim)
+    n_planes = len(planes)
+    if not 1 <= n_probe <= n_planes + 1:
+        raise ValueError("n_probe must be in [1, n_planes+1]")
+    pows = 1 << np.arange(n_planes, dtype=np.int64)
+
+    @pandas_udf("array<long>")
+    def _probes(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.array(list(vs), dtype=np.float64)
+        proj = mat @ W.T                              # (n, n_planes)
+        home = ((proj > 0) * pows).sum(axis=1)        # (n,)
+        order = np.argsort(np.abs(proj), axis=1, kind="stable")
+        out = np.empty((len(mat), n_probe), dtype=np.int64)
+        out[:, 0] = home
+        for j in range(1, n_probe):
+            out[:, j] = home ^ pows[order[:, j - 1]]
+        return pd.Series(list(out))
+
+    return _probes
+
+
 def lsh_bucket_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -353,6 +387,7 @@ def lsh_bucket_topk(
     k: int = 5,
     n_planes: int = 4,
     dim: int = 64,
+    n_probe: int = 1,
 ) -> DataFrame:
     """Approximate cosine top-k via random-hyperplane bucketing.
 
@@ -360,8 +395,16 @@ def lsh_bucket_topk(
     candidate join is an equality join on the bucket id (shuffle-
     partitioned by bucket — each executor sees only its buckets).
     True cosine is computed on candidates; rows short of k neighbors
-    reflect the recall/efficiency trade (raise n_probes by lowering
-    n_planes for higher recall).
+    reflect the recall/efficiency trade.
+
+    ``n_probe`` (r12): multi-probe LSH — each query also probes
+    ``n_probe - 1`` single-bit-flip buckets in increasing-margin
+    order (:func:`multiprobe_buckets_udf`), recovering most of the
+    recall lost to an unlucky plane at ~n_probe× the candidate cost —
+    FAR cheaper than the classical alternative of more hash tables
+    (which re-scans and re-stores the corpus per table). The corpus
+    side is bucketed ONCE either way; recall is weakly monotone in
+    ``n_probe`` under exact verification (pinned by test).
     """
     planes = _hyperplanes(dim, n_planes)
     sig = signature_udf(planes)
@@ -369,10 +412,19 @@ def lsh_bucket_topk(
         F.col(id_col).alias("neighbor_id"),
         _as_double(F.col(vec_col)).alias("cv"),
     ).withColumn("bucket", sig(F.col("cv")))
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        _as_double(F.col(vec_col)).alias("qv"),
-    ).withColumn("bucket", sig(F.col("qv")))
+    if n_probe == 1:
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            _as_double(F.col(vec_col)).alias("qv"),
+        ).withColumn("bucket", sig(F.col("qv")))
+    else:
+        probes = multiprobe_buckets_udf(planes, n_probe)
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            _as_double(F.col(vec_col)).alias("qv"),
+        ).withColumn(
+            "bucket", F.explode(probes(F.col("qv")))
+        )
     sims = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))

@@ -1895,6 +1895,41 @@ def test_ivfpq_codes_artifact_partition_pruning_roundtrip(spark, sf_dir, tmp_pat
     assert via_artifact == via_encode
 
 
+def test_lsh_multiprobe_recall_monotone_and_improves(spark, sf_dir):
+    """Multi-probe LSH (r12, Lv et al. 2007): the probe sequence is a
+    prefix — candidates(n_probe) ⊆ candidates(n_probe+1) per query —
+    and scoring is exact cosine, so recall@k vs brute force is
+    GUARANTEED weakly monotone in n_probe; on this table the margin-
+    ordered flips must also visibly beat single-bucket probing."""
+    from mldag_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_bucket_topk,
+    )
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 8)
+    truth: dict[int, set] = {}
+    for r in brute_force_topk(emb, q, k=5).collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    def recall(n_probe: int) -> float:
+        got: dict[int, set] = {}
+        rows = lsh_bucket_topk(
+            emb, q, k=5, n_planes=6, dim=64, n_probe=n_probe
+        ).collect()
+        for r in rows:
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return sum(
+            len(got.get(qid, set()) & t) / len(t)
+            for qid, t in truth.items()
+        ) / len(truth)
+
+    rs = [recall(p) for p in (1, 2, 4, 7)]
+    assert all(a <= b + 1e-9 for a, b in zip(rs, rs[1:])), rs
+    assert rs[-1] > rs[0], rs  # probing extra buckets must actually help
+
+
 def test_ivf_fit_artifact_roundtrip_matches_inline_fit(spark, sf_dir, tmp_path):
     """The IVF production handoff (the ivfpq codes-artifact pattern,
     extended per the same ADVICE shape): ivf_fit trains ONCE, the
