@@ -298,3 +298,93 @@ def test_kmeans_partition_invariant_and_exhaustive(spark):
     n_vecs = load(spark, sf, "embeddings").count()
     assert sum(r[1] for r in a) == n_vecs  # exhaustive, disjoint
     assert all(r[2] >= 0.0 for r in a)
+
+
+# ---------------------------------------------------------------------------
+# Codec fuzz (r12): the stdlib PNG path is load-bearing for image
+# decode, resize, and native featurization — round-trip it under
+# hypothesis, and prove corruption NEVER crashes the parser with
+# anything but the documented ValueError (the kernels map that to
+# ok=false; any other exception class would kill a 100 TB pass).
+# ---------------------------------------------------------------------------
+@given(
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    seed=st.integers(0, 2**31 - 1),
+)
+@_settings
+def test_png_roundtrip_any_shape(h, w, seed):
+    import numpy as np
+
+    from mldag_spark.operators.multimodal import (
+        _png_parse_gray,
+        png_encode_gray,
+    )
+
+    px = np.random.RandomState(seed).randint(0, 256, (h, w), dtype=np.uint8)
+    gw, gh, got = _png_parse_gray(png_encode_gray(px))
+    assert (gw, gh) == (w, h)
+    assert np.array_equal(got, px)
+
+
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    cut=st.integers(0, 200),
+    flip_at=st.integers(0, 199),
+)
+@_settings
+def test_png_parser_corruption_is_valueerror_never_crash(seed, cut, flip_at):
+    import numpy as np
+
+    from mldag_spark.operators.multimodal import (
+        _png_parse_gray,
+        png_encode_gray,
+    )
+
+    rng = np.random.RandomState(seed)
+    px = rng.randint(0, 256, (8, 8), dtype=np.uint8)
+    data = bytearray(png_encode_gray(px))
+    # truncate and/or flip one byte somewhere in the container
+    if cut < len(data):
+        data = data[: len(data) - cut]
+    if data and flip_at < len(data):
+        data[flip_at] ^= 0xFF
+    try:
+        gw, gh, got = _png_parse_gray(bytes(data))
+        # surviving a mutation is only acceptable if the mutation
+        # landed outside every checked region AND the pixels still
+        # round-trip exactly (e.g. flip undone by truncation edge)
+        assert (gw, gh) == (8, 8) and np.array_equal(got, px)
+    except ValueError:
+        pass  # the documented failure mode — kernels map it to ok=false
+
+
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    n_frames=st.integers(1, 4),
+    cut=st.integers(0, 400),
+)
+@_settings
+def test_y4m_roundtrip_and_truncation_is_valueerror(seed, n_frames, cut):
+    import numpy as np
+
+    from mldag_spark.operators.multimodal import _y4m_parse, y4m_encode
+
+    rng = np.random.RandomState(seed)
+    frames = [
+        rng.randint(0, 256, (8, 10), dtype=np.uint8) for _ in range(n_frames)
+    ]
+    data = y4m_encode(frames)
+    w, h, _fps, lumas = _y4m_parse(data)
+    assert (w, h) == (10, 8) and len(lumas) == n_frames
+    assert all(np.array_equal(a, b) for a, b in zip(lumas, frames))
+    if cut == 0:
+        return
+    trunc = data[: max(len(data) - cut, 1)]
+    try:
+        _w2, _h2, _f2, lumas2 = _y4m_parse(trunc)
+        # a cut landing exactly on a frame boundary legitimately
+        # parses as fewer complete frames — anything else must raise
+        assert len(lumas2) < n_frames
+    except ValueError:
+        pass
