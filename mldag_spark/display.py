@@ -272,10 +272,8 @@ def explain(run: MLDagRun, mode: str = "formatted") -> str:
     of a completed run — the physical counterpart of :func:`to_dot`."""
     chunks = []
     for name, value in run.outputs.items():
-        if hasattr(value, "_jdf"):  # a pyspark DataFrame
-            plan = value._sc._jvm.PythonSQLUtils.explainString(
-                value._jdf.queryExecution(), mode
-            )
+        plan = _spark_plan(value, mode)
+        if plan is not None:
             chunks.append(f"== DAG output: {name} ==\n{plan}")
     return "\n".join(chunks)
 
@@ -322,8 +320,8 @@ def explain_run(dag: MLDag, run: MLDagRun, mode: str = "formatted") -> str:
                 for o in dag.outputs
                 if o.node is node
             ]
-            chunks.append(f"   inputs:  {feeds or ['(none)']}")
-            chunks.append(f"   outputs: {sinks or ['(none)']}")
+            chunks.append("   inputs:  " + "; ".join(feeds or ["(none)"]))
+            chunks.append("   outputs: " + "; ".join(sinks or ["(none)"]))
         for slot, value in run.node_outputs[node_name].items():
             plan = _spark_plan(value, mode)
             if plan is None:

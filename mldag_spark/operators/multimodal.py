@@ -128,6 +128,11 @@ def _native_features(data: bytes, dim: int):
         with wave.open(io.BytesIO(data), "rb") as w:
             if w.getsampwidth() != 2:
                 raise ValueError("only 16-bit PCM supported")
+            if w.getnchannels() != 1:
+                # interleaved stereo through one rfft would yield a
+                # spectrally scrambled "feature" with ok=true — the
+                # silent-wrong kind (code-review r12 finding #3)
+                raise ValueError("only mono supported")
             pcm = w.readframes(w.getnframes())
         s = np.frombuffer(pcm, dtype="<i2").astype(np.float64)
         if len(s) == 0:

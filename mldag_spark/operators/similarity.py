@@ -267,6 +267,14 @@ def ivf_topk(
     else:
         centroids = np.asarray(centroids, dtype=np.float64)
         assigned = assigned.select("neighbor_id", "cv", "cell")
+    # validate DRIVER-side: with a precomputed model the n_lists
+    # default is ignored, and an oversized n_probe would otherwise
+    # surface as an opaque unequal-length-arrays PythonException
+    # inside the executor kernel (code-review r12 finding #2)
+    if not 1 <= n_probe <= len(centroids):
+        raise ValueError(
+            f"n_probe={n_probe} out of range for {len(centroids)} cells"
+        )
 
     # Probe assignment stays distributed: the (n_lists × dim) centroid
     # matrix is closed over (broadcast with the task closure) and each
@@ -781,7 +789,10 @@ def pq_topk(
         .select("query_id", "neighbor_id")
     )
 
-    return _exact_refine(cand, corpus, queries, id_col, vec_col, k)
+    return _exact_refine(
+        cand, corpus, queries, id_col, vec_col, k,
+        max_candidates=refine * len(qids),
+    )
 
 
 def _exact_refine(
@@ -791,6 +802,7 @@ def _exact_refine(
     id_col: str,
     vec_col: str,
     k: int,
+    max_candidates: int,
 ) -> DataFrame:
     """Shared PQ/IVFPQ refine tail: (query_id, neighbor_id) candidate
     pairs equi-join back to the corpus vectors by id (only
@@ -810,8 +822,12 @@ def _exact_refine(
     scan into a hard query failure. The corpus side never shuffles
     for this join (plan-pinned)."""
     spark = corpus.sparkSession
+    # the construction bound is refine*|Q| (callers pass it exactly):
+    # capping at the query-set cap here would REJECT valid calls —
+    # e.g. 1,000 queries x refine=100 is 100k id pairs, ~1.6 MB, fine
+    # (code-review r12 finding #1)
     cand_rows = _collect_bounded(
-        cand, _QUERY_COLLECT_CAP, "refine candidate set"
+        cand, max_candidates, "refine candidate set"
     )
     cand_local = spark.createDataFrame(
         [(r["query_id"], r["neighbor_id"]) for r in cand_rows],
@@ -1113,7 +1129,10 @@ def ivfpq_topk(
         .filter(F.col("_r") <= refine)
         .select("query_id", "neighbor_id")
     )
-    return _exact_refine(cand, corpus, queries, id_col, vec_col, k)
+    return _exact_refine(
+        cand, corpus, queries, id_col, vec_col, k,
+        max_candidates=refine * len(qids),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -111,6 +111,23 @@ def test_extract_features_native_real_decode_all_codecs(spark):
         r["media_id"]: r
         for r in extract_features(media, dim=dim, engine="native").collect()
     }
+    # stereo WAV: interleaved channels through one rfft would be a
+    # spectrally scrambled "feature" with ok=true — must be ok=false
+    # (code-review r12 finding #3)
+    buf2 = io.BytesIO()
+    with wave_mod.open(buf2, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(np.repeat(s, 2).tobytes())
+    stereo = spark.createDataFrame(
+        [(9, "audio/wav", buf2.getvalue(), None, None, None)],
+        "media_id long, mime string, payload binary, width int, "
+        "height int, duration_ms long",
+    )
+    srow = extract_features(stereo, dim=dim, engine="native").collect()[0]
+    assert srow["ok"] is False and srow["features"] is None
+
     assert got[1]["ok"] and got[2]["ok"] and got[3]["ok"]
     assert got[1]["features"] == pytest.approx(want_png)
     assert got[2]["features"] == pytest.approx(want_wav)

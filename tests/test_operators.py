@@ -2000,6 +2000,39 @@ def test_ivfpq_recall_monotone_in_nprobe(spark, sf_dir):
     assert rs[-1] == pytest.approx(1.0)  # all cells probed + full refine
 
 
+def test_pq_refine_cap_is_the_construction_bound(spark):
+    """Code-review r12 #1 regression: the refine-candidate collect is
+    bounded by refine·|Q| BY CONSTRUCTION — a query set that passes
+    the query cap must never trip the candidate cap (700 queries ×
+    refine=100 = 70k candidates exceeded the old flat 65536 cap)."""
+    from mldag_spark.operators.similarity import pq_topk, pq_train
+    from mldag_spark.queries.vectors import _train_sample
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 700)
+    books = pq_train(_train_sample(emb), m=8, ksub=16)
+    out = pq_topk(emb, q, books, k=3, refine=100)
+    assert out.select("query_id").distinct().count() == 700
+
+
+def test_ivf_topk_rejects_oversized_nprobe_driver_side(spark, sf_dir):
+    """Code-review r12 #2 regression: with a precomputed model the
+    n_lists default is ignored, so an n_probe beyond the cell count
+    must fail driver-side with a clear message, not as an
+    unequal-length-arrays crash inside the executor kernel."""
+    import pytest
+
+    from mldag_spark.operators.similarity import ivf_fit, ivf_topk
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 2)
+    centroids, assigned = ivf_fit(emb, n_lists=3)
+    with pytest.raises(ValueError, match="n_probe=4 out of range"):
+        ivf_topk(emb, q, n_probe=4, centroids=centroids, assigned=assigned)
+
+
 def test_collect_bounded_enforces_the_contract(spark):
     """VERDICT r11 #3: every query-set/candidate/training collect in
     the ANN operators goes through _collect_bounded — an oversized
