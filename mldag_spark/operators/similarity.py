@@ -628,6 +628,82 @@ def pq_train(
     )  # (m, ksub, dsub)
 
 
+def _pq_reconstruct(Y: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """Nearest-codeword reconstruction of rotated sample Y under the
+    given codebooks — the OPQ objective's quantizer half."""
+    n = len(Y)
+    m, ksub, dsub = codebooks.shape
+    Ys = Y.reshape(n, m, dsub)
+    out = np.empty_like(Y)
+    for j in range(m):
+        cb = codebooks[j]
+        d = (cb * cb).sum(axis=1)[None, :] - 2.0 * (Ys[:, j, :] @ cb.T)
+        out[:, j * dsub: (j + 1) * dsub] = cb[np.argmin(d, axis=1)]
+    return out
+
+
+def pq_sq_error(X: np.ndarray, rotation: np.ndarray,
+                codebooks: np.ndarray) -> float:
+    """Mean squared quantization error ||XR − q(XR)||² — the objective
+    both PQ (R = I) and OPQ minimize; exposed for tests/diagnostics."""
+    Y = X @ rotation
+    return float(((Y - _pq_reconstruct(Y, codebooks)) ** 2).sum(axis=1).mean())
+
+
+def opq_train(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 8,
+    ksub: int = 16,
+    seed: int = 42,
+    iters: int = 10,
+) -> tuple[np.ndarray, np.ndarray]:
+    """OPQ — Optimized Product Quantization (Ge et al. 2013): learn an
+    orthonormal rotation R jointly with the PQ codebooks so the
+    subspace split stops fighting correlated dimensions. Alternating
+    minimization on the bounded training sample (the PQ/IVF-PQ
+    training contract — all driver-side numpy):
+
+    1. fix R, retrain per-subspace codebooks on X·R (seeded Lloyd);
+    2. fix codes, solve the orthogonal Procrustes problem
+       R = argmin ||X·R − X̂|| = U·Vᵀ from SVD(Xᵀ·X̂), where X̂ is the
+       codebook reconstruction.
+
+    Returns (rotation (dim × dim), codebooks (m, ksub, dim/m)) — feed
+    BOTH into :func:`pq_encode` / :func:`pq_topk` via ``rotation=``.
+    The rotation is orthonormal (pinned), so cosine — and therefore
+    the exact refine — is unchanged; only code assignment quality
+    improves (objective non-increase pinned vs the R = I PQ
+    baseline)."""
+    X = _collect_training_matrix(corpus, vec_col)
+    _require_training_rows(len(X), ksub, "ksub")
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+
+    R = np.eye(dim)
+    books = None
+    best = None
+    for it in range(iters):
+        Y = X @ R
+        Ys = Y.reshape(len(X), m, dsub)
+        books = np.stack(
+            [_np_lloyd(Ys[:, j, :], ksub, seed + j) for j in range(m)]
+        )
+        err = pq_sq_error(X, R, books)
+        # keep the best (R, books) seen: per-step Lloyd is a local
+        # minimizer, so the alternation is not guaranteed monotone —
+        # returning the argmin IS
+        if best is None or err < best[0]:
+            best = (err, R.copy(), books.copy())
+        Xhat = _pq_reconstruct(Y, books)
+        U, _sv, Vt = np.linalg.svd(X.T @ Xhat)
+        R = U @ Vt
+    _err, R, books = best
+    return R, books
+
+
 def _unit_normalized(df: DataFrame, vec_col: str) -> DataFrame:
     """Adds ``_uv`` = vec / ||vec|| (JVM expressions; zero vectors
     pass through unscaled rather than dividing by zero)."""
@@ -650,17 +726,24 @@ def pq_encode(
     codebooks: np.ndarray,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    rotation: Optional[np.ndarray] = None,
 ) -> DataFrame:
     """(vec_id, code binary): each vector quantized to m uint8
     subspace-centroid ids — m BYTES per vector. Map-only Arrow
     kernel: per batch, per subspace, one ||x||²+||c||²−2·X@Cᵀ matmul
     and an argmin; the codebooks ride in the closure. No shuffle —
-    the codes table inherits the scan partitioning."""
+    the codes table inherits the scan partitioning.
+
+    ``rotation``: the learned OPQ rotation (:func:`opq_train`) — an
+    orthonormal (dim × dim) matrix applied inside the same kernel
+    before subspace slicing (one extra matmul per batch; rotation is
+    cosine-invariant so downstream exact refine is untouched)."""
     m, ksub, dsub = codebooks.shape
     if ksub > 256:
         raise ValueError("ksub must fit a uint8 code")
     cb = codebooks.astype(np.float64)
     cn = (cb * cb).sum(axis=2)  # (m, ksub)
+    R = None if rotation is None else np.asarray(rotation, dtype=np.float64)
 
     def kernel(batches):
         for pdf in batches:
@@ -668,6 +751,8 @@ def pq_encode(
                 yield pd.DataFrame({"vec_id": [], "code": []})
                 continue
             X = np.array(list(pdf["_uv"]), dtype=np.float64)
+            if R is not None:
+                X = X @ R
             n = len(X)
             Xs = X.reshape(n, m, dsub)
             codes = np.empty((n, m), dtype=np.uint8)
@@ -697,13 +782,19 @@ def pq_topk(
     k: int = 5,
     refine: int = 50,
     codes: Optional[DataFrame] = None,
+    rotation: Optional[np.ndarray] = None,
 ) -> DataFrame:
     """PQ/ADC approximate top-k with exact refine.
 
     ``codes``: a precomputed (vec_id, code) table (the published
     artifact) — skips the per-query corpus re-encode; falls back to
     :func:`pq_encode` when absent. Codes must come from the SAME
-    codebooks model.
+    codebooks model (and the same ``rotation``, when OPQ-trained).
+
+    ``rotation``: the OPQ rotation (:func:`opq_train`): queries are
+    rotated before the LUT build and the corpus inside the encode
+    kernel; the exact-cosine refine is untouched (orthonormal
+    rotations preserve cosine).
 
     Stage 1 (ADC scan — the scale path): the bounded query set is
     collected once (the brute-force/IVF bounded-collect contract),
@@ -731,6 +822,8 @@ def pq_topk(
         raise ValueError("empty query set")
     qids = np.array([r["query_id"] for r in q], dtype=np.int64)
     Q = np.array([r["_uv"] for r in q], dtype=np.float64)
+    if rotation is not None:
+        Q = Q @ np.asarray(rotation, dtype=np.float64)
     Qs = Q.reshape(len(q), m, dsub)
     # LUT[q, j, c] = ||q_j - c||² up to the per-query constant ||q_j||²
     # (constant per query → rank-free): -2·q_j·c + ||c||²
@@ -741,7 +834,7 @@ def pq_topk(
     )  # (n_q, m, ksub)
 
     if codes is None:
-        codes = pq_encode(corpus, codebooks, id_col, vec_col)
+        codes = pq_encode(corpus, codebooks, id_col, vec_col, rotation)
     codes = codes.select("vec_id", "code")
 
     def adc_kernel(batches):

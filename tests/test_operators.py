@@ -2000,6 +2000,51 @@ def test_ivfpq_recall_monotone_in_nprobe(spark, sf_dir):
     assert rs[-1] == pytest.approx(1.0)  # all cells probed + full refine
 
 
+def test_opq_rotation_orthonormal_objective_and_recall(spark, sf_dir):
+    """OPQ (r12, Ge et al. 2013): the learned rotation must be
+    orthonormal (so cosine/refine are untouched), the quantization
+    objective must not exceed the R=I PQ baseline (opq_train returns
+    the argmin over iterations — guaranteed, since iteration 0 IS the
+    PQ state), and the full rotated query path must keep the PQ
+    recall floor with exact scores."""
+    import numpy as np
+
+    from mldag_spark.operators.similarity import (
+        _collect_training_matrix,
+        opq_train,
+        pq_sq_error,
+        pq_topk,
+        pq_train,
+    )
+    from mldag_spark.queries.vectors import _train_sample
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    sample = _train_sample(emb)
+    R, books = opq_train(sample, m=16, ksub=16)
+    assert np.allclose(R @ R.T, np.eye(64), atol=1e-8)
+
+    X = _collect_training_matrix(sample, "embedding")
+    pq_books = pq_train(sample, m=16, ksub=16)
+    err_pq = pq_sq_error(X, np.eye(64), pq_books)
+    err_opq = pq_sq_error(X, R, books)
+    assert err_opq <= err_pq + 1e-12, (err_opq, err_pq)
+
+    q = emb.filter(F.col("vec_id") < 5)
+    bf = {
+        (r["query_id"], r["neighbor_id"]): r["cos"]
+        for r in brute_force_topk(emb, q, k=5).collect()
+    }
+    res = pq_topk(emb, q, books, k=5, refine=100, rotation=R).collect()
+    assert all(r["query_id"] != r["neighbor_id"] for r in res)
+    for r in res:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in bf:
+            assert r["cos"] == pytest.approx(bf[key], abs=1e-6)
+    hits = sum(1 for r in res if (r["query_id"], r["neighbor_id"]) in bf)
+    assert hits / len(bf) >= 0.8
+
+
 def test_pq_refine_cap_is_the_construction_bound(spark):
     """Code-review r12 #1 regression: the refine-candidate collect is
     bounded by refine·|Q| BY CONSTRUCTION — a query set that passes
