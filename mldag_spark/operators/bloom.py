@@ -55,6 +55,15 @@ def _h1h2(col: Column) -> tuple[Column, Column]:
 # VERDICT r11 #7).
 BLOOM_TREE_MERGE_THRESHOLD = 256 << 20
 _BLOOM_CHUNK_BYTES = 4 << 20
+# Tree-merge fanout: each reduction level ORs at most this many copies
+# of a chunk in one task, so per-task memory is <= fanout × chunk
+# (128 MiB at the defaults) REGARDLESS of partition count — the r12
+# single-level groupBy(ci) merge materialized all ~|partitions| copies
+# of a chunk in ONE task, which merely moved the OOM from the driver
+# to an executor at high partition counts (ADVICE r12 #1). Levels are
+# ceil(log_fanout(|partitions|)): 4096 partitions → 3 shuffles whose
+# volume shrinks fanout× per level.
+_BLOOM_TREE_FANOUT = 32
 
 
 def bloom_build(
@@ -79,12 +88,17 @@ def bloom_build(
     - ``"driver"`` — the driver ORs the ≤|partitions| partials (m/8
       bytes each). Right for registry-sized filters.
     - ``"tree"`` — each partition's kernel emits its bitmap as
-      chunk-keyed pieces; one ``groupBy(chunk)`` stage ORs the
-      ~|partitions| copies of each chunk executor-side, and the
-      driver collects exactly ONE bitmap's worth of chunks (m/8
-      bytes total) — the ``treeAggregate`` shape. Shuffle volume is
-      the same |partitions|·m/8 bytes the driver path would collect,
-      spread across the cluster instead of one heap.
+      chunk-keyed pieces tagged with the source partition id; the
+      copies of each chunk are then OR-reduced through
+      ceil(log_fanout(|partitions|)) ``groupBy(chunk, src % width)``
+      levels, each task touching at most ``_BLOOM_TREE_FANOUT``
+      copies (per-task memory <= fanout·chunk bytes, CONSTANT in
+      partition count — a real ``treeAggregate``, not a single-level
+      gather); the driver collects exactly ONE bitmap's worth of
+      chunks (m/8 bytes total). First-level shuffle volume is the
+      same |partitions|·m/8 bytes the driver path would collect,
+      spread across the cluster, and each further level shrinks it
+      fanout×.
     - ``"auto"`` (default) — ``"tree"`` once |partitions|·m/8 exceeds
       ``tree_merge_threshold``, else ``"driver"``.
 
@@ -134,9 +148,11 @@ def bloom_build(
     def chunk_kernel(batches):
         bm = np.zeros(nbytes, dtype=np.uint8)
         seen = False
+        src = 0
         for pdf in batches:
             if len(pdf) == 0:
                 continue
+            src = int(pdf["src"].iloc[0])  # constant within a task
             p = pdf["p"].to_numpy(dtype=np.int64)
             np.bitwise_or.at(
                 bm, p >> 3,
@@ -150,7 +166,7 @@ def bloom_build(
                 piece = bm[ci: ci + chunk]
                 if piece.any():
                     yield pd.DataFrame(
-                        {"ci": [ci], "bm": [piece.tobytes()]}
+                        {"ci": [ci], "src": [src], "bm": [piece.tobytes()]}
                     )
 
     def or_chunks(key, pdf):
@@ -158,14 +174,26 @@ def bloom_build(
         for b in pdf["bm"]:
             a = np.frombuffer(b, dtype=np.uint8)
             acc = a.copy() if acc is None else (acc | a)
-        return pd.DataFrame({"ci": [int(key[0])], "bm": [acc.tobytes()]})
+        return pd.DataFrame(
+            {"ci": [int(key[0])], "src": [int(key[1])],
+             "bm": [acc.tobytes()]}
+        )
 
-    merged = (
-        pos.mapInPandas(chunk_kernel, "ci long, bm binary")
-        .groupBy("ci")
-        .applyInPandas(or_chunks, "ci long, bm binary")
-        .collect()
-    )
+    partials = pos.withColumn(
+        "src", F.spark_partition_id().cast("long")
+    ).mapInPandas(chunk_kernel, "ci long, src long, bm binary")
+    # OR is associative/commutative, so any reduction tree yields the
+    # same bitmap (bit-identity vs "driver" pinned by test); width
+    # shrinks fanout× per level until one row per chunk remains
+    width = max(pos.rdd.getNumPartitions(), 1)
+    while width > 1:
+        width = -(-width // _BLOOM_TREE_FANOUT)  # ceil-div
+        partials = (
+            partials.withColumn("src", F.col("src") % width)
+            .groupBy("ci", "src")
+            .applyInPandas(or_chunks, "ci long, src long, bm binary")
+        )
+    merged = partials.collect()
     out = np.zeros(nbytes, dtype=np.uint8)
     for row in merged:
         ci = int(row["ci"])

@@ -311,7 +311,7 @@ def _resize_gray_nn(px, nw: int, nh: int):
 def resize_media(
     media: DataFrame,
     max_px: int = 64,
-    engine: str = "auto",
+    engine: str = "native",
 ) -> DataFrame:
     """Downscale images so the longest side is <= ``max_px`` via
     ``mapInPandas`` — same Arrow plumbing as :func:`extract_features`:
@@ -326,7 +326,7 @@ def resize_media(
 
     ``engine`` (the r12 seam closure — VERDICT r11 #2):
 
-    - ``"native"`` — REAL decode → resize → re-encode via the stdlib
+    - ``"native"`` (default) — REAL decode → resize → re-encode via the stdlib
       PNG codec (:func:`_png_parse_gray` / :func:`png_encode_gray`):
       the payload is parsed (CRC-checked), nearest-neighbor
       downsampled with the integer-exact index map
@@ -338,7 +338,12 @@ def resize_media(
     - ``"pil"`` — guarded-import pillow path for arbitrary formats
       (grayscale-converted, NEAREST; raises ImportError at kernel
       build time on the driver if pillow is absent, never mid-task).
-    - ``"auto"`` (default) — PIL when importable, else native.
+      Explicit opt-in: PIL's NEAREST picks different source pixels
+      than the integer-exact native map, so output BYTES differ.
+    - ``"auto"`` — PIL when importable, else native. Explicit opt-in
+      only (ADVICE r12 #2): output payload bytes depend on whether
+      pillow is installed, which undercuts bit-for-bit
+      reproducibility; the deterministic native default never does.
     - ``"fake"`` — the deterministic metadata-arithmetic stub (payload
       truncated to ``len * max_px² // longest²`` bytes, dims from the
       metadata columns, ok always true): the engine of record for the

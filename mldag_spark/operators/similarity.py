@@ -675,6 +675,11 @@ def opq_train(
     the exact refine — is unchanged; only code assignment quality
     improves (objective non-increase pinned vs the R = I PQ
     baseline)."""
+    if iters < 1:
+        raise ValueError(
+            f"iters must be >= 1 (got {iters}); zero iterations would "
+            "train no codebooks at all"
+        )
     X = _collect_training_matrix(corpus, vec_col)
     _require_training_rows(len(X), ksub, "ksub")
     dim = X.shape[1]

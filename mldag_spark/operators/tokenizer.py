@@ -147,33 +147,171 @@ def _materialize_vocab(enc: DataFrame) -> DataFrame:
     return enc.localCheckpoint(eager=True)
 
 
+# The local trainer collects the symbolized vocabulary ONCE; the cap
+# makes an uncapped-vocab misuse an ERROR (the bounded-collect law —
+# operators/similarity.py `_collect_bounded`), not a driver OOM.
+# Production tokenizer vocabs are ~10^5 words (top_words-capped by the
+# same sample-bounded-training contract the quantizers follow), far
+# under this.
+_LOCAL_VOCAB_CAP = 1 << 20
+
+
+def _local_merge_loop(
+    words: list[list[str]], counts: list[int], n_merges: int
+) -> list[Merge]:
+    """Driver-side BPE merge loop over an in-memory vocabulary —
+    BIT-IDENTICAL to the distributed argmax/replace loop (pinned by
+    test at n_merges >= 64) but paying zero Spark job latency per
+    merge. Incremental statistics in the Sennrich reference-
+    implementation shape: a pair -> count table, a pair -> word index
+    so each merge touches only the words that CONTAIN the pair, and a
+    lazy-invalidation heap ordered (count desc, l, r) — the exact
+    (c DESC, l, r) argmax/tie-break of the distributed path (symbols
+    are ASCII, so Python's and Spark's orderings agree). The rewrite
+    is the same greedy leftmost-non-overlapping scan ``F.replace``
+    performs on the delimited encoding. Amortized cost per merge is
+    O(touched words · their length + log #pairs) instead of a
+    vocab-sized Spark job."""
+    import heapq
+    from collections import Counter, defaultdict
+
+    stats: Counter = Counter()
+    indices: defaultdict = defaultdict(Counter)
+    for wi, (syms, cnt) in enumerate(zip(words, counts)):
+        for pair in zip(syms, syms[1:]):
+            stats[pair] += cnt
+            indices[pair][wi] += 1
+    heap = [(-c, l, r) for (l, r), c in stats.items()]
+    heapq.heapify(heap)
+    merges: list[Merge] = []
+    for rank in range(1, n_merges + 1):
+        # pop stale entries (count changed since push) until the top
+        # of the heap matches the live table — classic lazy deletion
+        while heap:
+            negc, l, r = heap[0]
+            cur = stats.get((l, r), 0)
+            if cur == -negc and cur > 0:
+                break
+            heapq.heappop(heap)
+            if cur > 0:
+                heapq.heappush(heap, (-cur, l, r))
+        if not heap:
+            break  # vocabulary fully merged — matches the empty-top break
+        negc, l, r = heapq.heappop(heap)
+        merges.append(Merge(rank, l, r, -negc))
+        pair = (l, r)
+        new_sym = l + r
+        touched: set = set()
+        for wi in list(indices[pair]):
+            syms = words[wi]
+            cnt = counts[wi]
+            for p in zip(syms, syms[1:]):
+                stats[p] -= cnt
+            out: list[str] = []
+            i, n = 0, len(syms)
+            while i < n:  # greedy leftmost non-overlapping == replace
+                if i + 1 < n and syms[i] == l and syms[i + 1] == r:
+                    out.append(new_sym)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[wi] = out
+            for p in zip(out, out[1:]):
+                stats[p] += cnt
+                indices[p][wi] += 1
+                touched.add(p)
+        del indices[pair]
+        stats.pop(pair, None)
+        for p in touched:
+            c2 = stats.get(p, 0)
+            if c2 > 0:
+                heapq.heappush(heap, (-c2, p[0], p[1]))
+    return merges
+
+
+def _bpe_learn_local(
+    docs: DataFrame,
+    text_col: str,
+    n_merges: int,
+    top_words: Optional[int],
+) -> tuple[list[Merge], DataFrame]:
+    """Local trainer: ONE distributed corpus aggregate to the capped
+    (w, cnt) vocabulary, one bounded collect, then the in-memory merge
+    loop; the encoded vocabulary returns as a local DataFrame in the
+    same (s, cnt) delimited shape the distributed path produces."""
+    from mldag_spark.operators.similarity import _collect_bounded
+
+    rows = _collect_bounded(
+        word_vocab(docs, text_col, top_words),
+        top_words if top_words is not None else _LOCAL_VOCAB_CAP,
+        "BPE training vocabulary",
+    )
+    words = [list(r["w"]) for r in rows]
+    counts = [int(r["cnt"]) for r in rows]
+    merges = _local_merge_loop(words, counts, n_merges)
+    enc_rows = [
+        ("".join(SOH + s + EOT for s in syms), cnt)
+        for syms, cnt in zip(words, counts)
+    ]
+    enc = docs.sparkSession.createDataFrame(
+        enc_rows, "s string, cnt long"
+    )
+    return merges, enc
+
+
 def bpe_learn(
     docs: DataFrame,
     text_col: str = "text",
     n_merges: int = 6,
     top_words: Optional[int] = None,
     checkpoint_every: Optional[int] = CHECKPOINT_EVERY,
+    trainer: str = "auto",
 ) -> tuple[list[Merge], DataFrame]:
     """Learn ``n_merges`` BPE merges over the corpus; returns the
     ordered merge table and the final encoded vocabulary (s, cnt)
     with every merge applied.
 
-    The vocabulary is persisted ONCE; each learned merge appends one
-    literal JVM ``replace`` to the expression chain, and every
-    ``checkpoint_every`` merges the encoded vocabulary is materialized
-    (lineage cut — :func:`_materialize_vocab`) so the chain restarts
-    at depth 0. Iteration i therefore re-reads a vocab-sized snapshot
-    through at most ``checkpoint_every`` codegen replaces; per-merge
-    cost is vocab-bounded AND merge-count-invariant, so production
-    merge counts (thousands) change only the loop count. Per
-    iteration the only driver traffic is the 1-row argmax collect.
-    ``checkpoint_every=None`` disables batching (the chain grows one
-    replace per merge — test/debug only; results are bit-identical
-    either way, pinned by test)."""
+    ``trainer`` (r13, VERDICT r12 #1):
+
+    - ``"distributed"`` — the vocabulary is persisted ONCE; each
+      learned merge appends one literal JVM ``replace`` to the
+      expression chain, and every ``checkpoint_every`` merges the
+      encoded vocabulary is materialized (lineage cut —
+      :func:`_materialize_vocab`) so the chain restarts at depth 0.
+      Per-merge cost is vocab-bounded AND merge-count-invariant
+      (measured flat to 1,024 merges — SCALING.json
+      ``bpe_merge_axis``) — but the invariant is ~0.9 s of Spark JOB
+      LATENCY per merge, so 32k merges cost ~8 h of pure scheduler
+      overhead. The right path only when the vocabulary is UNCAPPED
+      (too large to collect).
+    - ``"local"`` — a ``top_words``-capped vocabulary is
+      closure-sized by the same sample-bounded-training contract the
+      PQ/IVF quantizers follow, so it is collected ONCE (bounded —
+      ``_LOCAL_VOCAB_CAP``) and the merge loop runs driver-side with
+      incremental pair statistics (:func:`_local_merge_loop`):
+      ~10k merges run in SECONDS instead of hours (SCALING.json
+      ``bpe_local_trainer``). Merges AND the returned encoded
+      vocabulary are bit-identical to the distributed path (pinned
+      by test at n_merges >= 64); the corpus-sized vocabulary
+      aggregate still runs distributed.
+    - ``"auto"`` (default) — ``"local"`` when ``top_words`` is set
+      (the production layout), else ``"distributed"``.
+
+    In the distributed path the only per-iteration driver traffic is
+    the 1-row argmax collect. ``checkpoint_every=None`` disables
+    chain batching (test/debug only; results are bit-identical either
+    way, pinned by test)."""
     if n_merges < 0:
         raise ValueError("n_merges must be >= 0")
     if checkpoint_every is not None and checkpoint_every < 1:
         raise ValueError("checkpoint_every must be >= 1 or None")
+    if trainer not in ("auto", "local", "distributed"):
+        raise ValueError(f"unknown trainer {trainer!r}")
+    if trainer == "auto":
+        trainer = "local" if top_words is not None else "distributed"
+    if trainer == "local":
+        return _bpe_learn_local(docs, text_col, n_merges, top_words)
     base = symbolize(word_vocab(docs, text_col, top_words)).persist()
     merges: list[Merge] = []
     enc = base

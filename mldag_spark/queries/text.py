@@ -3434,11 +3434,66 @@ _BPE_ENCODE_ORACLE = _bpe_oracle_ctes(_BPE_N) + f"""
     )
     SELECT d.doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_words,
-           CAST(SUM(v.n_toks) AS BIGINT) AS n_bpe_tokens
-    FROM docw d JOIN vocab_enc v USING (w)
+           CAST(SUM(v.n_toks) AS BIGINT) AS n_bpe_tokens,
+           CAST(COUNT(*) FILTER (WHERE v.n_toks IS NULL) AS BIGINT)
+               AS n_oov
+    FROM docw d LEFT JOIN vocab_enc v USING (w)
     WHERE d.w <> ''
     GROUP BY d.doc_id
 """
+
+
+def bpe_encode_docs_frame(
+    spark: SparkSession,
+    docs: DataFrame,
+    n_merges: int = 6,
+    top_words=None,
+) -> DataFrame:
+    """Per-document subword counts under a BPE tokenizer trained on
+    the same corpus — the composable half of ``text_bpe_encode_docs``
+    (exposed so callers can set ``top_words``).
+
+    Join layout (VERDICT r12 #3): when ``top_words`` caps the
+    vocabulary the vocab side is MODEL-sized by contract, so it
+    broadcasts — the 100 TB corpus side never sorts or shuffles for
+    the join (plan-pinned by test). Uncapped, the vocab is
+    corpus-derived and unbounded, so the join stays merge-hinted
+    (the garbage-estimate law: the vocab sits post-aggregate behind a
+    replace chain, where a broadcast mis-estimate would hang the
+    build inside broadcastTimeout).
+
+    OOV accounting (ADVICE r12 #4): the corpus joins LEFT so a capped
+    vocabulary degrades LOUDLY — every word still counts toward
+    ``n_words``, out-of-vocab words are tallied per document in
+    ``n_oov``, and ``n_bpe_tokens`` sums only in-vocab words (NULL if
+    a document is entirely OOV). The r12 inner join silently dropped
+    OOV words from BOTH counts."""
+    from mldag_spark.operators.tokenizer import bpe_learn, encoded_word_tokens
+
+    _merges, enc = bpe_learn(
+        docs, "text", n_merges=n_merges, top_words=top_words
+    )
+    vocab_toks = encoded_word_tokens(enc)
+    vt = (
+        F.broadcast(vocab_toks) if top_words is not None
+        else vocab_toks.hint("merge")
+    )
+    docw = docs.select(
+        "doc_id", F.explode(tokenize(F.col("text"))).alias("w")
+    ).filter(F.length("w") > 0)
+    return (
+        docw.join(vt, "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_toks").alias("n_bpe_tokens"),
+            F.sum(
+                F.when(F.col("n_toks").isNull(), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ).alias("n_oov"),
+        )
+    )
 
 
 @register("text_bpe_encode_docs", oracle=_BPE_ENCODE_ORACLE)
@@ -3452,23 +3507,10 @@ def text_bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_subwords) by stripping the symbol delimiters
     (``encoded_word_tokens``), and the corpus side does ONE equi join
     on the word plus a doc-keyed aggregate — no per-document replace
-    chain anywhere. The vocab side is post-aggregate
-    (garbage-estimate law: merge-hinted; with a ``top_words`` cap the
-    model-sized table could broadcast instead). The oracle replays
-    learning AND encoding per document."""
-    from mldag_spark.operators.tokenizer import bpe_learn, encoded_word_tokens
-
+    chain anywhere. See :func:`bpe_encode_docs_frame` for the join
+    layout (broadcast when capped, merge-hinted here) and the r13
+    LEFT-join OOV accounting, which the oracle replays (n_oov — all
+    zero at the uncapped gate, pinned non-vacuously for capped vocabs
+    by test)."""
     docs = load(spark, sf_dir, "documents")
-    _merges, enc = bpe_learn(docs, "text", n_merges=_BPE_N)
-    vocab_toks = encoded_word_tokens(enc)
-    docw = docs.select(
-        "doc_id", F.explode(tokenize(F.col("text"))).alias("w")
-    ).filter(F.length("w") > 0)
-    return (
-        docw.join(vocab_toks.hint("merge"), "w")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_words"),
-            F.sum("n_toks").alias("n_bpe_tokens"),
-        )
-    )
+    return bpe_encode_docs_frame(spark, docs, n_merges=_BPE_N)

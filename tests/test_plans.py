@@ -624,3 +624,21 @@ def test_pq_refine_join_broadcasts_candidates_not_corpus(spark, registry):
     plan = _plan(df)  # static formatted explain — no AQE marker to split
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_bpe_encode_capped_vocab_broadcasts(spark):
+    """VERDICT r12 #3: with top_words set, the vocab side of the
+    corpus-encoding join is model-sized by contract — it must
+    broadcast, and the exploded corpus side must never sort for the
+    join. Uncapped, the join stays merge (vocab is corpus-derived and
+    unbounded)."""
+    from mldag_spark.queries.tables import load
+    from mldag_spark.queries.text import bpe_encode_docs_frame
+
+    docs = load(spark, SF_DIR, "documents")
+    capped = _plan(bpe_encode_docs_frame(spark, docs, n_merges=2,
+                                         top_words=50))
+    assert "BroadcastHashJoin" in capped, capped
+    assert "SortMergeJoin" not in capped, capped
+    uncapped = _plan(bpe_encode_docs_frame(spark, docs, n_merges=2))
+    assert "SortMergeJoin" in uncapped, uncapped
