@@ -281,6 +281,15 @@ def ivf_topk(
     # Arrow batch of queries computes its n_probe nearest cells with
     # one vectorized distance matrix — no driver-side per-query loop,
     # so large query sets scale with the cluster.
+    #
+    # Broadcast layout (VERDICT r12 #7): the probe frame carries ONLY
+    # (query_id, cell) id pairs — 12 bytes each — and the query
+    # VECTORS broadcast once in a separate (query_id, qv) frame,
+    # instead of shipping each 8·dim-byte vector n_probe times inside
+    # the probe rows. Broadcast bytes drop ~n_probe× at production
+    # probe counts; results are identical (same cell candidate join,
+    # qv re-attached by query id — pinned by the exhaustive-probe ==
+    # brute-force test).
 
     def probe_kernel(batches):
         for pdf in batches:
@@ -294,7 +303,6 @@ def ivf_topk(
                     "query_id": np.repeat(
                         pdf["query_id"].to_numpy(), n_probe
                     ),
-                    "qv": [v for v in pdf["qv"] for _ in range(n_probe)],
                     "cell": cells.ravel().astype("int32"),
                 }
             )
@@ -302,13 +310,14 @@ def ivf_topk(
     qdf = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
     )
-    probes = qdf.mapInPandas(
-        probe_kernel, "query_id long, qv array<double>, cell int"
+    probe_pairs = qdf.mapInPandas(
+        probe_kernel, "query_id long, cell int"
     )
 
     sims = (
-        assigned.join(F.broadcast(probes), "cell")
+        assigned.join(F.broadcast(probe_pairs), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
+        .join(F.broadcast(qdf), "query_id")
         .select(
             "query_id",
             "neighbor_id",

@@ -104,7 +104,7 @@ def main() -> None:
         t = time.time()
         merges, _enc = bpe_learn(
             grams, "text", n_merges=n, top_words=TOP_WORDS,
-            checkpoint_every=K,
+            checkpoint_every=K, trainer="distributed",
         )
         w = round(time.time() - t, 3)
         out["batched"][str(n)] = {
@@ -118,7 +118,7 @@ def main() -> None:
         t = time.time()
         merges, _enc = bpe_learn(
             grams, "text", n_merges=n, top_words=TOP_WORDS,
-            checkpoint_every=None,
+            checkpoint_every=None, trainer="distributed",
         )
         w = round(time.time() - t, 3)
         out["unbatched"][str(n)] = {

@@ -2355,3 +2355,28 @@ def test_bpe_encode_docs_counts_oov_loudly(spark):
     assert out[1]["n_bpe_tokens"] is not None
     assert out[2]["n_words"] == 2 and out[2]["n_oov"] == 2
     assert out[2]["n_bpe_tokens"] is None
+
+
+def test_ivf_exhaustive_probe_equals_brute_force(spark, sf_dir):
+    """Results pin for the r13 probe-broadcast dedup (VERDICT r12 #7):
+    with n_probe == n_lists IVF scans every cell, so its output must
+    EQUAL exact brute force row-for-row — any drift in the new
+    (query_id, cell)-pairs + query-vector-map join layout would show
+    here."""
+    from mldag_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.limit(6)
+    exact = sorted(
+        tuple(r) for r in brute_force_topk(emb, queries, k=4).collect()
+    )
+    ivf = sorted(
+        tuple(r)
+        for r in ivf_topk(
+            emb, queries, k=4, n_lists=8, n_probe=8
+        ).collect()
+    )
+    assert ivf == exact
