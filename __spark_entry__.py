@@ -82,8 +82,35 @@ _GATE_ORDER = [
     # graph_pagerank_bipartite, text_bm25_topk.
     # The nine r11 debuts stay for their second gated round.
     #
+    # r13 rotation (the r12 #6 cadence: every entry's gate evidence
+    # stays <= 3 rounds old). The NINE r11 debuts bank after two green
+    # gated rounds (r11+r12), all staying under the continuous sf0.001
+    # sweep: text_bpe_merges, text_bpe_token_counts,
+    # text_decontaminate_bloom, stream_decontaminate_bloom,
+    # dedup_substring_spans, text_ngram_coverage_stats, text_pii_scrub,
+    # multimodal_image_decode, multimodal_video_decode.
+    # SEVEN of the oldest-evidence banked queries (last gated r9)
+    # re-admit, each re-verified hash-green at sf0.001 AND sf0.01 via
+    # scripts/check_oracle.py this session before entering (the
+    # standing norm): dag_sql_priority_topk, text_filter_funnel,
+    # corpus_bigram_coverage, text_top_terms,
+    # dedup_keep_representatives, pack_token_budget_batches,
+    # text_decontaminate_filter. Still banked from that cohort (next
+    # rotation's re-admit pool): embedding_near_dup_stats,
+    # text_boilerplate_chunks, link_fuzzy_part_names,
+    # dag_ml_standard_scaler.
+    # TWO r13 debuts enter debut-gated per the standing norm
+    # (hash-green at sf0.001 + sf0.01 before entering):
+    # dag_pipeline_clean_pack (the end-to-end clean→dedup→score→
+    # decontaminate→pack pipeline through the DAG engine) and
+    # multimodal_resize_native (the real decode→resize→re-encode→
+    # re-parse round trip). The three r12 debuts stay for their
+    # second gated round.
+    #
     # DAG engine (fit/transform through the scheduler)
     "dag_pipeline_priority_revenue",
+    "dag_sql_priority_topk",
+    "dag_pipeline_clean_pack",
     "dedup_semantic_clusters",
     "kmeans_embedding_clusters",
     "graph_pagerank_bipartite",
@@ -105,16 +132,17 @@ _GATE_ORDER = [
     # (hash-green at sf0.001 + sf0.01 via scripts/check_oracle.py
     # before entering); events_json_typed_agg banks after two green
     # gated rounds (r10-r11) — events keeps four window entries.
-    "text_bpe_merges",
-    "text_bpe_token_counts",
     "text_bpe_encode_docs",
     "text_unigram_logprob",
+    "text_filter_funnel",
+    "text_top_terms",
     "text_quality_score",
     "text_bigram_surprisal",
     "text_fingerprint",
     "text_bm25_topk",
     # Corpus statistics (r10: the four never-gated corpus ops)
     "corpus_idf_top_terms",
+    "corpus_bigram_coverage",
     # Decontamination — the summary-stats half rotates in; the filter
     # half banks after two green gated rounds.
     # r11 late rotation #3: the r11-NEW broadcast-bloom
@@ -143,8 +171,7 @@ _GATE_ORDER = [
     # dq_orphan_audit banks after two green gated rounds (r10-r11) —
     # dq keeps the lineitem expectations entry.
     "text_contamination_fraction",
-    "text_decontaminate_bloom",
-    "stream_decontaminate_bloom",
+    "text_decontaminate_filter",
     # Deduplication (jaccard/cluster-stats/keep-representatives bank
     # multi-round green; the LSH + components pins stay, the r9-new
     # pair ops keep their driver proof). r11: dedup_overlap_pairs
@@ -159,7 +186,6 @@ _GATE_ORDER = [
     # via scripts/check_oracle.py before entering)
     "dedup_minhash_lsh",
     "dedup_components",
-    "dedup_substring_spans",
     # r12 NEW: the REMOVAL half of substring dedup (Lee et al. cut the
     # spans out; detection alone cleans nothing) — cleaned TEXT
     # verified byte-for-byte. Debut-gated per the standing norm
@@ -171,14 +197,14 @@ _GATE_ORDER = [
     "text_remove_duplicate_spans",
     "dedup_ngram_jaccard",
     "dedup_cluster_stats",
+    "dedup_keep_representatives",
     # Repetition/PII quality passes (r11 NEW): Gopher coverage-form
     # n-gram rules + the byte-exact-verified PII redaction pass
-    "text_ngram_coverage_stats",
-    "text_pii_scrub",
     # Sampling / splits (r10: the four never-gated sampling patterns)
     "sample_deterministic_split",
     "sample_balanced_per_lang",
     "sample_weighted_mix",
+    "pack_token_budget_batches",
     # Similarity search / embeddings (r10: the three never-gated
     # embedding diagnostics rotate in). r11 late rotation #2:
     # embedding_near_dup_blocked banks after nine green gated rounds
@@ -198,15 +224,14 @@ _GATE_ORDER = [
     "multimodal_media_stats",
     "multimodal_resize_audit",
     "multimodal_audio_decode",
+    "multimodal_resize_native",
     # r11 NEW: real stdlib-PNG codec round-trip (encode + spec-correct
     # parse with CRC checks and all five filter types), debut-gated
-    "multimodal_image_decode",
     # r11 late rotation #2: the r11-NEW real YUV4MPEG2 video codec
     # round-trip (the LAST fake seam closed), debut-gated per the
     # standing norm; dq_column_profile banks after three green gated
     # rounds (r8-r10) to make room — the dq category stays covered by
     # the expectations + orphan-audit entries
-    "multimodal_video_decode",
     # Events (r10: the four never-gated event-series patterns join the
     # r9-rotated trio; MAD stays for driver proof of the r10 grouped-
     # median rewrite)

@@ -434,3 +434,177 @@ def dag_ml_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     run = dag.fit_transform(sf_dir)
     return run.outputs["quality_counts"]
+
+
+@register(
+    "dag_pipeline_clean_pack",
+    oracle="""
+    WITH cleaned AS (
+        SELECT doc_id,
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS clean
+        FROM documents
+    ), dedup AS (
+        SELECT doc_id, clean FROM (
+            SELECT doc_id, clean,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY md5(clean) ORDER BY doc_id
+                   ) AS rk
+            FROM cleaned
+        ) WHERE rk = 1
+    ), scored AS (
+        SELECT doc_id, clean,
+               len(string_split(clean, ' ')) AS n_tokens
+        FROM dedup
+        WHERE len(string_split(clean, ' ')) BETWEEN 5 AND 1000
+          AND CAST(len(list_distinct(string_split(clean, ' '))) AS DOUBLE)
+              / len(string_split(clean, ' ')) > 0.3
+    ), b AS (
+        SELECT doc_id, n_tokens, clean,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                 % 100 AS bucket
+        FROM scored
+    ), sh AS (
+        SELECT DISTINCT doc_id, bucket,
+               array_to_string(toks[u:u+4], ' ') AS s
+        FROM (SELECT doc_id, bucket,
+                     string_split(clean, ' ') AS toks
+              FROM b) t,
+             unnest(generate_series(1, len(toks) - 4)) AS g(u)
+    ), dirty AS (
+        SELECT tr.doc_id AS train_doc
+        FROM (SELECT * FROM sh WHERE bucket >= 90) te
+        JOIN (SELECT * FROM sh WHERE bucket < 80) tr USING (s)
+        GROUP BY te.doc_id, tr.doc_id
+        HAVING COUNT(*) >= 3
+    ), kept AS (
+        SELECT doc_id, n_tokens FROM b
+        WHERE bucket < 80
+          AND doc_id NOT IN (SELECT DISTINCT train_doc FROM dirty)
+    ), c AS (
+        SELECT doc_id, n_tokens,
+               CAST(SUM(n_tokens) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS global_cum
+        FROM kept
+    )
+    SELECT doc_id, n_tokens, global_cum,
+           CAST((global_cum - n_tokens) // 4096 AS INT) AS batch_id
+    FROM c
+    """,
+)
+def dag_pipeline_clean_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END training-data pipeline as ONE MLDag run (r13 —
+    VERDICT r12 #8, the north-star demo): every stage the registry
+    gates separately, composed through the DAG engine and
+    oracle-replayed end to end —
+
+        load → clean (normalize) → dedup (exact, keep min doc_id per
+        content hash) → score (length + lexical-diversity gate) →
+        decontaminate (drop train docs sharing >= 3 distinct 5-gram
+        shingles with the test split) → pack (4096-token batches via
+        the distributed prefix sum)
+
+    Output is the PACKED corpus: (doc_id, n_tokens, global_cum,
+    batch_id) per surviving document — the artifact a pre-training
+    run actually consumes.
+
+    Scale shape per stage: clean is map-only JVM; dedup shuffles the
+    md5 CONTENT HASH (never the text bytes) and keeps one row per
+    group via the ranking window; the quality gate is per-row codegen
+    (no shuffle); decontamination is the inverted-index equality join
+    of ``text_decontaminate_filter`` (merge-hinted both sides — the
+    sf10 broadcast-OOM lesson) with the contaminated-id set anti-
+    joined back broadcast; packing is the two-phase partition-offset
+    prefix sum of ``operators.packing`` (no single-task collapse).
+    Because every node hands its downstream a lazy DataFrame, Catalyst
+    fuses all six stages into one physical plan — the DAG boundary
+    costs nothing (``dag.explain(run)`` golden pins the composed
+    plan's node mapping)."""
+    dag = build_clean_pack_dag(spark)
+    run = dag.transform(sf_dir)
+    return run.outputs["packed_corpus"]
+
+
+def build_clean_pack_dag(spark: SparkSession):
+    """The six-node clean → dedup → score → decontaminate → pack DAG
+    behind ``dag_pipeline_clean_pack``, exposed so the physical-view
+    golden (tests/test_display.py) can explain the composed run."""
+    from pyspark.sql.window import Window
+
+    from mldag_spark.functions import normalize_text, shingle_rows
+    from mldag_spark.operators.packing import token_budget_batches
+    from mldag_spark.queries.text import _split_bucket
+
+    dag = m.MLDag()
+
+    def load_docs(sf_dir):
+        return load(spark, sf_dir, "documents")
+
+    def clean(docs):
+        return docs.select(
+            "doc_id", normalize_text(F.col("text")).alias("clean")
+        )
+
+    def dedup_exact(cleaned):
+        w = Window.partitionBy(F.md5(F.col("clean"))).orderBy("doc_id")
+        return (
+            cleaned.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .drop("_rk")
+        )
+
+    def quality_gate(deduped):
+        toks = F.split(F.col("clean"), " ")  # clean is pre-normalized
+        n = F.size(toks)
+        dr = F.size(F.array_distinct(toks)).cast("double") / n
+        return deduped.select(
+            "doc_id", "clean", n.alias("n_tokens")
+        ).filter(n.between(5, 1000) & (dr > 0.3))
+
+    def decontaminate(scored):
+        docs = scored.withColumn("bucket", _split_bucket())
+        sh = (
+            shingle_rows(
+                docs, "doc_id", "clean", 5,
+                carry=("bucket",), complete_only=True,
+            )
+            .select("doc_id", "bucket", F.col("shingle").alias("s"))
+            .distinct()
+        )
+        test = sh.filter(F.col("bucket") >= 90).select(
+            F.col("doc_id").alias("test_doc"), "s"
+        )
+        train = sh.filter(F.col("bucket") < 80).select(
+            F.col("doc_id").alias("train_doc"), "s"
+        )
+        dirty = (
+            test.hint("merge").join(train.hint("merge"), "s")
+            .groupBy("test_doc", "train_doc")
+            .agg(F.count(F.lit(1)).alias("shared"))
+            .filter(F.col("shared") >= 3)
+            .select(F.col("train_doc").alias("doc_id"))
+            .distinct()
+        )
+        return (
+            docs.filter(F.col("bucket") < 80)
+            .join(F.broadcast(dirty), "doc_id", "left_anti")
+            .select("doc_id", "n_tokens")
+        )
+
+    def pack(kept):
+        return token_budget_batches(
+            kept, "doc_id", "n_tokens", max_tokens=4096
+        ).withColumn("global_cum", F.col("global_cum").cast("long"))
+
+    pipe = (
+        dag["sf_dir"]
+        >> m.as_node(load_docs, name="docs_src")
+        >> m.as_node(clean, name="clean")
+        >> m.as_node(dedup_exact, name="dedup_exact")
+        >> m.as_node(quality_gate, name="quality_gate")
+        >> m.as_node(decontaminate, name="decontaminate")
+        >> m.as_node(pack, name="pack")
+    )
+    pipe["result"] >> dag["packed_corpus"]
+    return dag

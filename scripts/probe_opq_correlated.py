@@ -1,0 +1,176 @@
+#!/usr/bin/env python
+"""OPQ vs PQ on CORRELATED embeddings (VERDICT r12 #5).
+
+The r12 `opq_vs_pq` row measured the learned rotation on the repo's
+near-isotropic synthetic embeddings — a 4-8% objective gain at recall
+parity. OPQ's whole case (Ge et al. 2013 §4) is correlated
+dimensions: when variance concentrates in directions that straddle
+PQ's fixed subspace boundaries, independent sub-quantizers waste
+code points, and the learned rotation re-aligns the split.
+
+This probe manufactures that regime deterministically: the sf0.1
+embeddings are mixed through a FIXED ill-conditioned linear map
+M = U · diag(0.9^i) · Vᵀ (seeded orthogonals from QR of standard
+normals; condition number ≈ 0.9^-63 ≈ 760), which concentrates
+variance along rotated directions — exactly the correlated-dimension
+shape real text/image encoders emit. PQ (R = I) and OPQ then train on
+the same bounded sample of the MIXED corpus and are compared at the
+same (m, ksub, refine): recall@10 vs exact brute force on the mixed
+corpus, plus the quantization objective ||XR − q(XR)||².
+
+Usage: python scripts/probe_opq_correlated.py [--commit]
+Prints one JSON line; --commit merges an `opq_correlated` block into
+SCALING.json ann_operating_points.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+K = 10
+N_QUERIES = 10
+# (m, ksub, refine): refine=100 is the production slack point;
+# refine=10 (= k, zero slack) exposes raw ADC ranking quality — the
+# regime where a better-aligned codebook must show up as RECALL, not
+# just objective
+GRID = [(8, 16, 100), (8, 16, 10), (16, 16, 100), (16, 16, 10)]
+DECAY = 0.9
+SEED = 13
+
+
+def mixing_matrix(dim: int) -> np.ndarray:
+    rng = np.random.default_rng(SEED)
+    u, _ = np.linalg.qr(rng.standard_normal((dim, dim)))
+    v, _ = np.linalg.qr(rng.standard_normal((dim, dim)))
+    s = DECAY ** np.arange(dim)
+    return u @ np.diag(s) @ v.T
+
+
+def recall_at_k(approx_rows, truth: dict) -> float:
+    got: dict[int, set] = {}
+    for r in approx_rows:
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    return round(
+        sum(
+            len(got.get(q, set()) & ids) / len(ids)
+            for q, ids in truth.items()
+        ) / len(truth),
+        4,
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--commit", action="store_true")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession, functions as F
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.driver.memory", "8g")
+        .config("spark.ui.enabled", "false")
+        .appName("opq-correlated")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import pandas as pd
+
+    from mldag_spark.operators.similarity import (
+        _collect_training_matrix,
+        brute_force_topk_arrow,
+        opq_train,
+        pq_sq_error,
+        pq_topk,
+        pq_train,
+    )
+    from mldag_spark.queries.vectors import _train_sample
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    dim = len(emb.select("embedding").first()[0])
+    M = mixing_matrix(dim)
+
+    def mix(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(list(pdf["embedding"]), dtype=np.float64)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "embedding": list(np.round(X @ M, 6)),
+                }
+            )
+
+    mixed = emb.select("vec_id", "embedding").mapInPandas(
+        mix, "vec_id long, embedding array<double>"
+    ).persist()
+    n = mixed.count()
+    q = mixed.filter(F.col("vec_id") < N_QUERIES)
+
+    truth: dict[int, set] = {}
+    for r in brute_force_topk_arrow(mixed, q, k=K).collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    sample = _train_sample(mixed)
+    X = _collect_training_matrix(sample, "embedding")
+
+    out = {
+        "note": (
+            "fixed ill-conditioned mix M = U diag(0.9^i) V^T of the "
+            "sf0.1 embeddings (seed 13, cond ~760) — the correlated-"
+            "dimension regime OPQ exists for; same bounded training "
+            "sample, k=10, exact-refine scores; refine=10 (= k) is "
+            "the zero-slack point where ADC ranking quality becomes "
+            "recall"
+        ),
+        "corpus_rows": n,
+        "decay": DECAY,
+        "curves": {},
+    }
+    identity = np.eye(dim)
+    for m, ksub, refine in GRID:
+        books = pq_train(sample, m=m, ksub=ksub)
+        pq_rows = pq_topk(mixed, q, books, k=K, refine=refine).collect()
+        R, obooks = opq_train(sample, m=m, ksub=ksub)
+        opq_rows = pq_topk(
+            mixed, q, obooks, k=K, refine=refine, rotation=R
+        ).collect()
+        row = {
+            "pq_recall": recall_at_k(pq_rows, truth),
+            "opq_recall": recall_at_k(opq_rows, truth),
+            "pq_sq_err": round(pq_sq_error(X, identity, books), 5),
+            "opq_sq_err": round(pq_sq_error(X, R, obooks), 5),
+        }
+        row["err_reduction_pct"] = round(
+            100.0 * (1 - row["opq_sq_err"] / row["pq_sq_err"]), 1
+        )
+        out["curves"][f"m={m},ksub={ksub},refine={refine}"] = row
+        print(f"m={m},ksub={ksub},refine={refine}: {row}", file=sys.stderr)
+
+    print(json.dumps({"opq_correlated": out}))
+
+    if args.commit:
+        path = os.path.join(REPO, "SCALING.json")
+        with open(path) as f:
+            scaling = json.load(f)
+        scaling["ann_operating_points"]["opq_correlated"] = out
+        with open(path, "w") as f:
+            json.dump(scaling, f, indent=1)
+            f.write("\n")
+        print("committed to SCALING.json", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
