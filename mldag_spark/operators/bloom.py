@@ -118,8 +118,13 @@ def bloom_build(
         ).alias("p")
     )
     nbytes = m_bits // 8
+    # one plan->RDD conversion serves both the auto routing and the
+    # tree reduction width (code-review r13 finding #6)
+    n_parts = (
+        max(pos.rdd.getNumPartitions(), 1)
+        if merge in ("auto", "tree") else 1
+    )
     if merge == "auto":
-        n_parts = max(pos.rdd.getNumPartitions(), 1)
         merge = "tree" if n_parts * nbytes > tree_merge_threshold else "driver"
 
     if merge == "driver":
@@ -185,7 +190,7 @@ def bloom_build(
     # OR is associative/commutative, so any reduction tree yields the
     # same bitmap (bit-identity vs "driver" pinned by test); width
     # shrinks fanout× per level until one row per chunk remains
-    width = max(pos.rdd.getNumPartitions(), 1)
+    width = n_parts
     while width > 1:
         width = -(-width // _BLOOM_TREE_FANOUT)  # ceil-div
         partials = (

@@ -277,6 +277,15 @@ def extract_features_fitted(
     ok_feats = native.filter(
         F.col("ok") & F.col("features").isNotNull()
     )
+    if ok_feats.first() is None:
+        # name the actual cause instead of pca_fit's opaque
+        # "empty PCA fit input" (code-review r13 finding #2)
+        raise ValueError(
+            "extract_features(engine='fitted') found no decodable "
+            "payloads to fit on: every row came back ok=false from "
+            "the native decoders (PNG/WAV/Y4M) — the corpus is in a "
+            "format this environment cannot decode, or corrupt"
+        )
     mean, components, _eigvals = pca_fit(
         ok_feats, vec_col="features", r=dim
     )

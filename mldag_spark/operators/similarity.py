@@ -307,9 +307,15 @@ def ivf_topk(
                 }
             )
 
+    # materialize the query projection ONCE (eager localCheckpoint):
+    # it is read twice below (probe kernel + qv re-attach join), and a
+    # nondeterministic queries frame (unseeded sample, multi-partition
+    # limit) re-evaluated per scan could otherwise yield two different
+    # row sets — the join would silently drop queries (code-review r13
+    # finding #1)
     qdf = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
-    )
+    ).localCheckpoint(eager=True)
     probe_pairs = qdf.mapInPandas(
         probe_kernel, "query_id long, cell int"
     )

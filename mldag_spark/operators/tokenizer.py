@@ -205,8 +205,17 @@ def _local_merge_loop(
         for wi in list(indices[pair]):
             syms = words[wi]
             cnt = counts[wi]
+            # decrement postings in lockstep with the pair counts so
+            # posting lists hold exactly the words that CONTAIN each
+            # pair — without this, stale (pair -> word) entries
+            # accumulate for the whole run and late merges rescan
+            # long-gone words (code-review r13 finding #4)
             for p in zip(syms, syms[1:]):
                 stats[p] -= cnt
+                ic = indices[p]
+                ic[wi] -= 1
+                if ic[wi] <= 0:
+                    del ic[wi]
             out: list[str] = []
             i, n = 0, len(syms)
             while i < n:  # greedy leftmost non-overlapping == replace
@@ -221,7 +230,7 @@ def _local_merge_loop(
                 stats[p] += cnt
                 indices[p][wi] += 1
                 touched.add(p)
-        del indices[pair]
+        indices.pop(pair, None)
         stats.pop(pair, None)
         for p in touched:
             c2 = stats.get(p, 0)

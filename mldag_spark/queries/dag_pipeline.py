@@ -532,9 +532,12 @@ def build_clean_pack_dag(spark: SparkSession):
     golden (tests/test_display.py) can explain the composed run."""
     from pyspark.sql.window import Window
 
-    from mldag_spark.functions import normalize_text, shingle_rows
+    from mldag_spark.functions import normalize_text
     from mldag_spark.operators.packing import token_budget_batches
-    from mldag_spark.queries.text import _split_bucket
+    from mldag_spark.queries.text import (
+        _split_bucket,
+        contaminated_train_ids,
+    )
 
     dag = m.MLDag()
 
@@ -563,29 +566,12 @@ def build_clean_pack_dag(spark: SparkSession):
         ).filter(n.between(5, 1000) & (dr > 0.3))
 
     def decontaminate(scored):
+        # the contamination RULE (bucket split, shingle width,
+        # >= 3 shared) lives in contaminated_train_ids, shared with
+        # text_decontaminate_filter so the stage query and the
+        # composed pipeline cannot drift (code-review r13 #3)
         docs = scored.withColumn("bucket", _split_bucket())
-        sh = (
-            shingle_rows(
-                docs, "doc_id", "clean", 5,
-                carry=("bucket",), complete_only=True,
-            )
-            .select("doc_id", "bucket", F.col("shingle").alias("s"))
-            .distinct()
-        )
-        test = sh.filter(F.col("bucket") >= 90).select(
-            F.col("doc_id").alias("test_doc"), "s"
-        )
-        train = sh.filter(F.col("bucket") < 80).select(
-            F.col("doc_id").alias("train_doc"), "s"
-        )
-        dirty = (
-            test.hint("merge").join(train.hint("merge"), "s")
-            .groupBy("test_doc", "train_doc")
-            .agg(F.count(F.lit(1)).alias("shared"))
-            .filter(F.col("shared") >= 3)
-            .select(F.col("train_doc").alias("doc_id"))
-            .distinct()
-        )
+        dirty = contaminated_train_ids(docs, text_col="clean")
         return (
             docs.filter(F.col("bucket") < 80)
             .join(F.broadcast(dirty), "doc_id", "left_anti")

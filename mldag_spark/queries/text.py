@@ -1049,6 +1049,47 @@ _DECON_ORACLE = """
 """
 
 
+def contaminated_train_ids(
+    docs_bucketed: DataFrame,
+    text_col: str = "text",
+    k: int = 5,
+    min_shared: int = 3,
+) -> DataFrame:
+    """(doc_id) — the train-bucket documents sharing >= ``min_shared``
+    distinct ``k``-gram shingles with ANY test-bucket document. The
+    decontamination CONTRACT in one place (code-review r13 #3):
+    ``text_decontaminate_filter`` and the end-to-end pipeline DAG
+    (``dag_pipeline_clean_pack``) both call this, so the bucket
+    thresholds / shingle width / shared-count rule cannot drift
+    between the stage query and the composed pipeline. Expects a
+    ``bucket`` column (``_split_bucket``). Plan: one inverted-index
+    equality join between the two split projections of one shingle
+    build (never test × train pairs), merge-hinted both sides — the
+    sf10 broadcast-OOM lesson (see contamination_check)."""
+    from mldag_spark.functions import shingle_rows
+
+    sh = (
+        shingle_rows(docs_bucketed, "doc_id", text_col, k,
+                     carry=("bucket",), complete_only=True)
+        .select("doc_id", "bucket", F.col("shingle").alias("s"))
+        .distinct()
+    )
+    test = sh.filter(F.col("bucket") >= 90).select(
+        F.col("doc_id").alias("test_doc"), "s"
+    )
+    train = sh.filter(F.col("bucket") < 80).select(
+        F.col("doc_id").alias("train_doc"), "s"
+    )
+    return (
+        test.hint("merge").join(train.hint("merge"), "s")
+        .groupBy("test_doc", "train_doc")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+        .select(F.col("train_doc").alias("doc_id"))
+        .distinct()
+    )
+
+
 @register("text_decontaminate_filter", oracle=_DECON_ORACLE)
 def text_decontaminate_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontaminated TRAIN split — the filter half of
@@ -1068,40 +1109,15 @@ def text_decontaminate_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     the anti join's right side is the contaminated-id set (small by
     construction), broadcastable; the shingle join is the same
     df-driven fan-out as the check, MinHash-prescreened in production
-    (see the check's docstring)."""
-    from mldag_spark.functions import shingle_rows
-
+    (see the check's docstring). The contamination rule itself lives
+    in :func:`contaminated_train_ids`, shared with the end-to-end
+    pipeline DAG."""
     d = load(spark, sf_dir, "documents")
     docs = d.withColumn("bucket", _split_bucket())
-    sh = (
-        shingle_rows(docs, "doc_id", "text", 5,
-                     carry=("bucket",), complete_only=True)
-        .select("doc_id", "bucket", F.col("shingle").alias("s"))
-        .distinct()
-    )
-    test = sh.filter(F.col("bucket") >= 90).select(
-        F.col("doc_id").alias("test_doc"), "s"
-    )
-    train = sh.filter(F.col("bucket") < 80).select(
-        F.col("doc_id").alias("train_doc"), "s"
-    )
-    dirty = (
-        # merge hints: same sf10 broadcast-OOM class as the check (see
-        # contamination_check's pairs join)
-        test.hint("merge").join(train.hint("merge"), "s")
-        .groupBy("test_doc", "train_doc")
-        .agg(F.count(F.lit(1)).alias("shared"))
-        .filter(F.col("shared") >= 3)
-        .select("train_doc")
-        .distinct()
-    )
+    dirty = contaminated_train_ids(docs)
     return (
         docs.filter(F.col("bucket") < 80)
-        .join(
-            dirty.withColumnRenamed("train_doc", "doc_id"),
-            "doc_id",
-            "left_anti",
-        )
+        .join(dirty, "doc_id", "left_anti")
         .select("doc_id", "source", "n_chars")
     )
 
@@ -3444,7 +3460,6 @@ _BPE_ENCODE_ORACLE = _bpe_oracle_ctes(_BPE_N) + f"""
 
 
 def bpe_encode_docs_frame(
-    spark: SparkSession,
     docs: DataFrame,
     n_merges: int = 6,
     top_words=None,
@@ -3513,4 +3528,4 @@ def text_bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero at the uncapped gate, pinned non-vacuously for capped vocabs
     by test)."""
     docs = load(spark, sf_dir, "documents")
-    return bpe_encode_docs_frame(spark, docs, n_merges=_BPE_N)
+    return bpe_encode_docs_frame(docs, n_merges=_BPE_N)

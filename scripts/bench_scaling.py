@@ -127,6 +127,11 @@ QUERIES = (
     "text_bpe_encode_docs",
     # r12 new op: overlap-fraction contamination score
     "text_contamination_fraction",
+    # r13 new ops: the end-to-end clean->dedup->score->decontaminate->
+    # pack pipeline through the DAG engine, and the real
+    # decode->resize->re-encode->re-parse round trip
+    "dag_pipeline_clean_pack",
+    "multimodal_resize_native",
 )
 
 # VERDICT r6 #6: every scale row now gets a 30x datapoint (was 12/26)
@@ -200,6 +205,8 @@ SF3_QUERIES = (
     "text_remove_duplicate_spans",
     "text_bpe_encode_docs",
     "text_contamination_fraction",
+    "dag_pipeline_clean_pack",
+    "multimodal_resize_native",
 )
 
 SF_SMALL = "/root/testdata/sf0.1"
@@ -228,6 +235,10 @@ SF10_QUERIES = (
     "text_remove_duplicate_spans",
     "text_bpe_encode_docs",
     "text_contamination_fraction",
+    # r13 new op: the composed pipeline rides the decontamination
+    # shingle join (its heaviest stage) — complete its column set at
+    # 100x like its stage queries
+    "dag_pipeline_clean_pack",
 )
 
 
@@ -698,6 +709,21 @@ SF3_DIAGNOSES_RAW = {
         "shuffle is the distinct on HIT rows (contamination-sized). "
         "Growth is the two linear shingle scans."
     ),
+    "dag_pipeline_clean_pack": (
+        "six fused stages: normalize (map-only), exact dedup (ONE "
+        "md5-content-hash shuffle + ranking window — text bytes never "
+        "shuffle), per-row quality gate, the decontamination shingle "
+        "equi join (merge-hinted, the filter query's plan) with a "
+        "broadcast anti join back, and the two-phase prefix-sum pack "
+        "— growth tracks the decontamination stage, corpus-linear."
+    ),
+    "multimodal_resize_native": (
+        "encode -> CRC-checked decode -> integer-exact NN downsample "
+        "-> stdlib re-encode -> re-parse is a per-row Arrow pipeline "
+        "with NO Exchange; growth is per-row zlib+filter work, "
+        "rows-linear (the image-decode row's shape plus the encode "
+        "side)."
+    ),
 }
 
 SF10_SESSION = (
@@ -1058,6 +1084,13 @@ SF10_DIAGNOSES_RAW = {
         "containment at 100x: shares the df_cap=64 overlap front "
         "half (join work <= 32x element rows) plus totals joins "
         "against the pruned pair set."
+    ),
+    "dag_pipeline_clean_pack": (
+        "the composed pipeline at 100x: wall rides the "
+        "decontamination shingle join (same merge-hinted plan the "
+        "filter query measured at sf10) plus one content-hash dedup "
+        "shuffle and the prefix-sum pack — each stage corpus-linear, "
+        "no stage pairwise."
     ),
 }
 

@@ -801,3 +801,20 @@ def test_fitted_featurizer_matches_numpy_and_partitioning(spark):
             assert out2[mid] is None
         else:
             assert out[mid]["features"] == out2[mid]
+
+
+def test_fitted_featurizer_names_the_cause_when_nothing_decodes(spark):
+    """code-review r13 #2: a corpus whose payloads all fail the native
+    decoders must produce a clear fitted-engine error naming the
+    cause, not pca_fit's opaque 'empty PCA fit input'."""
+    import pytest
+
+    from mldag_spark.operators.multimodal import extract_features
+
+    media = spark.createDataFrame(
+        [(1, "image/png", bytearray(b"not a png")),
+         (2, "image/png", bytearray(b"junk"))],
+        "media_id long, mime string, payload binary",
+    )
+    with pytest.raises(ValueError, match="no decodable payloads"):
+        extract_features(media, dim=4, engine="fitted")

@@ -2348,7 +2348,7 @@ def test_bpe_encode_docs_counts_oov_loudly(spark):
     out = {
         r["doc_id"]: r
         for r in bpe_encode_docs_frame(
-            spark, docs, n_merges=1, top_words=2
+            docs, n_merges=1, top_words=2
         ).collect()
     }
     assert out[1]["n_words"] == 4 and out[1]["n_oov"] == 1

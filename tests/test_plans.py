@@ -636,9 +636,8 @@ def test_bpe_encode_capped_vocab_broadcasts(spark):
     from mldag_spark.queries.text import bpe_encode_docs_frame
 
     docs = load(spark, SF_DIR, "documents")
-    capped = _plan(bpe_encode_docs_frame(spark, docs, n_merges=2,
-                                         top_words=50))
+    capped = _plan(bpe_encode_docs_frame(docs, n_merges=2, top_words=50))
     assert "BroadcastHashJoin" in capped, capped
     assert "SortMergeJoin" not in capped, capped
-    uncapped = _plan(bpe_encode_docs_frame(spark, docs, n_merges=2))
+    uncapped = _plan(bpe_encode_docs_frame(docs, n_merges=2))
     assert "SortMergeJoin" in uncapped, uncapped
