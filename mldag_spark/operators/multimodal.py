@@ -241,6 +241,7 @@ def extract_features_fitted(
     dim: int = 8,
     native_dim: Optional[int] = None,
     batch_hint: Optional[int] = None,
+    native: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Corpus-FITTED featurization (r13, VERDICT r12 #4): real
     decode-based signal features (:func:`_native_features`, at
@@ -257,10 +258,13 @@ def extract_features_fitted(
     partition collected, O(d³) eigh driver-side), and the projection
     runs INSIDE the featurize kernel with the (native_dim × dim)
     model in the closure — map-only, no join, no shuffle anywhere.
-    The native decode necessarily runs twice (fit pass + project
-    pass); at 100 TB, persist the native-feature table and fit/
-    project against it instead (same two passes, decode paid once).
-    Corrupt payloads stay ok=false rows with null features.
+    The native decode runs twice (fit pass + project pass) unless a
+    precomputed ``native`` feature table is passed — the production
+    path (the PQ ``codes=`` / IVF ``assigned=`` artifact pattern):
+    write ``extract_features(engine="native", dim=native_dim)`` once,
+    pass it back, and the decode is paid once for both passes (must
+    have been produced at the SAME ``native_dim``; round-trip pinned
+    by test). Corrupt payloads stay ok=false rows with null features.
     Deterministic under any partitioning (pinned: partition-
     invariance + numpy-reference tests)."""
     import numpy as np
@@ -271,9 +275,13 @@ def extract_features_fitted(
     nd = native_dim if native_dim is not None else 4 * dim
     if not 1 <= dim <= nd:
         raise ValueError(f"dim must be in [1, native_dim={nd}]")
-    native = extract_features(
-        media, dim=nd, engine="native", batch_hint=batch_hint
-    )
+    if native is None:
+        native = extract_features(
+            media, dim=nd, engine="native", batch_hint=batch_hint
+        )
+    else:
+        native = native.select("media_id", "mime", "n_bytes",
+                               "features", "ok")
     ok_feats = native.filter(
         F.col("ok") & F.col("features").isNotNull()
     )

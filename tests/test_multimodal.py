@@ -818,3 +818,36 @@ def test_fitted_featurizer_names_the_cause_when_nothing_decodes(spark):
     )
     with pytest.raises(ValueError, match="no decodable payloads"):
         extract_features(media, dim=4, engine="fitted")
+
+
+def test_fitted_featurizer_artifact_roundtrip(tmp_path, spark):
+    """The production path: write the native feature table once, pass
+    it back as `native=` — identical output to the self-computed
+    path, decode paid once (the PQ codes= / IVF assigned= artifact
+    convention)."""
+    from mldag_spark.operators.multimodal import (
+        extract_features,
+        extract_features_fitted,
+        synthesize_png,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "tok%d " % i * (i + 4)) for i in range(25)],
+        "doc_id long, text string",
+    )
+    media = synthesize_png(docs, "doc_id", "text").select(
+        "media_id", F.lit("image/png").alias("mime"), "payload"
+    )
+    inline = {
+        r["media_id"]: r["features"]
+        for r in extract_features(media, dim=4, engine="fitted").collect()
+    }
+    path = str(tmp_path / "native_feats")
+    extract_features(media, dim=16, engine="native").write.parquet(path)
+    art = {
+        r["media_id"]: r["features"]
+        for r in extract_features_fitted(
+            media, dim=4, native=spark.read.parquet(path)
+        ).collect()
+    }
+    assert inline == art
