@@ -99,6 +99,11 @@ _GATE_ORDER = [
     # rotation's re-admit pool): embedding_near_dup_stats,
     # text_boilerplate_chunks, link_fuzzy_part_names,
     # dag_ml_standard_scaler.
+    # r13 late debut: stream_image_decode (streaming/batch parity
+    # for the codec path — shares multimodal_image_decode's oracle
+    # VERBATIM, the stream_decontaminate_bloom precedent), hash-green
+    # at sf0.001 + sf0.01 before entering; text_unigram_logprob banks
+    # after three green gated rounds (r10-r12) to make room.
     # TWO r13 debuts enter debut-gated per the standing norm
     # (hash-green at sf0.001 + sf0.01 before entering):
     # dag_pipeline_clean_pack (the end-to-end clean→dedup→score→
@@ -133,7 +138,6 @@ _GATE_ORDER = [
     # before entering); events_json_typed_agg banks after two green
     # gated rounds (r10-r11) — events keeps four window entries.
     "text_bpe_encode_docs",
-    "text_unigram_logprob",
     "text_filter_funnel",
     "text_top_terms",
     "text_quality_score",
@@ -214,6 +218,7 @@ _GATE_ORDER = [
     "embedding_centroid_distances",
     # Structured Streaming
     "stream_incremental_dedup",
+    "stream_image_decode",
     "stream_sliding_counts",
     # Multimodal (media_stats banks green r1-r9; the two never-gated
     # multimodal audits rotate in, plus the r10-NEW real-codec WAV

@@ -509,9 +509,11 @@ def dag_pipeline_clean_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch_id) per surviving document — the artifact a pre-training
     run actually consumes.
 
-    Scale shape per stage: clean is map-only JVM; dedup shuffles the
-    md5 CONTENT HASH (never the text bytes) and keeps one row per
-    group via the ranking window; the quality gate is per-row codegen
+    Scale shape per stage: clean is map-only JVM; dedup is ONE
+    corpus shuffle KEYED by the md5 content hash (the cleaned text
+    rides the exchange once — later stages consume it, so it must
+    move once under any formulation) with the ranking window
+    keeping one row per group; the quality gate is per-row codegen
     (no shuffle); decontamination is the inverted-index equality join
     of ``text_decontaminate_filter`` (merge-hinted both sides — the
     sf10 broadcast-OOM lesson) with the contaminated-id set anti-

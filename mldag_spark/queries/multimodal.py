@@ -320,9 +320,9 @@ def multimodal_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "multimodal_image_decode",
-    oracle="""
+# shared with the streaming twin (stream_image_decode) VERBATIM so
+# the two can never drift — the stream_decontaminate_bloom pattern
+IMAGE_DECODE_ORACLE = """
     SELECT doc_id AS media_id,
            TRUE AS ok,
            CAST(strlen(COALESCE(text, '')) % 64 + 16 AS INT) AS width,
@@ -331,8 +331,10 @@ def multimodal_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * (strlen(COALESCE(text, '')) % 48 + 16) AS BIGINT)
                AS n_pixels
     FROM documents
-    """,
-)
+    """
+
+
+@register("multimodal_image_decode", oracle=IMAGE_DECODE_ORACLE)
 def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image codec round-trip (r11, VERDICT r10 #5): synthesize
     genuine PNG containers from the documents table (stdlib zlib +

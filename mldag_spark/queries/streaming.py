@@ -405,3 +405,55 @@ from mldag_spark.queries import ORACLES as _ORACLES  # noqa: E402
 from mldag_spark.queries.text import _DECON_BLOOM_ORACLE as _DBO  # noqa: E402
 
 _ORACLES["stream_decontaminate_bloom"] = _DBO
+
+
+@register("stream_image_decode")  # oracle set below: shares the batch
+# image-decode query's oracle VERBATIM so the two can never drift
+
+
+def stream_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming media ingest + decode — the crawl shape for the
+    MULTIMODAL seam (r13): documents arrive as micro-batches, each
+    batch is synthesized into real PNG containers and parsed back by
+    the spec-correct stdlib reader inside ``foreachBatch``
+    (decode is decided per document, so any micro-batch slicing
+    computes identical rows), landing in the ``_mb_id``-idempotent
+    parquet sink. The result must equal the batch query, so it shares
+    ``multimodal_image_decode``'s oracle VERBATIM — streaming/batch
+    parity for the codec path, exactly like
+    ``stream_decontaminate_bloom`` did for decontamination. At 100 TB
+    this is the ingest-time decode audit: per-row Arrow work, no
+    shuffle, exactly-once sink commits per micro-batch."""
+    from mldag_spark.operators.multimodal import (
+        decode_image_stats,
+        synthesize_png,
+    )
+
+    work = _stream_workdir("stream_imgdec_")
+    out_path = f"{work}/stats"
+    S.map_stream_to_parquet(
+        S.documents_stream(spark, sf_dir),
+        lambda batch: decode_image_stats(
+            synthesize_png(batch, "doc_id", "text"), engine="stdlib"
+        ).selectExpr(
+            "cast(media_id as bigint) media_id",
+            "ok",
+            "cast(width as int) width",
+            "cast(height as int) height",
+            "cast(n_pixels as bigint) n_pixels",
+        ),
+        "media_id bigint, ok boolean, width int, height int, "
+        "n_pixels bigint",
+        out_path=out_path,
+        checkpoint=f"{work}/ckpt",
+    )
+    return spark.read.parquet(out_path).select(
+        "media_id", "ok", "width", "height", "n_pixels"
+    )
+
+
+from mldag_spark.queries.multimodal import (  # noqa: E402
+    IMAGE_DECODE_ORACLE as _IDO,
+)
+
+_ORACLES["stream_image_decode"] = _IDO

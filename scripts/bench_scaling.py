@@ -711,8 +711,8 @@ SF3_DIAGNOSES_RAW = {
     ),
     "dag_pipeline_clean_pack": (
         "six fused stages: normalize (map-only), exact dedup (ONE "
-        "md5-content-hash shuffle + ranking window — text bytes never "
-        "shuffle), per-row quality gate, the decontamination shingle "
+        "corpus shuffle keyed by the md5 content hash + ranking "
+        "window), per-row quality gate, the decontamination shingle "
         "equi join (merge-hinted, the filter query's plan) with a "
         "broadcast anti join back, and the two-phase prefix-sum pack "
         "— growth tracks the decontamination stage, corpus-linear."
