@@ -996,6 +996,7 @@ def ivfpq_train(
     m: int = 8,
     ksub: int = 16,
     seed: int = 42,
+    rotation: Optional[np.ndarray] = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Train (coarse centroids (n_lists, dim), residual PQ codebooks
     (m, ksub, dim/m)). The (bounded, sampled — see
@@ -1005,10 +1006,20 @@ def ivfpq_train(
     with the SAME argmin arithmetic the encode kernel uses, and each
     subspace gets an independent Lloyd over its residual slice. The
     whole model is (n_lists + ksub)·dim floats — closure-sized;
-    training cost is CONSTANT in corpus size because the sample is."""
+    training cost is CONSTANT in corpus size because the sample is.
+
+    ``rotation`` (r13): the learned OPQ rotation (:func:`opq_train`)
+    — the FAISS ``OPQ…,IVF…,PQ…`` composition: training, encoding,
+    and search all operate in the rotated space (pass the SAME
+    matrix to :func:`ivfpq_encode` / :func:`ivfpq_topk`). Orthonormal
+    rotations preserve cosine, so the exact refine is untouched;
+    only the subspace split quality improves on correlated
+    dimensions."""
     X = _collect_training_matrix(corpus, vec_col)
     _require_training_rows(len(X), n_lists, "n_lists")
     _require_training_rows(len(X), ksub, "ksub")
+    if rotation is not None:
+        X = X @ np.asarray(rotation, dtype=np.float64)
     dim = X.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
@@ -1031,17 +1042,21 @@ def _field_ddl(schema, name: str) -> str:
 
 
 def _residuals(
-    corpus: DataFrame, coarse: np.ndarray, vec_col: str
+    corpus: DataFrame, coarse: np.ndarray, vec_col: str,
+    rotation: Optional[np.ndarray] = None,
 ) -> DataFrame:
     """Map-only (original columns minus ``vec_col``, cell int,
-    _res array<double>): unit-normalize, assign the nearest coarse
-    centroid (one matmul per Arrow batch; ties to the lower cell
-    id), subtract it. The raw vector column is dropped IN the kernel
-    — encode ships m-byte codes, not 8·dim-byte doubles. The SAME
-    kernel serves train, encode, and any re-assignment, so the cell
-    arithmetic cannot drift between stages."""
+    _res array<double>): unit-normalize, optionally rotate (the OPQ
+    composition — one extra matmul per batch, the matrix rides the
+    closure), assign the nearest coarse centroid (one matmul per
+    Arrow batch; ties to the lower cell id), subtract it. The raw
+    vector column is dropped IN the kernel — encode ships m-byte
+    codes, not 8·dim-byte doubles. The SAME kernel serves train,
+    encode, and any re-assignment, so the cell arithmetic cannot
+    drift between stages."""
     cm = coarse.astype(np.float64)
     cn = (cm * cm).sum(axis=1)
+    R = None if rotation is None else np.asarray(rotation, dtype=np.float64)
 
     cols = [f.name for f in corpus.schema.fields if f.name != vec_col]
     out_schema = ", ".join(
@@ -1054,6 +1069,8 @@ def _residuals(
             if len(pdf) == 0:
                 continue
             X = np.array(list(pdf["_uv"]), dtype=np.float64)
+            if R is not None:
+                X = X @ R
             d = cn[None, :] - 2.0 * (X @ cm.T)
             cell = np.argmin(d, axis=1)
             res = X - cm[cell]
@@ -1071,11 +1088,14 @@ def ivfpq_encode(
     codebooks: np.ndarray,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    rotation: Optional[np.ndarray] = None,
 ) -> DataFrame:
     """(vec_id, cell, code binary): cell assignment + residual PQ
     codes, map-only (both models ride in closures, no shuffle, no
     model-table join — plan-pinned). m uint8 codes + an int cell id
-    per vector; at scale, write this ``partitionBy("cell")``."""
+    per vector; at scale, write this ``partitionBy("cell")``.
+    ``rotation``: the OPQ matrix the model was trained with (see
+    :func:`ivfpq_train`) — applied inside the residual kernel."""
     m, ksub, dsub = codebooks.shape
     if ksub > 256:
         raise ValueError("ksub must fit a uint8 code")
@@ -1102,7 +1122,7 @@ def ivfpq_encode(
             )
 
     named = corpus.select(F.col(id_col).alias("vec_id"), vec_col)
-    return _residuals(named, coarse, vec_col).select(
+    return _residuals(named, coarse, vec_col, rotation).select(
         "vec_id", "cell", "_res"
     ).mapInPandas(kernel, "vec_id long, cell int, code binary")
 
@@ -1118,8 +1138,16 @@ def ivfpq_topk(
     n_probe: int = 4,
     refine: int = 50,
     codes: Optional[DataFrame] = None,
+    rotation: Optional[np.ndarray] = None,
 ) -> DataFrame:
     """IVF-PQ approximate top-k with exact refine.
+
+    ``rotation`` (r13): the OPQ matrix the coarse/codebooks model was
+    trained with (:func:`ivfpq_train` ``rotation=``) — the FAISS
+    ``OPQ,IVF,PQ`` composition. Queries are rotated before cell
+    probing and LUT construction; codes must come from
+    :func:`ivfpq_encode` with the SAME matrix. The exact-cosine
+    refine is untouched (orthonormal rotations preserve cosine).
 
     The bounded query set is collected once; each query picks its
     ``n_probe`` nearest cells and precomputes one (m × ksub) ADC
@@ -1154,6 +1182,8 @@ def ivfpq_topk(
         raise ValueError("empty query set")
     qids = np.array([r["query_id"] for r in q], dtype=np.int64)
     Q = np.array([r["_uv"] for r in q], dtype=np.float64)
+    if rotation is not None:
+        Q = Q @ np.asarray(rotation, dtype=np.float64)
     dq = ((cm * cm).sum(axis=1)[None, :] - 2.0 * (Q @ cm.T))
     probed = np.argsort(dq, axis=1, kind="stable")[:, :n_probe]  # (n_q, p)
 
@@ -1184,7 +1214,9 @@ def ivfpq_topk(
 
     cells = sorted({int(c) for row in probed for c in row})
     if codes is None:
-        codes = ivfpq_encode(corpus, coarse, codebooks, id_col, vec_col)
+        codes = ivfpq_encode(
+            corpus, coarse, codebooks, id_col, vec_col, rotation
+        )
     codes = codes.select("vec_id", "cell", "code").filter(
         F.col("cell").isin(cells)
     )

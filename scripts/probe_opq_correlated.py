@@ -159,6 +159,28 @@ def main() -> None:
         out["curves"][f"m={m},ksub={ksub},refine={refine}"] = row
         print(f"m={m},ksub={ksub},refine={refine}: {row}", file=sys.stderr)
 
+    # the composed production index (FAISS OPQ,IVF,PQ — r13): does the
+    # rotation still pay once the coarse quantizer partitions the
+    # rotated space? Zero-slack refine, two probe widths.
+    from mldag_spark.operators.similarity import ivfpq_topk, ivfpq_train
+
+    R8, _books8 = opq_train(sample, m=8, ksub=16)
+    co_p, bo_p = ivfpq_train(sample, n_lists=16, m=8, ksub=16)
+    co_r, bo_r = ivfpq_train(sample, n_lists=16, m=8, ksub=16, rotation=R8)
+    out["ivfpq_composition"] = {}
+    for n_probe in (4, 16):
+        plain = recall_at_k(
+            ivfpq_topk(mixed, q, co_p, bo_p, k=K, n_probe=n_probe,
+                       refine=10).collect(), truth)
+        rotated = recall_at_k(
+            ivfpq_topk(mixed, q, co_r, bo_r, k=K, n_probe=n_probe,
+                       refine=10, rotation=R8).collect(), truth)
+        row = {"ivfpq_recall": plain, "opq_ivfpq_recall": rotated}
+        out["ivfpq_composition"][
+            f"n_lists=16,m=8,ksub=16,refine=10,n_probe={n_probe}"
+        ] = row
+        print(f"ivfpq n_probe={n_probe}: {row}", file=sys.stderr)
+
     print(json.dumps({"opq_correlated": out}))
 
     if args.commit:

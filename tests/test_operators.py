@@ -2380,3 +2380,63 @@ def test_ivf_exhaustive_probe_equals_brute_force(spark, sf_dir):
         ).collect()
     )
     assert ivf == exact
+
+
+def test_ivfpq_opq_composition(spark, sf_dir):
+    """r13: the FAISS OPQ,IVF,PQ composition — ivfpq_train/encode/topk
+    accept the learned rotation. Pins: (a) an identity rotation is a
+    no-op (bit-identical to the rotation-free path); (b) with the real
+    OPQ rotation the output contract holds (exact refined scores,
+    k rows per query, no self-matches) and the encode artifact
+    round-trips through the codes= path."""
+    import numpy as np
+
+    from mldag_spark.operators.similarity import (
+        ivfpq_encode,
+        ivfpq_topk,
+        ivfpq_train,
+        opq_train,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.limit(4)
+
+    coarse0, books0 = ivfpq_train(emb, n_lists=4, m=8, ksub=8)
+    base = sorted(
+        tuple(r) for r in ivfpq_topk(
+            emb, q, coarse0, books0, k=3, n_probe=4, refine=30
+        ).collect()
+    )
+    eye = np.eye(64)
+    coarse1, books1 = ivfpq_train(emb, n_lists=4, m=8, ksub=8, rotation=eye)
+    assert np.array_equal(coarse0, coarse1)
+    assert np.array_equal(books0, books1)
+    with_eye = sorted(
+        tuple(r) for r in ivfpq_topk(
+            emb, q, coarse1, books1, k=3, n_probe=4, refine=30,
+            rotation=eye,
+        ).collect()
+    )
+    assert with_eye == base
+
+    R, _pq_books = opq_train(emb, m=8, ksub=8, iters=4)
+    coarse2, books2 = ivfpq_train(emb, n_lists=4, m=8, ksub=8, rotation=R)
+    codes = ivfpq_encode(emb, coarse2, books2, rotation=R)
+    rows = ivfpq_topk(
+        emb, q, coarse2, books2, k=3, n_probe=4, refine=30,
+        codes=codes, rotation=R,
+    ).collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r)
+        assert r["neighbor_id"] != r["query_id"]
+        assert -1.0 <= r["cos"] <= 1.0  # exact refined cosine
+    assert all(len(v) == 3 for v in per_q.values())
+    # inline-encode path must equal the artifact path
+    inline = sorted(
+        tuple(r) for r in ivfpq_topk(
+            emb, q, coarse2, books2, k=3, n_probe=4, refine=30,
+            rotation=R,
+        ).collect()
+    )
+    assert inline == sorted(tuple(r) for r in rows)
