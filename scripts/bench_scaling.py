@@ -1090,7 +1090,10 @@ SF10_DIAGNOSES_RAW = {
         "decontamination shingle join (same merge-hinted plan the "
         "filter query measured at sf10) plus one content-hash dedup "
         "shuffle and the prefix-sum pack — each stage corpus-linear, "
-        "no stage pairwise."
+        "no stage pairwise; the headline ratio is inflated ~2x by "
+        "the half-core sf10 session (local[16] vs local[32], the "
+        "dedup_ngram_jaccard convention) — per core-unit-of-data "
+        "the plan is well inside the near-linear band."
     ),
 }
 

@@ -2440,3 +2440,35 @@ def test_ivfpq_opq_composition(spark, sf_dir):
         ).collect()
     )
     assert inline == sorted(tuple(r) for r in rows)
+
+
+def test_local_merge_loop_randomized_against_reference():
+    """Permanent randomized pin of the driver-side merge loop against
+    the textbook reference (_ref_bpe) — pure Python, no Spark: 40
+    random vocabularies x up-to-30 merges, merges AND final token
+    multisets must agree exactly (argmax tie-break, greedy rewrite,
+    posting-list pruning all under test)."""
+    import numpy as np
+
+    from mldag_spark.operators.tokenizer import _local_merge_loop
+
+    rng = np.random.RandomState(123)
+    alphabet = "abcd"
+    for _trial in range(40):
+        wc = {}
+        for _ in range(rng.randint(3, 15)):
+            w = "".join(
+                alphabet[i] for i in rng.randint(0, 4, rng.randint(1, 9))
+            )
+            wc[w] = wc.get(w, 0) + int(rng.randint(1, 5))
+        n = int(rng.randint(1, 31))
+        words = [list(w) for w in wc]
+        counts = [c for c in wc.values()]
+        merges = _local_merge_loop(words, counts, n)
+        ref_merges, ref_tokens = _ref_bpe(wc, n)
+        assert [(m.left, m.right, m.count) for m in merges] == ref_merges
+        got_tokens: dict = {}
+        for syms, c in zip(words, counts):
+            for s in syms:
+                got_tokens[s] = got_tokens.get(s, 0) + c
+        assert got_tokens == ref_tokens
