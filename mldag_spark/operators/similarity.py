@@ -1375,3 +1375,43 @@ def pca_project(
     return corpus.select(id_col, vec_col).mapInPandas(
         kernel, f"{id_ddl}, proj array<double>"
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN model artifacts (r13): the codes table ships to reliable storage
+# (partitionBy("cell") parquet — the IVF-PQ contract), but the MODEL
+# matrices (coarse centroids, codebooks, OPQ rotation) lived only in
+# driver memory, so a restart could silently pair codes with a
+# retrained model. These two functions round-trip any named set of
+# float64 arrays through a tiny DataFrame (one row per array: name,
+# shape, row-major data) — parquet doubles are IEEE-exact, so the
+# round-trip is BIT-identical (pinned by test) and the model travels
+# next to its codes.
+# ---------------------------------------------------------------------------
+
+
+def ann_model_to_df(spark, **arrays) -> DataFrame:
+    """Serialize named float64 ndarrays to a (name, shape, data)
+    DataFrame — write it parquet next to the codes artifact. Model
+    matrices are closure-sized by contract (a few KB), so the frame
+    is trivially small."""
+    rows = []
+    for name, arr in sorted(arrays.items()):
+        a = np.asarray(arr, dtype=np.float64)
+        rows.append((name, list(a.shape), a.ravel().tolist()))
+    return spark.createDataFrame(
+        rows, "name string, shape array<int>, data array<double>"
+    )
+
+
+def ann_model_from_df(df: DataFrame) -> dict:
+    """Load the :func:`ann_model_to_df` artifact back into
+    {name: ndarray} — bounded collect (a model frame is rows-per-array
+    small by construction; the cap catches a wrong-table mistake)."""
+    rows = _collect_bounded(df, 256, "ANN model artifact")
+    out = {}
+    for r in rows:
+        out[r["name"]] = np.array(
+            r["data"], dtype=np.float64
+        ).reshape(tuple(r["shape"]))
+    return out

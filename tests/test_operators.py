@@ -2472,3 +2472,43 @@ def test_local_merge_loop_randomized_against_reference():
             for s in syms:
                 got_tokens[s] = got_tokens.get(s, 0) + c
         assert got_tokens == ref_tokens
+
+
+def test_ann_model_artifact_roundtrip(tmp_path, spark, sf_dir):
+    """r13: model matrices (coarse, codebooks, OPQ rotation) round-trip
+    parquet BIT-identically and the reloaded model answers queries
+    identically — the model now travels next to its codes artifact
+    instead of living only in driver memory."""
+    import numpy as np
+
+    from mldag_spark.operators.similarity import (
+        ann_model_from_df,
+        ann_model_to_df,
+        ivfpq_encode,
+        ivfpq_topk,
+        ivfpq_train,
+        opq_train,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    R, _b = opq_train(emb, m=8, ksub=8, iters=3)
+    coarse, books = ivfpq_train(emb, n_lists=4, m=8, ksub=8, rotation=R)
+
+    path = str(tmp_path / "model")
+    ann_model_to_df(
+        spark, coarse=coarse, codebooks=books, rotation=R
+    ).write.parquet(path)
+    loaded = ann_model_from_df(spark.read.parquet(path))
+    assert np.array_equal(loaded["coarse"], coarse)
+    assert np.array_equal(loaded["codebooks"], books)
+    assert np.array_equal(loaded["rotation"], R)
+
+    q = emb.limit(3)
+    codes = ivfpq_encode(emb, coarse, books, rotation=R)
+    orig = sorted(tuple(r) for r in ivfpq_topk(
+        emb, q, coarse, books, k=3, n_probe=2, refine=20,
+        codes=codes, rotation=R).collect())
+    re = sorted(tuple(r) for r in ivfpq_topk(
+        emb, q, loaded["coarse"], loaded["codebooks"], k=3, n_probe=2,
+        refine=20, codes=codes, rotation=loaded["rotation"]).collect())
+    assert orig == re
