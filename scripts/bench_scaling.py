@@ -132,6 +132,8 @@ QUERIES = (
     # decode->resize->re-encode->re-parse round trip
     "dag_pipeline_clean_pack",
     "multimodal_resize_native",
+    # r13 late op: streaming/batch parity for the codec path
+    "stream_image_decode",
 )
 
 # VERDICT r6 #6: every scale row now gets a 30x datapoint (was 12/26)
@@ -207,6 +209,7 @@ SF3_QUERIES = (
     "text_contamination_fraction",
     "dag_pipeline_clean_pack",
     "multimodal_resize_native",
+    "stream_image_decode",
 )
 
 SF_SMALL = "/root/testdata/sf0.1"
@@ -723,6 +726,13 @@ SF3_DIAGNOSES_RAW = {
         "with NO Exchange; growth is per-row zlib+filter work, "
         "rows-linear (the image-decode row's shape plus the encode "
         "side)."
+    ),
+    "stream_image_decode": (
+        "the codec audit under the streaming runtime: per micro-batch "
+        "the same per-row Arrow synth+parse as the batch twin, plus "
+        "the foreachBatch exactly-once parquet commit — growth is "
+        "rows-linear decode work; sink-commit overhead amortizes as "
+        "batches grow (the stream_decontaminate_bloom shape)."
     ),
 }
 
