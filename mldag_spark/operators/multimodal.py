@@ -282,21 +282,38 @@ def extract_features_fitted(
     else:
         native = native.select("media_id", "mime", "n_bytes",
                                "features", "ok")
+        # a mismatched artifact would silently fit/project in the
+        # wrong dimension (code-review r13 late finding #2): check
+        # the artifact's actual feature width against native_dim —
+        # cheap here (a parquet first(), no decode)
+        probe = native.filter(
+            F.col("ok") & F.col("features").isNotNull()
+        ).first()
+        if probe is not None and len(probe["features"]) != nd:
+            raise ValueError(
+                f"native feature artifact has dim "
+                f"{len(probe['features'])} but native_dim={nd}; the "
+                "artifact must be produced at the same native_dim"
+            )
     ok_feats = native.filter(
         F.col("ok") & F.col("features").isNotNull()
     )
-    if ok_feats.first() is None:
-        # name the actual cause instead of pca_fit's opaque
-        # "empty PCA fit input" (code-review r13 finding #2)
+    try:
+        mean, components, _eigvals = pca_fit(
+            ok_feats, vec_col="features", r=dim
+        )
+    except ValueError as e:
+        if "empty PCA fit input" not in str(e):
+            raise
+        # name the actual cause instead of pca_fit's opaque message —
+        # and without a redundant pre-check Spark job on the success
+        # path (code-review r13 late finding #3)
         raise ValueError(
             "extract_features(engine='fitted') found no decodable "
             "payloads to fit on: every row came back ok=false from "
             "the native decoders (PNG/WAV/Y4M) — the corpus is in a "
             "format this environment cannot decode, or corrupt"
-        )
-    mean, components, _eigvals = pca_fit(
-        ok_feats, vec_col="features", r=dim
-    )
+        ) from None
     mu = np.asarray(mean, dtype=np.float64)
     V = np.asarray(components, dtype=np.float64)
 

@@ -77,6 +77,23 @@ def _collect_bounded(df: DataFrame, cap: int, what: str) -> list:
     return rows
 
 
+def _check_rotation(rotation, dim: int) -> Optional[np.ndarray]:
+    """Driver-side validation of an OPQ rotation (code-review r13
+    late finding #4): a truncated/transposed matrix would otherwise
+    silently redefine the model dimension (``X @ R`` succeeds, dim is
+    read from the ROTATED matrix) and train a valid-looking model in
+    the wrong space. Returns the float64 matrix, or None."""
+    if rotation is None:
+        return None
+    R = np.asarray(rotation, dtype=np.float64)
+    if R.shape != (dim, dim):
+        raise ValueError(
+            f"rotation must be ({dim}, {dim}) to match the vector "
+            f"dimension; got {R.shape}"
+        )
+    return R
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -763,7 +780,7 @@ def pq_encode(
         raise ValueError("ksub must fit a uint8 code")
     cb = codebooks.astype(np.float64)
     cn = (cb * cb).sum(axis=2)  # (m, ksub)
-    R = None if rotation is None else np.asarray(rotation, dtype=np.float64)
+    R = _check_rotation(rotation, m * dsub)
 
     def kernel(batches):
         for pdf in batches:
@@ -835,15 +852,21 @@ def pq_topk(
 
     q = _collect_bounded(
         _unit_normalized(queries, vec_col)
-        .select(F.col(id_col).alias("query_id"), "_uv"),
+        .select(
+            F.col(id_col).alias("query_id"), "_uv",
+            # raw vector collected alongside: the exact-refine tail
+            # reuses THIS row set instead of re-evaluating `queries`
+            _as_double(F.col(vec_col)).alias("_raw"),
+        ),
         _QUERY_COLLECT_CAP, "query set",
     )
     if not q:
         raise ValueError("empty query set")
     qids = np.array([r["query_id"] for r in q], dtype=np.int64)
     Q = np.array([r["_uv"] for r in q], dtype=np.float64)
-    if rotation is not None:
-        Q = Q @ np.asarray(rotation, dtype=np.float64)
+    R = _check_rotation(rotation, m * dsub)
+    if R is not None:
+        Q = Q @ R
     Qs = Q.reshape(len(q), m, dsub)
     # LUT[q, j, c] = ||q_j - c||² up to the per-query constant ||q_j||²
     # (constant per query → rank-free): -2·q_j·c + ||c||²
@@ -903,15 +926,15 @@ def pq_topk(
     )
 
     return _exact_refine(
-        cand, corpus, queries, id_col, vec_col, k,
-        max_candidates=refine * len(qids),
+        cand, corpus, [(r["query_id"], r["_raw"]) for r in q],
+        id_col, vec_col, k, max_candidates=refine * len(qids),
     )
 
 
 def _exact_refine(
     cand: DataFrame,
     corpus: DataFrame,
-    queries: DataFrame,
+    q_pairs: list,
     id_col: str,
     vec_col: str,
     k: int,
@@ -922,6 +945,15 @@ def _exact_refine(
     refine·|Q| rows move), TRUE cosine is computed (Arrow BLAS), and
     the ranking window emits exact-scored (query_id, neighbor_id,
     cos, rk) — approximate candidate set, exact reported scores.
+
+    ``q_pairs`` is the caller's ALREADY-COLLECTED [(query_id, raw
+    vector)] list — the refine must see exactly the row set the ADC
+    stage built its LUTs from, so the queries frame is never
+    re-evaluated here (a nondeterministic frame — unseeded sample,
+    multi-partition limit — would otherwise feed a different row set
+    to the qv re-attach join and silently drop or mis-score queries;
+    code-review r13 late finding #1, the shared-level fix of the
+    ivf_topk localCheckpoint issue).
 
     The candidate side is refine·|Q| rows BY CONSTRUCTION but sits
     behind a window over a mapInPandas stage — exactly the
@@ -946,9 +978,9 @@ def _exact_refine(
         [(r["query_id"], r["neighbor_id"]) for r in cand_rows],
         "query_id long, neighbor_id long",
     )
-    qdf = queries.select(
-        F.col(id_col).alias("query_id"),
-        _as_double(F.col(vec_col)).alias("qv"),
+    qdf = spark.createDataFrame(
+        [(int(qid), list(qv)) for qid, qv in q_pairs],
+        "query_id long, qv array<double>",
     )
     cvec = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -1018,8 +1050,9 @@ def ivfpq_train(
     X = _collect_training_matrix(corpus, vec_col)
     _require_training_rows(len(X), n_lists, "n_lists")
     _require_training_rows(len(X), ksub, "ksub")
+    rotation = _check_rotation(rotation, X.shape[1])
     if rotation is not None:
-        X = X @ np.asarray(rotation, dtype=np.float64)
+        X = X @ rotation
     dim = X.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
@@ -1056,7 +1089,7 @@ def _residuals(
     drift between stages."""
     cm = coarse.astype(np.float64)
     cn = (cm * cm).sum(axis=1)
-    R = None if rotation is None else np.asarray(rotation, dtype=np.float64)
+    R = _check_rotation(rotation, cm.shape[1])
 
     cols = [f.name for f in corpus.schema.fields if f.name != vec_col]
     out_schema = ", ".join(
@@ -1175,15 +1208,21 @@ def ivfpq_topk(
 
     q = _collect_bounded(
         _unit_normalized(queries, vec_col)
-        .select(F.col(id_col).alias("query_id"), "_uv"),
+        .select(
+            F.col(id_col).alias("query_id"), "_uv",
+            # raw vector collected alongside: the exact-refine tail
+            # reuses THIS row set instead of re-evaluating `queries`
+            _as_double(F.col(vec_col)).alias("_raw"),
+        ),
         _QUERY_COLLECT_CAP, "query set",
     )
     if not q:
         raise ValueError("empty query set")
     qids = np.array([r["query_id"] for r in q], dtype=np.int64)
     Q = np.array([r["_uv"] for r in q], dtype=np.float64)
+    rotation = _check_rotation(rotation, cm.shape[1])
     if rotation is not None:
-        Q = Q @ np.asarray(rotation, dtype=np.float64)
+        Q = Q @ rotation
     dq = ((cm * cm).sum(axis=1)[None, :] - 2.0 * (Q @ cm.T))
     probed = np.argsort(dq, axis=1, kind="stable")[:, :n_probe]  # (n_q, p)
 
@@ -1275,8 +1314,8 @@ def ivfpq_topk(
         .select("query_id", "neighbor_id")
     )
     return _exact_refine(
-        cand, corpus, queries, id_col, vec_col, k,
-        max_candidates=refine * len(qids),
+        cand, corpus, [(r["query_id"], r["_raw"]) for r in q],
+        id_col, vec_col, k, max_candidates=refine * len(qids),
     )
 
 

@@ -2512,3 +2512,59 @@ def test_ann_model_artifact_roundtrip(tmp_path, spark, sf_dir):
         emb, q, loaded["coarse"], loaded["codebooks"], k=3, n_probe=2,
         refine=20, codes=codes, rotation=loaded["rotation"]).collect())
     assert orig == re
+
+
+def test_rotation_shape_validated_everywhere(spark, sf_dir):
+    """code-review r13 late #4: a truncated/transposed rotation must
+    be a loud driver-side error in every rotation-accepting entry, not
+    a silently re-dimensioned model."""
+    import numpy as np
+    import pytest
+
+    from mldag_spark.operators.similarity import (
+        ivfpq_encode,
+        ivfpq_topk,
+        ivfpq_train,
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    bad = np.eye(64)[:, :32]
+    with pytest.raises(ValueError, match="rotation must be"):
+        ivfpq_train(emb, n_lists=4, m=8, ksub=8, rotation=bad)
+    books = pq_train(emb, m=8, ksub=8)
+    with pytest.raises(ValueError, match="rotation must be"):
+        pq_encode(emb, books, rotation=bad)
+    with pytest.raises(ValueError, match="rotation must be"):
+        pq_topk(emb, emb.limit(2), books, k=2, rotation=bad)
+    coarse, rbooks = ivfpq_train(emb, n_lists=4, m=8, ksub=8)
+    with pytest.raises(ValueError, match="rotation must be"):
+        ivfpq_encode(emb, coarse, rbooks, rotation=bad)
+    with pytest.raises(ValueError, match="rotation must be"):
+        ivfpq_topk(emb, emb.limit(2), coarse, rbooks, k=2, rotation=bad)
+
+
+def test_fitted_featurizer_rejects_mismatched_artifact(spark):
+    """code-review r13 late #2: a native-feature artifact written at a
+    different native_dim must be rejected loudly, never silently fit
+    in the wrong dimension."""
+    import pytest
+
+    from mldag_spark.operators.multimodal import (
+        extract_features,
+        extract_features_fitted,
+        synthesize_png,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "w%d " % i * (i + 5)) for i in range(12)],
+        "doc_id long, text string",
+    )
+    media = synthesize_png(docs, "doc_id", "text").select(
+        "media_id", F.lit("image/png").alias("mime"), "payload"
+    )
+    art8 = extract_features(media, dim=8, engine="native")
+    with pytest.raises(ValueError, match="must be produced at the same"):
+        extract_features_fitted(media, dim=4, native=art8)  # nd=16 != 8
