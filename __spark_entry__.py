@@ -104,6 +104,12 @@ _GATE_ORDER = [
     # VERBATIM, the stream_decontaminate_bloom precedent), hash-green
     # at sf0.001 + sf0.01 before entering; text_unigram_logprob banks
     # after three green gated rounds (r10-r12) to make room.
+    # r13 late debut #2: dedup_keep_best_quality (quality-AWARE
+    # cluster representative selection — keep the best member, not
+    # the first; selection verified non-vacuous vs min-id, 16 docs
+    # differ at sf0.001), hash-green at sf0.001 + sf0.01 before
+    # entering; corpus_idf_top_terms banks after three green gated
+    # rounds (r10-r12).
     # TWO r13 debuts enter debut-gated per the standing norm
     # (hash-green at sf0.001 + sf0.01 before entering):
     # dag_pipeline_clean_pack (the end-to-end clean→dedup→score→
@@ -145,7 +151,6 @@ _GATE_ORDER = [
     "text_fingerprint",
     "text_bm25_topk",
     # Corpus statistics (r10: the four never-gated corpus ops)
-    "corpus_idf_top_terms",
     "corpus_bigram_coverage",
     # Decontamination — the summary-stats half rotates in; the filter
     # half banks after two green gated rounds.
@@ -202,6 +207,7 @@ _GATE_ORDER = [
     "dedup_ngram_jaccard",
     "dedup_cluster_stats",
     "dedup_keep_representatives",
+    "dedup_keep_best_quality",
     # Repetition/PII quality passes (r11 NEW): Gopher coverage-form
     # n-gram rules + the byte-exact-verified PII redaction pass
     # Sampling / splits (r10: the four never-gated sampling patterns)

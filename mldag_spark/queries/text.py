@@ -583,6 +583,82 @@ def dedup_keep_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_keep_best_quality",
+    oracle=f"""
+    WITH RECURSIVE {_COMPONENTS_ORACLE_BODY}
+    , q AS (
+        SELECT doc_id,
+               CAST(len(list_distinct(string_split(trim(regexp_replace(
+                        lower(text), '\\s+', ' ', 'g')), ' '))) AS DOUBLE)
+               / len(string_split(trim(regexp_replace(
+                        lower(text), '\\s+', ' ', 'g')), ' ')) AS qs
+        FROM documents
+    ), best AS (
+        SELECT node FROM (
+            SELECT l.node,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY l.component
+                       ORDER BY q.qs DESC, l.node
+                   ) AS rk
+            FROM labels l JOIN q ON q.doc_id = l.node
+        ) WHERE rk = 1
+    )
+    SELECT d.doc_id, d.n_chars, ROUND(q.qs, 4) AS kept_quality
+    FROM documents d
+    JOIN q ON q.doc_id = d.doc_id
+    WHERE d.doc_id NOT IN (SELECT node FROM labels)
+       OR d.doc_id IN (SELECT node FROM best)
+    """,
+)
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-AWARE dedup materialization (r13): keep the
+    highest-quality member of each duplicate cluster — the
+    RefinedWeb/Gopher refinement of ``dedup_keep_representatives``,
+    which keeps the FIRST (min doc_id) member. "First seen" is an
+    accident of crawl order; production pipelines keep the best copy
+    (here: lexical diversity = distinct-token ratio, ties to the
+    lower doc_id — deterministic and engine-exact, the ratio is a
+    small-integer division both engines compute identically).
+
+    Plan shape: the exact prefix-filtered pair miner + Large-Star/
+    Small-Star closure (both existing, candidate-bounded), ONE
+    broadcast join of the (tiny by the dedup-rate law) cluster-member
+    set against per-doc quality, a per-component ranking window over
+    member rows only (cluster-sized, never corpus-sized), and a
+    broadcast anti join of the losers against documents — every
+    corpus-sized stage is linear; only cluster members pay the
+    quality ranking."""
+    from mldag_spark.operators.dedup import connected_components
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir)
+    labels = connected_components(pairs, "doc_a", "doc_b")
+    d = load(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    quality = d.select(
+        "doc_id",
+        (
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+        ).alias("qs"),
+    )
+    members = labels.join(
+        quality, labels["node"] == quality["doc_id"]
+    ).select("node", "component", "qs")
+    w = Window.partitionBy("component").orderBy(
+        F.desc("qs"), F.asc("node")
+    )
+    losers = (
+        members.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") > 1)
+        .select(F.col("node").alias("doc_id"))
+    )
+    return (
+        d.join(F.broadcast(losers), "doc_id", "left_anti")
+        .join(quality, "doc_id")
+        .select("doc_id", "n_chars", F.round("qs", 4).alias("kept_quality"))
+    )
+
+
+@register(
     "text_top_terms",
     oracle="""
     WITH toks AS (
