@@ -305,7 +305,13 @@ def bpe_learn(
       by test at n_merges >= 64); the corpus-sized vocabulary
       aggregate still runs distributed.
     - ``"auto"`` (default) — ``"local"`` when ``top_words`` is set
-      (the production layout), else ``"distributed"``.
+      (capped == closure-sized BY CONTRACT, no measurement needed);
+      otherwise the vocabulary is MEASURED first (one cheap COUNT
+      aggregate — the corpus pass runs for training either way) and
+      the local path is taken iff it fits ``_LOCAL_VOCAB_CAP``. Only
+      a vocabulary that is actually unbounded pays the distributed
+      loop's per-merge job latency; results are bit-identical on
+      either path (pinned), so routing never changes answers.
 
     In the distributed path the only per-iteration driver traffic is
     the 1-row argmax collect. ``checkpoint_every=None`` disables
@@ -318,7 +324,20 @@ def bpe_learn(
     if trainer not in ("auto", "local", "distributed"):
         raise ValueError(f"unknown trainer {trainer!r}")
     if trainer == "auto":
-        trainer = "local" if top_words is not None else "distributed"
+        if top_words is not None:
+            trainer = "local"
+        else:
+            # a COUNT respects the bounded-collect law (it pulls one
+            # number, not rows); limit(cap+1) bounds even the count's
+            # work for genuinely huge vocabularies
+            measured = (
+                word_vocab(docs, text_col)
+                .limit(_LOCAL_VOCAB_CAP + 1)
+                .count()
+            )
+            trainer = (
+                "local" if measured <= _LOCAL_VOCAB_CAP else "distributed"
+            )
     if trainer == "local":
         return _bpe_learn_local(docs, text_col, n_merges, top_words)
     base = symbolize(word_vocab(docs, text_col, top_words)).persist()

@@ -1694,8 +1694,14 @@ def test_bpe_checkpoint_batching_is_bit_identical(spark):
 
     wc = {"aaaaa": 3, "ab": 5, "cd": 5, "abab": 2, "abcd": 1, "bcbc": 2}
     docs = _bpe_docs(spark, wc)
-    m_batched, enc_batched = bpe_learn(docs, n_merges=9, checkpoint_every=2)
-    m_plain, enc_plain = bpe_learn(docs, n_merges=9, checkpoint_every=None)
+    # the chain under test is the DISTRIBUTED one (auto would route
+    # this tiny vocab to the local trainer since r13)
+    m_batched, enc_batched = bpe_learn(
+        docs, n_merges=9, checkpoint_every=2, trainer="distributed"
+    )
+    m_plain, enc_plain = bpe_learn(
+        docs, n_merges=9, checkpoint_every=None, trainer="distributed"
+    )
     assert m_batched == m_plain
     rows_b = sorted((r["s"], r["cnt"]) for r in enc_batched.collect())
     rows_p = sorted((r["s"], r["cnt"]) for r in enc_plain.collect())
@@ -1720,10 +1726,14 @@ def test_bpe_checkpoint_bounds_plan_depth(spark):
         plan = df._jdf.queryExecution().analyzed().toString()
         return len(re.findall(r"(?<![a-z_])replace\(", plan))
 
-    _m, enc = bpe_learn(docs, n_merges=8, checkpoint_every=3)
+    _m, enc = bpe_learn(
+        docs, n_merges=8, checkpoint_every=3, trainer="distributed"
+    )
     # checkpoints fire after merges 3 and 6; merges 7-8 remain chained
     assert replace_depth(enc) <= 3
-    _m2, enc_plain = bpe_learn(docs, n_merges=8, checkpoint_every=None)
+    _m2, enc_plain = bpe_learn(
+        docs, n_merges=8, checkpoint_every=None, trainer="distributed"
+    )
     assert replace_depth(enc_plain) == 8
 
 
@@ -1737,7 +1747,9 @@ def test_bpe_apply_checkpointing_matches_learn(spark):
 
     wc = {"aaaaa": 3, "ab": 5, "cd": 5, "abab": 2, "abcd": 1}
     docs = _bpe_docs(spark, wc)
-    merges, enc_learn = bpe_learn(docs, n_merges=7, checkpoint_every=2)
+    merges, enc_learn = bpe_learn(
+        docs, n_merges=7, checkpoint_every=2, trainer="distributed"
+    )
     enc_apply = bpe_apply(
         symbolize(word_vocab(docs)), merges, checkpoint_every=3
     )
@@ -2260,9 +2272,11 @@ def test_bpe_local_trainer_respects_top_words_cap(spark):
     )
 
 
-def test_bpe_trainer_auto_routes_by_cap(spark, monkeypatch):
-    """auto = local iff top_words is set (capped vocab == closure-sized
-    by contract); uncapped stays distributed."""
+def test_bpe_trainer_auto_routes_by_measured_size(spark, monkeypatch):
+    """auto = local when top_words is set (capped == closure-sized by
+    contract) AND when an uncapped vocabulary MEASURES under the local
+    cap (one count aggregate); only a vocabulary that is actually
+    unbounded pays the distributed loop."""
     import mldag_spark.operators.tokenizer as tok
 
     calls = []
@@ -2274,10 +2288,13 @@ def test_bpe_trainer_auto_routes_by_cap(spark, monkeypatch):
 
     monkeypatch.setattr(tok, "_bpe_learn_local", spy)
     docs = _bpe_docs(spark, {"ab": 3, "cd": 2})
-    tok.bpe_learn(docs, n_merges=1, top_words=2)       # auto + cap -> local
+    tok.bpe_learn(docs, n_merges=1, top_words=2)   # auto + cap -> local
     assert calls == [1]
-    tok.bpe_learn(docs, n_merges=1)                    # auto, uncapped -> dist
-    assert calls == [1]
+    tok.bpe_learn(docs, n_merges=1)  # auto, uncapped but tiny -> local
+    assert calls == [1, 1]
+    monkeypatch.setattr(tok, "_LOCAL_VOCAB_CAP", 1)
+    tok.bpe_learn(docs, n_merges=1)  # measures over the cap -> distributed
+    assert calls == [1, 1]
     with __import__("pytest").raises(ValueError, match="unknown trainer"):
         tok.bpe_learn(docs, n_merges=1, trainer="remote")
 
