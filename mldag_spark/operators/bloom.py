@@ -62,7 +62,10 @@ _BLOOM_CHUNK_BYTES = 4 << 20
 # of a chunk in ONE task, which merely moved the OOM from the driver
 # to an executor at high partition counts (ADVICE r12 #1). Levels are
 # ceil(log_fanout(|partitions|)): 4096 partitions → 3 shuffles whose
-# volume shrinks fanout× per level.
+# volume shrinks fanout× per level. Grouping keys on floor(src /
+# fanout) — consecutive ranges — so the per-task bound holds even if
+# AQE gives the source MORE runtime partitions than the pre-execution
+# estimate (ADVICE r13 #3).
 _BLOOM_TREE_FANOUT = 32
 
 
@@ -90,7 +93,7 @@ def bloom_build(
     - ``"tree"`` — each partition's kernel emits its bitmap as
       chunk-keyed pieces tagged with the source partition id; the
       copies of each chunk are then OR-reduced through
-      ceil(log_fanout(|partitions|)) ``groupBy(chunk, src % width)``
+      ceil(log_fanout(|partitions|)) ``groupBy(chunk, src // fanout)``
       levels, each task touching at most ``_BLOOM_TREE_FANOUT``
       copies (per-task memory <= fanout·chunk bytes, CONSTANT in
       partition count — a real ``treeAggregate``, not a single-level
@@ -188,13 +191,27 @@ def bloom_build(
         "src", F.spark_partition_id().cast("long")
     ).mapInPandas(chunk_kernel, "ci long, src long, bm binary")
     # OR is associative/commutative, so any reduction tree yields the
-    # same bitmap (bit-identity vs "driver" pinned by test); width
-    # shrinks fanout× per level until one row per chunk remains
+    # same bitmap (bit-identity vs "driver" pinned by test). Each
+    # level groups CONSECUTIVE src ranges of size fanout
+    # (floor(src / fanout), which also becomes the next level's src),
+    # so a task gathers at most fanout copies of a chunk BY
+    # CONSTRUCTION — unlike the old `src % width` keying, whose width
+    # came from a pre-execution getNumPartitions() that AQE
+    # coalescing/skew-splitting can overrun at runtime, silently
+    # weakening the memory bound (ADVICE r13 #3). The level count
+    # still derives from the pre-execution estimate; if runtime
+    # produced MORE partitions than estimated, a few (<= overrun /
+    # fanout^levels) rows per chunk survive the reduction — the
+    # driver OR below absorbs them, so the bound stays hard and
+    # bit-identity is unconditional.
     width = n_parts
     while width > 1:
         width = -(-width // _BLOOM_TREE_FANOUT)  # ceil-div
         partials = (
-            partials.withColumn("src", F.col("src") % width)
+            partials.withColumn(
+                "src",
+                F.floor(F.col("src") / _BLOOM_TREE_FANOUT).cast("long"),
+            )
             .groupBy("ci", "src")
             .applyInPandas(or_chunks, "ci long, src long, bm binary")
         )

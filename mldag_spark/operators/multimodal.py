@@ -284,16 +284,32 @@ def extract_features_fitted(
                                "features", "ok")
         # a mismatched artifact would silently fit/project in the
         # wrong dimension (code-review r13 late finding #2): check
-        # the artifact's actual feature width against native_dim —
-        # cheap here (a parquet first(), no decode)
-        probe = native.filter(
-            F.col("ok") & F.col("features").isNotNull()
-        ).first()
-        if probe is not None and len(probe["features"]) != nd:
+        # EVERY ok row's feature width against native_dim in one
+        # min/max aggregate — a first()-only probe passed
+        # inconsistent-width artifacts (e.g. a union of two runs) and
+        # later failed inside pca_fit with an opaque numpy shape
+        # error (ADVICE r13 #5); the aggregate is one cheap job over
+        # the parquet artifact, no decode
+        probe = (
+            native.filter(F.col("ok") & F.col("features").isNotNull())
+            .agg(
+                F.min(F.size("features")).alias("lo"),
+                F.max(F.size("features")).alias("hi"),
+            )
+            .first()
+        )
+        if probe["lo"] is not None and (
+            probe["lo"] != nd or probe["hi"] != nd
+        ):
+            got = (
+                str(probe["lo"])
+                if probe["lo"] == probe["hi"]
+                else f"{probe['lo']}..{probe['hi']} (inconsistent)"
+            )
             raise ValueError(
-                f"native feature artifact has dim "
-                f"{len(probe['features'])} but native_dim={nd}; the "
-                "artifact must be produced at the same native_dim"
+                f"native feature artifact has dim {got} but "
+                f"native_dim={nd}; the artifact must be produced at "
+                "the same native_dim"
             )
     ok_feats = native.filter(
         F.col("ok") & F.col("features").isNotNull()
@@ -452,7 +468,12 @@ def resize_media(
       come from the PARSED container, not the metadata columns.
       Corrupt or non-gray-PNG payloads yield ok=false pass-through
       rows (the audio/image-stats pattern) — a bad document must
-      never kill a 100 TB pass.
+      never kill a 100 TB pass. BEHAVIOR CHANGE vs r12 (ADVICE r13
+      #4, noted in README "Behavior changes"): under the old
+      ``"auto"`` default, non-PNG payloads (e.g. JPEG) resized via
+      PIL when pillow was installed; they now come back ok=false
+      unless the caller opts into ``"pil"``/``"auto"`` explicitly —
+      audit ``ok`` on mixed-format corpora.
     - ``"pil"`` — guarded-import pillow path for arbitrary formats
       (grayscale-converted, NEAREST; raises ImportError at kernel
       build time on the driver if pillow is absent, never mid-task).

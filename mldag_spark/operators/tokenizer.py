@@ -48,8 +48,16 @@ from pyspark.sql import DataFrame, functions as F
 
 from mldag_spark.functions import tokenize
 
-# start-of-symbol / end-of-symbol markers; normalize_text output can
-# never contain ASCII control characters, so these are collision-free
+# Start-of-symbol / end-of-symbol markers. normalize_text only
+# collapses WHITESPACE (ADVICE r13 #1 — the old comment overstated),
+# so corpus words could in principle contain other ASCII control
+# characters; any character except these two delimiters round-trips
+# the delimited encoding faithfully (split/replace/ordering all agree
+# with the raw form — UTF-8 byte order equals code-point order). A
+# word CONTAINING the delimiters themselves would silently corrupt
+# the encoding, so :func:`word_vocab` excludes such words on every
+# path (training, routing, and the encode join all build on it) —
+# the corpus precondition, enforced rather than assumed.
 SOH = "\x1e"
 EOT = "\x1f"
 
@@ -69,10 +77,19 @@ def word_vocab(
     aggregate of BPE training. ``top_words`` keeps only the most
     frequent words ((cnt desc, w) order, a bounded TakeOrdered): the
     standard production cap — rare-word tails contribute almost no
-    pair mass but dominate vocabulary cardinality at 100 TB."""
+    pair mass but dominate vocabulary cardinality at 100 TB.
+
+    Words containing the symbol delimiters (SOH/EOT, 0x1E/0x1F) are
+    EXCLUDED here — they cannot be represented in the delimited
+    encoding, and every BPE path (trainer routing, both merge loops,
+    the encode join) builds on this aggregate, so the exclusion is
+    uniform by construction (ADVICE r13 #1)."""
     words = docs.select(
         F.explode(tokenize(F.col(text_col))).alias("w")
-    ).filter(F.length("w") > 0)
+    ).filter(
+        (F.length("w") > 0) & ~F.col("w").contains(SOH)
+        & ~F.col("w").contains(EOT)
+    )
     vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
     if top_words is not None:
         vocab = vocab.orderBy(F.col("cnt").desc(), "w").limit(top_words)
@@ -244,15 +261,19 @@ def _bpe_learn_local(
     text_col: str,
     n_merges: int,
     top_words: Optional[int],
+    vocab: Optional[DataFrame] = None,
 ) -> tuple[list[Merge], DataFrame]:
     """Local trainer: ONE distributed corpus aggregate to the capped
     (w, cnt) vocabulary, one bounded collect, then the in-memory merge
     loop; the encoded vocabulary returns as a local DataFrame in the
-    same (s, cnt) delimited shape the distributed path produces."""
+    same (s, cnt) delimited shape the distributed path produces.
+    ``vocab`` accepts a prebuilt (persisted) word_vocab frame so the
+    auto route's measurement and the collect share one corpus
+    aggregate (ADVICE r13 #2)."""
     from mldag_spark.operators.similarity import _collect_bounded
 
     rows = _collect_bounded(
-        word_vocab(docs, text_col, top_words),
+        word_vocab(docs, text_col, top_words) if vocab is None else vocab,
         top_words if top_words is not None else _LOCAL_VOCAB_CAP,
         "BPE training vocabulary",
     )
@@ -323,24 +344,34 @@ def bpe_learn(
         raise ValueError("checkpoint_every must be >= 1 or None")
     if trainer not in ("auto", "local", "distributed"):
         raise ValueError(f"unknown trainer {trainer!r}")
+    vocab: Optional[DataFrame] = None
     if trainer == "auto":
         if top_words is not None:
             trainer = "local"
         else:
             # a COUNT respects the bounded-collect law (it pulls one
             # number, not rows); limit(cap+1) bounds even the count's
-            # work for genuinely huge vocabularies
-            measured = (
-                word_vocab(docs, text_col)
-                .limit(_LOCAL_VOCAB_CAP + 1)
-                .count()
-            )
+            # work for genuinely huge vocabularies. The vocabulary is
+            # built ONCE and persisted so the measurement and the
+            # chosen trainer share a single corpus aggregate —
+            # whichever route wins reads the cached frame instead of
+            # re-running the corpus explode (ADVICE r13 #2)
+            vocab = word_vocab(docs, text_col).persist()
+            measured = vocab.limit(_LOCAL_VOCAB_CAP + 1).count()
             trainer = (
                 "local" if measured <= _LOCAL_VOCAB_CAP else "distributed"
             )
     if trainer == "local":
-        return _bpe_learn_local(docs, text_col, n_merges, top_words)
-    base = symbolize(word_vocab(docs, text_col, top_words)).persist()
+        try:
+            return _bpe_learn_local(
+                docs, text_col, n_merges, top_words, vocab=vocab
+            )
+        finally:
+            if vocab is not None:
+                vocab.unpersist()
+    base = symbolize(
+        word_vocab(docs, text_col, top_words) if vocab is None else vocab
+    ).persist()
     merges: list[Merge] = []
     enc = base
     chain_depth = 0
@@ -369,6 +400,8 @@ def bpe_learn(
         # frame recomputes its (cheap, vocab-sized) lineage lazily if
         # a consumer materializes it after the loop
         base.unpersist()
+        if vocab is not None:
+            vocab.unpersist()
     return merges, enc
 
 

@@ -851,3 +851,41 @@ def test_fitted_featurizer_artifact_roundtrip(tmp_path, spark):
         ).collect()
     }
     assert inline == art
+
+
+def test_fitted_featurizer_rejects_inconsistent_artifact(tmp_path, spark):
+    """ADVICE r13 #5: an artifact with INCONSISTENT feature widths
+    (e.g. a union of two runs at different native_dim) must be a
+    clear ValueError at validation time, not an opaque numpy shape
+    error inside pca_fit — the min/max aggregate checks every ok row,
+    not just the first."""
+    import pytest
+
+    from mldag_spark.operators.multimodal import (
+        extract_features,
+        extract_features_fitted,
+        synthesize_png,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "tok%d " % i * (i + 4)) for i in range(12)],
+        "doc_id long, text string",
+    )
+    media = synthesize_png(docs, "doc_id", "text").select(
+        "media_id", F.lit("image/png").alias("mime"), "payload"
+    )
+    a = str(tmp_path / "nf16")
+    b = str(tmp_path / "nf8")
+    extract_features(media, dim=16, engine="native").write.parquet(a)
+    extract_features(
+        media.withColumn("media_id", F.col("media_id") + 1000),
+        dim=8, engine="native",
+    ).write.parquet(b)
+    mixed = spark.read.parquet(a).unionByName(spark.read.parquet(b))
+    with pytest.raises(ValueError, match="inconsistent"):
+        extract_features_fitted(media, dim=4, native=mixed)
+    # a uniformly WRONG width still names the mismatch
+    with pytest.raises(ValueError, match="has dim 8"):
+        extract_features_fitted(
+            media, dim=4, native=spark.read.parquet(b)
+        )

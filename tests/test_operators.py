@@ -2315,6 +2315,73 @@ def test_bpe_local_trainer_bounded_collect(spark):
         tok._LOCAL_VOCAB_CAP = old
 
 
+def test_bpe_control_char_words_train_identically_local_vs_dist(spark):
+    """ADVICE r13 #1: normalize_text only collapses whitespace, so
+    words CAN carry ASCII control characters (< 0x20). Any such
+    character except the SOH/EOT delimiters round-trips the delimited
+    encoding faithfully, and local/distributed tie-break ordering must
+    agree on it (UTF-8 byte order == code-point order)."""
+    from mldag_spark.operators.tokenizer import bpe_learn
+
+    # "\x01a" vs "aa": pair ("\x01","a") vs ("a","a") can tie on count
+    docs = _bpe_docs(spark, {"\x01a": 3, "aa": 3, "b\x02b": 2})
+    m_dist, enc_dist = bpe_learn(docs, n_merges=4, trainer="distributed")
+    m_loc, enc_loc = bpe_learn(docs, n_merges=4, trainer="local")
+    assert m_loc == m_dist
+    assert sorted((r["s"], r["cnt"]) for r in enc_loc.collect()) == sorted(
+        (r["s"], r["cnt"]) for r in enc_dist.collect()
+    )
+    # the first merge's tie-break picked the control char (sorts
+    # below 'a') — the ordering-parity case the advice flagged
+    assert m_dist[0].left == "\x01"
+
+
+def test_bpe_delimiter_bearing_words_are_excluded_everywhere(spark):
+    """A word containing SOH/EOT (0x1E/0x1F) cannot be represented in
+    the delimited encoding; word_vocab excludes it uniformly, so both
+    trainers see the same corpus and neither corrupts."""
+    from mldag_spark.operators.tokenizer import (
+        EOT, SOH, bpe_learn, word_vocab,
+    )
+
+    docs = _bpe_docs(
+        spark, {"ab": 3, f"x{SOH}y": 2, f"p{EOT}": 2, "cd": 1}
+    )
+    vocab = {r["w"] for r in word_vocab(docs).collect()}
+    assert vocab == {"ab", "cd"}
+    m_dist, _ = bpe_learn(docs, n_merges=2, trainer="distributed")
+    m_loc, _ = bpe_learn(docs, n_merges=2, trainer="local")
+    assert m_loc == m_dist
+    assert all(
+        SOH not in s and EOT not in s
+        for m in m_dist for s in (m.left, m.right)
+    )
+
+
+def test_bpe_auto_uncapped_builds_vocab_once(spark, monkeypatch):
+    """ADVICE r13 #2: the auto route's size measurement and the chosen
+    trainer must share ONE word_vocab build (persisted), not run the
+    corpus aggregate twice."""
+    import mldag_spark.operators.tokenizer as tok
+
+    calls = []
+    real = tok.word_vocab
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(tok, "word_vocab", spy)
+    docs = _bpe_docs(spark, {"ab": 3, "cd": 2})
+    m, _ = tok.bpe_learn(docs, n_merges=1)  # auto, uncapped -> local
+    assert len(m) == 1 and calls == [1]
+    monkeypatch.setattr(tok, "_LOCAL_VOCAB_CAP", 1)
+    calls.clear()
+    m2, enc2 = tok.bpe_learn(docs, n_merges=1)  # auto -> distributed
+    assert len(m2) == 1 and calls == [1]
+    enc2.collect()  # the distributed result stays materializable
+
+
 def test_opq_train_rejects_nonpositive_iters(spark, sf_dir):
     """ADVICE r12 #3: iters < 1 must be a clear validation error, not
     an opaque TypeError unpacking best=None."""
