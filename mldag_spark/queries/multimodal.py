@@ -359,3 +359,55 @@ def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image_stats(
         synthesize_png(docs, "doc_id", "text"), engine="stdlib"
     ).select("media_id", "ok", "width", "height", "n_pixels")
+
+
+@register(
+    "multimodal_fitted_audit",
+    oracle="""
+    SELECT doc_id AS media_id,
+           'image/png' AS mime,
+           (doc_id % 7 <> 0) AS ok,
+           CAST(CASE WHEN doc_id % 7 <> 0 THEN 8 ELSE -1 END AS INT)
+               AS n_dims
+    FROM documents
+    """,
+)
+def multimodal_fitted_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GATED envelope of the corpus-fitted featurizer (r14 — VERDICT
+    r13 #4, the ``multimodal_resize_audit`` precedent): real PNG
+    containers are synthesized from the documents table, a
+    deterministic subset (media_id % 7 == 0) is CORRUPTED by
+    truncating the payload to its 8-byte signature, and
+    ``extract_features(engine="fitted")`` runs the REAL fit + project
+    kernel — native decode → bounded-covariance PCA fit over the ok
+    rows → in-closure projection. The gate verifies the
+    oracle-replayable half of the contract: ids, mime, the
+    corrupt-row ok=false surface, and the feature ARITY/null pattern
+    (ok → exactly ``dim`` components, corrupt → null features,
+    surfaced as n_dims = -1). The embedding VALUES themselves stay
+    numpy-replay-pinned in tests/test_multimodal.py — ``eigh`` is not
+    ANSI-replayable, so hash-gating them is impossible by
+    construction and this envelope is the honest gated surface.
+    Payload byte count stays out too (PNG container size is
+    zlib-determined, not relational)."""
+    from mldag_spark.operators.multimodal import (
+        extract_features,
+        synthesize_png,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    media = synthesize_png(docs, "doc_id", "text").select(
+        "media_id",
+        F.lit("image/png").alias("mime"),
+        F.when(
+            F.col("media_id") % 7 == 0,
+            F.expr("substring(payload, 1, 8)"),
+        ).otherwise(F.col("payload")).alias("payload"),
+    )
+    feats = extract_features(media, dim=8, engine="fitted")
+    return feats.select(
+        "media_id",
+        "mime",
+        "ok",
+        F.coalesce(F.size("features"), F.lit(-1)).alias("n_dims"),
+    )
