@@ -596,3 +596,161 @@ def build_clean_pack_dag(spark: SparkSession):
     )
     pipe["result"] >> dag["packed_corpus"]
     return dag
+
+
+@register(
+    "dag_pipeline_fit_apply",
+    oracle="""
+    WITH cleaned AS (
+        SELECT doc_id, lang,
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS clean
+        FROM documents
+    ), dedup AS (
+        SELECT doc_id, lang, clean FROM (
+            SELECT doc_id, lang, clean,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY md5(clean) ORDER BY doc_id
+                   ) AS rk
+            FROM cleaned
+        ) WHERE rk = 1
+    ), feats AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split(clean, ' ')) AS DOUBLE) AS n_tokens,
+               CAST(len(list_distinct(string_split(clean, ' '))) AS DOUBLE)
+                   / len(string_split(clean, ' ')) AS dr,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                 % 100 AS bucket
+        FROM dedup
+        WHERE len(string_split(clean, ' ')) BETWEEN 5 AND 1000
+          AND CAST(len(list_distinct(string_split(clean, ' '))) AS DOUBLE)
+              / len(string_split(clean, ' ')) > 0.3
+    ), st AS (
+        SELECT AVG(n_tokens) AS m0, STDDEV_SAMP(n_tokens) AS s0,
+               AVG(dr) AS m1, STDDEV_SAMP(dr) AS s1
+        FROM feats WHERE bucket < 80
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           ROUND(AVG((n_tokens - m0) / s0), 3) AS avg_scaled_len,
+           ROUND(AVG((dr - m1) / s1), 3) AS avg_scaled_div
+    FROM feats, st
+    WHERE bucket >= 90
+    GROUP BY lang
+    """,
+)
+def dag_pipeline_fit_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The train/test FIT pipeline (r14 — VERDICT r13 #6): the
+    reference's signature move (SURVEY §2.1 — fit on one input,
+    transform another through a ``TransformNode`` alias) threaded
+    through the SAME clean → dedup-exact → quality-gate front half as
+    ``dag_pipeline_clean_pack``, then:
+
+        featurize (n_tokens, distinct-ratio → vector) →
+        train/test split (md5 buckets — the corpus split law) →
+        StandardScaler ``EstimatorNode`` FIT on the train split →
+        ``TransformNode`` applies the train-fitted model to the
+        HELD-OUT test split → per-lang stats of the scaled features
+
+    ``dag.fit_transform`` runs the fit pass (estimator fit exactly
+    once, on train — pinned by the engine's leaf-elision tests) and
+    the transform pass; the oracle replays the scaler arithmetic
+    relationally ((x - mean)/STDDEV_SAMP over the train split,
+    applied to the test split — the ``dag_ml_standard_scaler``
+    precedent, 3 dp rounding for summation noise). Scale shape: the
+    front half is the clean_pack plan (one content-hash corpus
+    shuffle); the scaler fit is one Spark ML summarizer pass over the
+    train split; apply is map-only; the stats agg is lang-keyed."""
+    dag = build_fit_apply_dag(spark)
+    run = dag.fit_transform(sf_dir)
+    return run.outputs["fit_apply_stats"]
+
+
+def build_fit_apply_dag(spark: SparkSession):
+    """The nine-node train/test pipeline behind
+    ``dag_pipeline_fit_apply``, exposed for the physical-view golden
+    (tests/test_display.py)."""
+    from pyspark.ml.feature import StandardScaler
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.sql.window import Window
+
+    from mldag_spark.functions import normalize_text
+    from mldag_spark.queries.text import _split_bucket
+
+    dag = m.MLDag()
+
+    def load_docs(sf_dir):
+        return load(spark, sf_dir, "documents")
+
+    def clean(docs):
+        return docs.select(
+            "doc_id", "lang", normalize_text(F.col("text")).alias("clean")
+        )
+
+    def dedup_exact(cleaned):
+        # same keep-first contract as dag_pipeline_clean_pack: one
+        # corpus shuffle keyed by the md5 content hash
+        w = Window.partitionBy(F.md5(F.col("clean"))).orderBy("doc_id")
+        return (
+            cleaned.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .drop("_rk")
+        )
+
+    def featurize(deduped):
+        toks = F.split(F.col("clean"), " ")  # clean is pre-normalized
+        n = F.size(toks)
+        dr = F.size(F.array_distinct(toks)).cast("double") / n
+        return (
+            deduped.filter(n.between(5, 1000) & (dr > 0.3))
+            .select(
+                "doc_id",
+                "lang",
+                array_to_vector(
+                    F.array(n.cast("double"), dr)
+                ).alias("fv"),
+                _split_bucket().alias("bucket"),
+            )
+        )
+
+    def train_split(feats):
+        return feats.filter(F.col("bucket") < 80)
+
+    def test_split(feats):
+        return feats.filter(F.col("bucket") >= 90)
+
+    def test_stats(df):
+        x = vector_to_array(F.col("scaled"))
+        return (
+            df.select(
+                "lang",
+                x.getItem(0).alias("s0"),
+                x.getItem(1).alias("s1"),
+            )
+            .groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.round(F.avg("s0"), 3).alias("avg_scaled_len"),
+                F.round(F.avg("s1"), 3).alias("avg_scaled_div"),
+            )
+        )
+
+    feats = (
+        dag["sf_dir"]
+        >> m.as_node(load_docs, name="docs_src")
+        >> m.as_node(clean, name="clean")
+        >> m.as_node(dedup_exact, name="dedup_exact")
+        >> m.as_node(featurize, name="featurize")
+    )
+    tr = feats >> m.as_node(train_split, name="train_split")
+    te = feats >> m.as_node(test_split, name="test_split")
+    scaler = m.EstimatorNode(
+        StandardScaler(
+            inputCol="fv", outputCol="scaled", withMean=True, withStd=True
+        ),
+        name="scaler",
+    )
+    tr >> scaler
+    apply_test = m.as_transform("scaler", name="scaler_test")
+    te >> apply_test
+    stats = apply_test >> m.as_node(test_stats, name="test_stats")
+    stats["result"] >> dag["fit_apply_stats"]
+    return dag

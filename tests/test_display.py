@@ -189,3 +189,42 @@ def test_pipeline_clean_pack_physical_view_golden(spark, sf_dir):
     assert ("SortMergeJoin" in seg["-- node: decontaminate --"]
             or "Join" in seg["-- node: decontaminate --"])
     assert "Window" in seg["-- node: pack --"]
+
+
+def test_pipeline_fit_apply_physical_view_golden(spark, sf_dir):
+    """VERDICT r13 #6: the train/test FIT pipeline's physical view —
+    nine node sections in execution order through the scheduler
+    (estimator fitted on train BEFORE the TransformNode applies it to
+    the held-out test split), with the load-bearing plan content in
+    the right stages: the parquet scan under the source, the
+    content-hash dedup window, and the lang-keyed aggregate under the
+    stats leaf."""
+    from mldag_spark.queries.dag_pipeline import build_fit_apply_dag
+
+    dag = build_fit_apply_dag(spark)
+    run = dag.fit_transform(sf_dir)
+    text = dag.explain(run)
+
+    order = [
+        "-- node: docs_src --",
+        "-- node: clean --",
+        "-- node: dedup_exact --",
+        "-- node: featurize --",
+        "-- node: train_split --",
+        "-- node: test_split --",
+        "-- node: scaler --",
+        "-- node: scaler_test --",
+        "-- node: test_stats --",
+    ]
+    idx = [text.index(sec) for sec in order]
+    assert idx == sorted(idx), "node sections out of execution order"
+    assert "dag input 'sf_dir' -> sf_dir" in text
+    assert "result -> dag output 'fit_apply_stats'" in text
+    assert text.count("Spark plan:") == len(order)
+    seg = dict(
+        zip(order, [text[a:b] for a, b in zip(idx, idx[1:] + [len(text)])])
+    )
+    assert ("Scan parquet" in seg["-- node: docs_src --"]
+            or "FileScan" in seg["-- node: docs_src --"])
+    assert "Window" in seg["-- node: dedup_exact --"]
+    assert "HashAggregate" in seg["-- node: test_stats --"]
