@@ -257,3 +257,52 @@ def bloom_might_contain(
         return _probe(h1, h2)
 
     return apply
+
+
+def bloom_distinct_hits(
+    bitmap: bytes, m_bits: int = BLOOM_M_BITS, k: int = BLOOM_K
+):
+    """Column function: ``f(array<string>) -> int`` — how many
+    DISTINCT elements of the array the filter contains. The PER-ROW
+    form of the :func:`bloom_might_contain` + distinct + groupBy-count
+    pattern (``queries.text.bloom_survivors``), for plans that cannot
+    aggregate twice — a Structured Streaming query whose one stateful
+    aggregation is already spent on dedup counts hit shingles per
+    document STATELESSLY with this (``stream_pipeline_clean``).
+    Hashing is the same md5 double-hash arithmetic the builder and the
+    ANSI oracle replay (Python's md5-of-utf-8 == Spark's ``md5``), so
+    batch and streaming formulations agree bit-for-bit."""
+    import hashlib
+
+    bm = np.frombuffer(bitmap, dtype=np.uint8)
+    if len(bm) * 8 != m_bits:
+        raise ValueError("bitmap length does not match m_bits")
+
+    @F.pandas_udf("int")
+    def _hits(arrays: pd.Series) -> pd.Series:
+        out = []
+        for arr in arrays:
+            if arr is None or len(arr) == 0:
+                out.append(0)
+                continue
+            n = 0
+            for s in set(arr):
+                if s is None:
+                    continue
+                md = hashlib.md5(s.encode("utf-8")).hexdigest()
+                h1, h2 = int(md[:8], 16), int(md[8:16], 16)
+                member = True
+                for i in range(k):
+                    p = (h1 + i * h2) % m_bits
+                    if not (bm[p >> 3] >> (p & 7)) & 1:
+                        member = False
+                        break
+                if member:
+                    n += 1
+            out.append(n)
+        return pd.Series(out, dtype="int32")
+
+    def apply(col: Column) -> Column:
+        return _hits(col)
+
+    return apply
