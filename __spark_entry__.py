@@ -118,13 +118,38 @@ _GATE_ORDER = [
     # re-parse round trip). The three r12 debuts stay for their
     # second gated round.
     #
+    # r14 rotation (VERDICT r13 #3 — the evidence-age law). The three
+    # r12 debuts bank after three green gated rounds (r12+r13 plus
+    # their pre-entry verification): text_bpe_encode_docs,
+    # text_contamination_fraction, text_remove_duplicate_spans. FIVE
+    # of the r12 re-admit cohort bank after two green rounds
+    # (r12+r13), all staying under the continuous sf0.001 sweep:
+    # text_quality_score, text_fingerprint, dedup_cluster_stats,
+    # multimodal_media_stats, graph_pagerank_bipartite. The FOUR
+    # oldest-evidence banked queries (last gated r9) re-admit, each
+    # re-verified hash-green at sf0.001 AND sf0.01 via
+    # scripts/check_oracle.py this session before entering (the
+    # standing norm): embedding_near_dup_stats, text_boilerplate_chunks,
+    # link_fuzzy_part_names, dag_ml_standard_scaler (the EstimatorNode
+    # fit/transform gate coverage). FOUR r14 debuts enter debut-gated
+    # per the standing norm (hash-green at sf0.001 + sf0.01 via
+    # scripts/check_oracle.py before entering):
+    # dedup_keep_best_lsh (pair-source-agnostic keep-best over the
+    # MinHash-LSH miner — VERDICT r13 #2), multimodal_fitted_audit
+    # (the fitted featurizer's oracle-replayable envelope — #4),
+    # dag_pipeline_fit_apply (train/test EstimatorNode+TransformNode
+    # pipeline — #6), stream_pipeline_clean (the composed streaming
+    # pipeline twin — #7). The five r13 debuts stay for their second
+    # gated round.
+    #
     # DAG engine (fit/transform through the scheduler)
     "dag_pipeline_priority_revenue",
     "dag_sql_priority_topk",
     "dag_pipeline_clean_pack",
+    "dag_pipeline_fit_apply",
+    "dag_ml_standard_scaler",
     "dedup_semantic_clusters",
     "kmeans_embedding_clusters",
-    "graph_pagerank_bipartite",
     # Text analysis — unigram logprob keeps its r10 slot.
     # r11: text_shingle_novelty banks after two green gated rounds
     # (r9-r10, sf0.001 sweep continues) to make room for the r11-NEW
@@ -143,12 +168,10 @@ _GATE_ORDER = [
     # (hash-green at sf0.001 + sf0.01 via scripts/check_oracle.py
     # before entering); events_json_typed_agg banks after two green
     # gated rounds (r10-r11) — events keeps four window entries.
-    "text_bpe_encode_docs",
     "text_filter_funnel",
     "text_top_terms",
-    "text_quality_score",
     "text_bigram_surprisal",
-    "text_fingerprint",
+    "text_boilerplate_chunks",
     "text_bm25_topk",
     # Corpus statistics (r10: the four never-gated corpus ops)
     "corpus_bigram_coverage",
@@ -179,7 +202,6 @@ _GATE_ORDER = [
     # sf0.01 via scripts/check_oracle.py before entering);
     # dq_orphan_audit banks after two green gated rounds (r10-r11) —
     # dq keeps the lineitem expectations entry.
-    "text_contamination_fraction",
     "text_decontaminate_filter",
     # Deduplication (jaccard/cluster-stats/keep-representatives bank
     # multi-round green; the LSH + components pins stay, the r9-new
@@ -203,11 +225,10 @@ _GATE_ORDER = [
     # green gated rounds (r10-r11) to make room — multimodal keeps
     # five window entries (media_stats, resize audit, audio, image,
     # video).
-    "text_remove_duplicate_spans",
     "dedup_ngram_jaccard",
-    "dedup_cluster_stats",
     "dedup_keep_representatives",
     "dedup_keep_best_quality",
+    "dedup_keep_best_lsh",
     # Repetition/PII quality passes (r11 NEW): Gopher coverage-form
     # n-gram rules + the byte-exact-verified PII redaction pass
     # Sampling / splits (r10: the four never-gated sampling patterns)
@@ -221,21 +242,23 @@ _GATE_ORDER = [
     # (r2-r10; its window-rides-join-exchange plan pin and the sf10
     # SCALING row stand) to make room for the r11-NEW video decode
     "ann_cosine_topk",
+    "embedding_near_dup_stats",
     "embedding_centroid_distances",
     # Structured Streaming
     "stream_incremental_dedup",
     "stream_image_decode",
     "stream_sliding_counts",
+    "stream_pipeline_clean",
     # Multimodal (media_stats banks green r1-r9; the two never-gated
     # multimodal audits rotate in, plus the r10-NEW real-codec WAV
     # round-trip, debut-gated per the standing norm —
     # events_grouped_zscore banks after nine green gated rounds to
     # make room; grouped-zscore coverage stays under the continuous
     # sf0.001 sweep and its Arrow twin's pytest pins)
-    "multimodal_media_stats",
     "multimodal_resize_audit",
     "multimodal_audio_decode",
     "multimodal_resize_native",
+    "multimodal_fitted_audit",
     # r11 NEW: real stdlib-PNG codec round-trip (encode + spec-correct
     # parse with CRC checks and all five filter types), debut-gated
     # r11 late rotation #2: the r11-NEW real YUV4MPEG2 video codec
@@ -257,6 +280,7 @@ _GATE_ORDER = [
     "dq_lineitem_expectations",
     # Joins
     "join_range_parts_in_price_band",
+    "link_fuzzy_part_names",
     # Windows
     "window_topk_orders_per_customer",
     # Aggregations (r10: the three never-gated agg patterns — exact
