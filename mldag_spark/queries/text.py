@@ -698,6 +698,81 @@ def dedup_keep_best_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_edit_verified",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               list_distinct(
+                 CASE WHEN len(toks) <= 3
+                      THEN [array_to_string(toks, ' ')]
+                      ELSE list_transform(range(1, len(toks) - 1),
+                           i -> array_to_string(toks[i:i+2], ' '))
+                 END) AS sh,
+               array_to_string(toks, ' ') AS norm
+        FROM (
+            SELECT doc_id,
+                   string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+                       AS toks
+            FROM documents
+        )
+    ), exploded AS (
+        SELECT doc_id, unnest(sh) AS shingle FROM t
+    ), pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM exploded a JOIN exploded b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), jp AS (
+        SELECT p.doc_a, p.doc_b,
+               ROUND(CAST(p.n_common AS DOUBLE)
+                     / (len(ta.sh) + len(tb.sh) - p.n_common), 4)
+                   AS jaccard,
+               ROUND(1.0 - CAST(levenshtein(ta.norm, tb.norm) AS DOUBLE)
+                     / greatest(len(ta.norm), len(tb.norm)), 4)
+                   AS edit_sim
+        FROM pairs p
+        JOIN t ta ON ta.doc_id = p.doc_a
+        JOIN t tb ON tb.doc_id = p.doc_b
+        WHERE CAST(p.n_common AS DOUBLE)
+              / (len(ta.sh) + len(tb.sh) - p.n_common) >= 0.8
+    )
+    SELECT doc_a, doc_b, jaccard, edit_sim,
+           edit_sim >= 0.99 AS is_near_exact
+    FROM jp
+    """,
+)
+def dedup_edit_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verification of near-dup candidates (r14): every
+    shingle-Jaccard >= 0.8 pair annotated with its normalized
+    Levenshtein similarity and a near-exact flag (edit_sim >= 0.99)
+    — the character-level second stage a production dedup runs when
+    the downstream policy differs for true near-copies vs merely
+    shingle-similar documents (Jaccard over shingle SETS is blind to
+    repetition counts and ordering; edit distance is not). Candidates
+    come from the exact prefix-filtered miner so the oracle replays
+    the WHOLE pipeline relationally (DuckDB's ``levenshtein`` is the
+    same unit-cost DP as Spark's JVM kernel); in production the miner
+    slot takes MinHash-LSH pairs unchanged
+    (``operators.dedup.edit_similarity_pairs`` is pair-source-
+    agnostic, like ``keep_best_losers``). The O(len²) DP runs per
+    CANDIDATE pair only — dedup-rate-bounded, never corpus-quadratic
+    — and the corpus text projection is streamed against the
+    broadcast pair set, never shuffled."""
+    from mldag_spark.operators.dedup import edit_similarity_pairs
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir)
+    d = load(spark, sf_dir, "documents")
+    texts = d.select("doc_id", normalize_text(F.col("text")).alias("norm"))
+    out = edit_similarity_pairs(
+        pairs, texts, id_col="doc_id", text_col="norm"
+    )
+    return out.select(
+        "doc_a", "doc_b", "jaccard", "edit_sim",
+        (F.col("edit_sim") >= 0.99).alias("is_near_exact"),
+    )
+
+
+@register(
     "text_top_terms",
     oracle="""
     WITH toks AS (

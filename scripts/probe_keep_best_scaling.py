@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Scale evidence for the pair-source-agnostic keep-best dedup (r14).
+
+``dedup_keep_best_lsh`` composes three measured stages (MinHash-LSH
+pair mining, Large-Star/Small-Star closure, the broadcast-hinted
+selection + anti-join materialization); this probe measures the FUSED
+query at sf3.0 (and sf10 with --sf10) with clean flanks, and isolates
+the SELECTION's marginal cost by also timing the miner+closure prefix
+alone — the keep-best claim worth checking is "only cluster members
+pay the quality ranking", i.e. the marginal cost stays near the
+anti-join floor as the corpus grows.
+
+Usage: python scripts/probe_keep_best_scaling.py [--commit] [--sf10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+PROBE_GATE = 0.85  # local[16] clean-epoch codegen gate
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--commit", action="store_true")
+    ap.add_argument("--sf10", action="store_true")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[16]")
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.driver.memory", "6g")
+        .appName("keep-best-lsh-scaling")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    from mldag_spark.operators.dedup import connected_components
+    from mldag_spark.queries.text import dedup_minhash_lsh
+
+    qs = entrymod.queries()
+
+    def probe() -> float:
+        t0 = time.time()
+        spark.range(1_000_000_000).selectExpr(
+            "sum((id * id) % 1000003)"
+        ).collect()
+        return round(time.time() - t0, 3)
+
+    sfs = {"sf3.0": os.path.join(REPO, ".testdata/sf3.0")}
+    if args.sf10:
+        sfs["sf10"] = os.path.join(REPO, ".testdata/sf10")
+
+    probe()  # JIT warm-up
+    qs["dedup_keep_best_lsh"](
+        spark, "/root/testdata/sf0.001"
+    ).write.mode("overwrite").format("noop").save()
+
+    out = {"session": "local[16]@6g/64", "probe_gate": PROBE_GATE,
+           "points": {}}
+    for sf, d in sfs.items():
+        point = {"pre_probe": probe()}
+        # miner + closure prefix (both stages have their own SCALING
+        # rows; timed here so the selection's marginal cost is explicit)
+        t0 = time.time()
+        pairs = dedup_minhash_lsh(spark, d)
+        labels = connected_components(pairs, "doc_a", "doc_b")
+        point["n_labeled_nodes"] = labels.count()
+        point["prefix_wall_sec"] = round(time.time() - t0, 3)
+
+        t0 = time.time()
+        qs["dedup_keep_best_lsh"](spark, d).write.mode(
+            "overwrite"
+        ).format("noop").save()
+        point["full_wall_sec"] = round(time.time() - t0, 3)
+        point["selection_marginal_sec"] = round(
+            point["full_wall_sec"] - point["prefix_wall_sec"], 3
+        )
+        point["post_probe"] = probe()
+        point["clean_flanks"] = (
+            point["pre_probe"] <= PROBE_GATE
+            and point["post_probe"] <= PROBE_GATE
+        )
+        out["points"][sf] = point
+        print(json.dumps({sf: point}), file=sys.stderr)
+
+    print(json.dumps(out))
+    if args.commit:
+        path = os.path.join(REPO, "SCALING.json")
+        data = json.load(open(path))
+        data["keep_best_lsh"] = out
+        json.dump(data, open(path, "w"), indent=1)
+
+
+if __name__ == "__main__":
+    main()
