@@ -141,6 +141,11 @@ _GATE_ORDER = [
     # pipeline — #6), stream_pipeline_clean (the composed streaming
     # pipeline twin — #7). The five r13 debuts stay for their second
     # gated round.
+    # r14 late debut: dedup_edit_verified (normalized-Levenshtein
+    # verification of near-dup candidates; near-exact flag
+    # non-vacuous, 7/18 split at sf0.01), hash-green at sf0.001 +
+    # sf0.01 before entering; text_bm25_topk banks after two green
+    # gated rounds (r12-r13).
     #
     # DAG engine (fit/transform through the scheduler)
     "dag_pipeline_priority_revenue",
@@ -172,7 +177,6 @@ _GATE_ORDER = [
     "text_top_terms",
     "text_bigram_surprisal",
     "text_boilerplate_chunks",
-    "text_bm25_topk",
     # Corpus statistics (r10: the four never-gated corpus ops)
     "corpus_bigram_coverage",
     # Decontamination — the summary-stats half rotates in; the filter
@@ -229,6 +233,7 @@ _GATE_ORDER = [
     "dedup_keep_representatives",
     "dedup_keep_best_quality",
     "dedup_keep_best_lsh",
+    "dedup_edit_verified",
     # Repetition/PII quality passes (r11 NEW): Gopher coverage-form
     # n-gram rules + the byte-exact-verified PII redaction pass
     # Sampling / splits (r10: the four never-gated sampling patterns)

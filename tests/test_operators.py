@@ -2652,3 +2652,29 @@ def test_fitted_featurizer_rejects_mismatched_artifact(spark):
     art8 = extract_features(media, dim=8, engine="native")
     with pytest.raises(ValueError, match="must be produced at the same"):
         extract_features_fitted(media, dim=4, native=art8)  # nd=16 != 8
+
+
+def test_edit_similarity_pairs_values_and_empty_guard(spark):
+    """Normalized Levenshtein similarity: exact values on known pairs,
+    1.0 for two empty strings (no divide-by-zero), and pair-source
+    agnosticism (any src/dst column names)."""
+    from mldag_spark.operators.dedup import edit_similarity_pairs
+
+    texts = spark.createDataFrame(
+        [(1, "kitten"), (2, "sitting"), (3, ""), (4, ""), (5, "abc")],
+        "doc_id long, t string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, 4), (1, 5)], "a long, b long"
+    )
+    got = {
+        (r["a"], r["b"]): r["edit_sim"]
+        for r in edit_similarity_pairs(
+            pairs, texts, text_col="t", src="a", dst="b"
+        ).collect()
+    }
+    # lev(kitten, sitting) = 3, max len 7 -> 1 - 3/7 = 0.5714
+    assert got[(1, 2)] == 0.5714
+    assert got[(3, 4)] == 1.0  # both empty: defined as identical
+    # lev(kitten, abc) = 6 (len 6 vs 3) -> 1 - 6/6 = 0.0
+    assert got[(1, 5)] == 0.0

@@ -676,3 +676,22 @@ def test_keep_best_losers_is_pair_source_agnostic(spark):
     losers = keep_best_losers(pairs, quality, src="a", dst="b")
     got = sorted(r["doc_id"] for r in losers.collect())
     assert got == [1, 3, 8]
+
+
+def test_edit_similarity_joins_broadcast_pairs_never_shuffle_text(spark):
+    """r14: edit_similarity_pairs must broadcast the (post-aggregate,
+    dedup-rate-sized) pair side on BOTH text joins and stream the
+    corpus text projection — a sort-merge here would shuffle the
+    100 TB text column for a candidate-sized verification."""
+    from mldag_spark.operators.dedup import edit_similarity_pairs
+
+    pairs = spark.createDataFrame([(1, 2), (3, 4)], "doc_a long, doc_b long")
+    texts = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(6)], "doc_id long, norm string"
+    )
+    plan = _plan(edit_similarity_pairs(pairs, texts, text_col="norm"))
+    # the formatted plan prints each node in the tree AND its detail
+    # section — two joins appear as two "BroadcastHashJoin Inner" rows
+    assert plan.count("BroadcastHashJoin Inner") == 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "levenshtein" in plan  # the JVM kernel, not a Python UDF
