@@ -270,39 +270,59 @@ def bloom_distinct_hits(
     aggregation is already spent on dedup counts hit shingles per
     document STATELESSLY with this (``stream_pipeline_clean``).
     Hashing is the same md5 double-hash arithmetic the builder and the
-    ANSI oracle replay (Python's md5-of-utf-8 == Spark's ``md5``), so
-    batch and streaming formulations agree bit-for-bit."""
-    import hashlib
-
+    ANSI oracle replay, and it runs JVM-SIDE: the distinct elements'
+    (h1, h2) pairs are computed with ``transform`` + the shared
+    ``_h1h2`` expressions (interpreted per element, but still the JVM
+    md5 kernel — a per-element Python ``hashlib`` loop here measured
+    orders slower, code-review r14 #5), and only two ``array<long>``
+    columns cross to Python, where the k bit tests run as ONE
+    flattened numpy pass per Arrow batch — the :func:`bloom_might_contain`
+    convention, row-batched."""
     bm = np.frombuffer(bitmap, dtype=np.uint8)
     if len(bm) * 8 != m_bits:
         raise ValueError("bitmap length does not match m_bits")
 
     @F.pandas_udf("int")
-    def _hits(arrays: pd.Series) -> pd.Series:
-        out = []
-        for arr in arrays:
-            if arr is None or len(arr) == 0:
-                out.append(0)
-                continue
-            n = 0
-            for s in set(arr):
-                if s is None:
-                    continue
-                md = hashlib.md5(s.encode("utf-8")).hexdigest()
-                h1, h2 = int(md[:8], 16), int(md[8:16], 16)
-                member = True
-                for i in range(k):
-                    p = (h1 + i * h2) % m_bits
-                    if not (bm[p >> 3] >> (p & 7)) & 1:
-                        member = False
-                        break
-                if member:
-                    n += 1
-            out.append(n)
-        return pd.Series(out, dtype="int32")
+    def _hits(h1s: pd.Series, h2s: pd.Series) -> pd.Series:
+        lens = np.fromiter(
+            (0 if a is None else len(a) for a in h1s),
+            dtype=np.int64, count=len(h1s),
+        )
+        total = int(lens.sum())
+        if total == 0:
+            return pd.Series(np.zeros(len(h1s), dtype=np.int32))
+        # float64 staging: a NULL element hashes to NULL -> NaN here,
+        # and is not a member (mirrors bloom_might_contain / the
+        # builder dropping NULLs); h-values < 2^32 and k*h2 < 2^35
+        # stay exactly representable
+        a = np.empty(total, dtype=np.float64)
+        b = np.empty(total, dtype=np.float64)
+        pos = 0
+        for x, y, n in zip(h1s, h2s, lens):
+            if n:
+                a[pos:pos + n] = np.asarray(x, dtype=np.float64)
+                b[pos:pos + n] = np.asarray(y, dtype=np.float64)
+                pos += n
+        ok = ~(np.isnan(a) | np.isnan(b))
+        aa = np.nan_to_num(a).astype(np.int64)
+        bb = np.nan_to_num(b).astype(np.int64)
+        for i in range(k):
+            p = (aa + i * bb) % m_bits
+            ok &= ((bm[p >> 3] >> (p & 7)) & 1).astype(bool)
+        # per-row sum of the flattened membership mask
+        csum = np.concatenate(([0], np.cumsum(ok.astype(np.int64))))
+        ends = np.cumsum(lens)
+        starts = ends - lens
+        return pd.Series((csum[ends] - csum[starts]).astype(np.int32))
 
     def apply(col: Column) -> Column:
-        return _hits(col)
+        uniq = F.array_distinct(col)
+        h1s = F.transform(
+            uniq, lambda s: _h1h2(s)[0]
+        )
+        h2s = F.transform(
+            uniq, lambda s: _h1h2(s)[1]
+        )
+        return _hits(h1s, h2s)
 
     return apply

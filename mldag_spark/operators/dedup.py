@@ -807,18 +807,28 @@ def keep_best_losers(
     and shuffle the corpus-sized quality frame (VERDICT r13 #1; plan
     pinned by tests/test_plans.py). The ranking window partitions by
     component over member rows only (cluster-sized, never
-    corpus-sized).
+    corpus-sized). Members MISSING from the quality frame rank LAST
+    (nulls-last), never silently vanish: a quality-known copy always
+    wins, and a fully-unknown cluster still keeps its min-id member.
     """
     from pyspark.sql.window import Window
 
     labels = connected_components(pairs, src, dst)
+    # LEFT join: a cluster member MISSING from the quality frame
+    # (quality computed over a filtered subset — easy when the miner
+    # ran over a superset) must still be ranked, not silently dropped
+    # from the window — an inner join here made the whole cluster
+    # survive dedup with no error (code-review r14 #3). Missing
+    # quality ranks LAST (nulls last), so a quality-known copy always
+    # beats a quality-unknown one and a fully-unknown cluster still
+    # keeps exactly its min-id member.
     members = (
         F.broadcast(labels)
-        .join(quality, labels["node"] == quality[id_col])
+        .join(quality, labels["node"] == quality[id_col], "left")
         .select("node", "component", quality_col)
     )
     w = Window.partitionBy("component").orderBy(
-        F.desc(quality_col), F.asc("node")
+        F.desc_nulls_last(quality_col), F.asc("node")
     )
     return (
         members.withColumn("_rk", F.row_number().over(w))

@@ -282,43 +282,27 @@ def extract_features_fitted(
     else:
         native = native.select("media_id", "mime", "n_bytes",
                                "features", "ok")
-        # a mismatched artifact would silently fit/project in the
-        # wrong dimension (code-review r13 late finding #2): check
-        # EVERY ok row's feature width against native_dim in one
-        # min/max aggregate — a first()-only probe passed
-        # inconsistent-width artifacts (e.g. a union of two runs) and
-        # later failed inside pca_fit with an opaque numpy shape
-        # error (ADVICE r13 #5); the aggregate is one cheap job over
-        # the parquet artifact, no decode
-        probe = (
-            native.filter(F.col("ok") & F.col("features").isNotNull())
-            .agg(
-                F.min(F.size("features")).alias("lo"),
-                F.max(F.size("features")).alias("hi"),
-            )
-            .first()
-        )
-        if probe["lo"] is not None and (
-            probe["lo"] != nd or probe["hi"] != nd
-        ):
-            got = (
-                str(probe["lo"])
-                if probe["lo"] == probe["hi"]
-                else f"{probe['lo']}..{probe['hi']} (inconsistent)"
-            )
-            raise ValueError(
-                f"native feature artifact has dim {got} but "
-                f"native_dim={nd}; the artifact must be produced at "
-                "the same native_dim"
-            )
     ok_feats = native.filter(
         F.col("ok") & F.col("features").isNotNull()
     )
     try:
+        # expect_dim makes pca_fit verify EVERY row's width inside
+        # the fit pass it already makes — a mismatched or
+        # inconsistent-width artifact (e.g. a union of two runs at
+        # different native_dim) is a clear error here, with no
+        # separate validation scan: an extra aggregate over a live
+        # (unwritten) native frame re-decoded the whole corpus
+        # (ADVICE r13 #5 + code-review r14 #4)
         mean, components, _eigvals = pca_fit(
-            ok_feats, vec_col="features", r=dim
+            ok_feats, vec_col="features", r=dim, expect_dim=nd
         )
     except ValueError as e:
+        if "vectors of dim" in str(e):
+            raise ValueError(
+                f"native feature artifact width mismatch: {e}; the "
+                "artifact must be produced at the same native_dim "
+                f"(={nd})"
+            ) from None
         if "empty PCA fit input" not in str(e):
             raise
         # name the actual cause instead of pca_fit's opaque message —

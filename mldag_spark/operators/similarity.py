@@ -1334,6 +1334,7 @@ def pca_fit(
     corpus: DataFrame,
     vec_col: str = "embedding",
     r: int = 8,
+    expect_dim: Optional[int] = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Fit PCA over the corpus: returns (mean (d,), components (d, r),
     eigvals (r,)) with components sign-canonicalized (the largest-
@@ -1342,11 +1343,23 @@ def pca_fit(
     under any partitioning. One distributed pass: per-partition
     (n, Σx, Σxxᵀ) partials via one syrk-style matmul per Arrow batch,
     driver collects ≤|partitions| rows and runs the O(d³) eigh on the
-    d×d covariance."""
-    first = corpus.select(vec_col).first()
-    if first is None:
-        raise ValueError("empty PCA fit input")
-    dim = len(first[0])
+    d×d covariance.
+
+    ``expect_dim`` (r14, code-review r14 #4): when the caller knows
+    the width by contract (a featurizer artifact), pass it — the
+    first() dim probe job is skipped, and the partials kernel
+    verifies EVERY row's width in the same pass it already makes,
+    surfacing any mismatch as a clear driver-side ValueError naming
+    the observed width range instead of an opaque numpy shape error
+    (and instead of a separate validation scan — with a live decode
+    lineage that scan re-decoded the whole corpus)."""
+    if expect_dim is None:
+        first = corpus.select(vec_col).first()
+        if first is None:
+            raise ValueError("empty PCA fit input")
+        dim = len(first[0])
+    else:
+        dim = int(expect_dim)
     if not 1 <= r <= dim:
         raise ValueError(f"r must be in [1, {dim}]")
 
@@ -1354,21 +1367,52 @@ def pca_fit(
         n = 0
         s = np.zeros(dim)
         ss = np.zeros((dim, dim))
+        blo, bhi = None, None
         for pdf in batches:
             if not len(pdf):
                 continue
-            m = np.array(list(pdf[vec_col]), dtype=np.float64)
-            n += m.shape[0]
-            s += m.sum(axis=0)
-            ss += m.T @ m
-        if n:
+            lens = np.fromiter(
+                (len(x) for x in pdf[vec_col]),
+                dtype=np.int64, count=len(pdf),
+            )
+            good = lens == dim
+            if not good.all():
+                bad = lens[~good]
+                lo, hi = int(bad.min()), int(bad.max())
+                blo = lo if blo is None else min(blo, lo)
+                bhi = hi if bhi is None else max(bhi, hi)
+            rows_ok = (
+                list(pdf[vec_col])
+                if good.all()
+                else [x for x, g in zip(pdf[vec_col], good) if g]
+            )
+            if rows_ok:
+                m = np.array(rows_ok, dtype=np.float64)
+                n += m.shape[0]
+                s += m.sum(axis=0)
+                ss += m.T @ m
+        if n or blo is not None:
             yield pd.DataFrame(
-                {"n": [n], "s": [s.tolist()], "ss": [ss.ravel().tolist()]}
+                {"n": [n], "s": [s.tolist()], "ss": [ss.ravel().tolist()],
+                 "blo": [blo], "bhi": [bhi]}
             )
 
     rows = corpus.select(vec_col).mapInPandas(
-        partials, "n long, s array<double>, ss array<double>"
+        partials,
+        "n long, s array<double>, ss array<double>, blo int, bhi int",
     ).collect()
+    bad_lo = min((r0["blo"] for r0 in rows if r0["blo"] is not None),
+                 default=None)
+    bad_hi = max((r0["bhi"] for r0 in rows if r0["bhi"] is not None),
+                 default=None)
+    if bad_lo is not None:
+        got = (str(bad_lo) if bad_lo == bad_hi
+               else f"{bad_lo}..{bad_hi} (inconsistent)")
+        raise ValueError(
+            f"PCA fit input has vectors of dim {got}, expected {dim}"
+        )
+    if not any(row["n"] for row in rows):
+        raise ValueError("empty PCA fit input")
     n = sum(row["n"] for row in rows)
     s = np.sum([row["s"] for row in rows], axis=0)
     ss = np.sum([row["ss"] for row in rows], axis=0).reshape(dim, dim)

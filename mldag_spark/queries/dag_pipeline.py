@@ -532,13 +532,13 @@ def build_clean_pack_dag(spark: SparkSession):
     """The six-node clean → dedup → score → decontaminate → pack DAG
     behind ``dag_pipeline_clean_pack``, exposed so the physical-view
     golden (tests/test_display.py) can explain the composed run."""
-    from pyspark.sql.window import Window
-
-    from mldag_spark.functions import normalize_text
     from mldag_spark.operators.packing import token_budget_batches
     from mldag_spark.queries.text import (
         _split_bucket,
         contaminated_train_ids,
+        pipeline_clean_stage,
+        pipeline_dedup_stage,
+        pipeline_gate_exprs,
     )
 
     dag = m.MLDag()
@@ -546,26 +546,21 @@ def build_clean_pack_dag(spark: SparkSession):
     def load_docs(sf_dir):
         return load(spark, sf_dir, "documents")
 
+    # the clean/dedup/gate stage bodies are the SHARED front-half
+    # contract (queries/text.py) — one definition across this DAG,
+    # the fit_apply variant, and the streaming twin (code-review
+    # r14 #6); node names stay pinned by the physical-view golden
     def clean(docs):
-        return docs.select(
-            "doc_id", normalize_text(F.col("text")).alias("clean")
-        )
+        return pipeline_clean_stage(docs)
 
     def dedup_exact(cleaned):
-        w = Window.partitionBy(F.md5(F.col("clean"))).orderBy("doc_id")
-        return (
-            cleaned.withColumn("_rk", F.row_number().over(w))
-            .filter(F.col("_rk") == 1)
-            .drop("_rk")
-        )
+        return pipeline_dedup_stage(cleaned)
 
     def quality_gate(deduped):
-        toks = F.split(F.col("clean"), " ")  # clean is pre-normalized
-        n = F.size(toks)
-        dr = F.size(F.array_distinct(toks)).cast("double") / n
+        n, _dr, keep = pipeline_gate_exprs()
         return deduped.select(
             "doc_id", "clean", n.alias("n_tokens")
-        ).filter(n.between(5, 1000) & (dr > 0.3))
+        ).filter(keep)
 
     def decontaminate(scored):
         # the contamination RULE (bucket split, shingle width,
@@ -670,37 +665,31 @@ def build_fit_apply_dag(spark: SparkSession):
     (tests/test_display.py)."""
     from pyspark.ml.feature import StandardScaler
     from pyspark.ml.functions import array_to_vector, vector_to_array
-    from pyspark.sql.window import Window
 
-    from mldag_spark.functions import normalize_text
-    from mldag_spark.queries.text import _split_bucket
+    from mldag_spark.queries.text import (
+        _split_bucket,
+        pipeline_clean_stage,
+        pipeline_dedup_stage,
+        pipeline_gate_exprs,
+    )
 
     dag = m.MLDag()
 
     def load_docs(sf_dir):
         return load(spark, sf_dir, "documents")
 
+    # shared front-half contract (queries/text.py) — see
+    # build_clean_pack_dag; lang rides along for the per-lang stats
     def clean(docs):
-        return docs.select(
-            "doc_id", "lang", normalize_text(F.col("text")).alias("clean")
-        )
+        return pipeline_clean_stage(docs, "lang")
 
     def dedup_exact(cleaned):
-        # same keep-first contract as dag_pipeline_clean_pack: one
-        # corpus shuffle keyed by the md5 content hash
-        w = Window.partitionBy(F.md5(F.col("clean"))).orderBy("doc_id")
-        return (
-            cleaned.withColumn("_rk", F.row_number().over(w))
-            .filter(F.col("_rk") == 1)
-            .drop("_rk")
-        )
+        return pipeline_dedup_stage(cleaned)
 
     def featurize(deduped):
-        toks = F.split(F.col("clean"), " ")  # clean is pre-normalized
-        n = F.size(toks)
-        dr = F.size(F.array_distinct(toks)).cast("double") / n
+        n, dr, keep = pipeline_gate_exprs()
         return (
-            deduped.filter(n.between(5, 1000) & (dr > 0.3))
+            deduped.filter(keep)
             .select(
                 "doc_id",
                 "lang",

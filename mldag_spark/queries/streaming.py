@@ -543,28 +543,24 @@ def stream_pipeline_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup state carries the representative text; a production run
     keeps (hash, doc_id) state and re-joins text from storage, which
     changes bytes-in-state, not survivors."""
-    from pyspark.sql.window import Window
-
-    from mldag_spark.functions import normalize_text, shingle_rows
+    from mldag_spark.functions import shingle_rows
     from mldag_spark.operators.bloom import bloom_build, bloom_distinct_hits
     from mldag_spark.queries.tables import load
-    from mldag_spark.queries.text import _BLOOM_M, _split_bucket
+    from mldag_spark.queries.text import (
+        _BLOOM_M,
+        _split_bucket,
+        pipeline_clean_stage,
+        pipeline_dedup_stage,
+        pipeline_gate_exprs,
+    )
 
-    # batch-side bloom artifact over the pipeline's own test split
+    # batch-side bloom artifact over the pipeline's own test split —
+    # built with the SHARED front-half stage contract (queries/
+    # text.py; code-review r14 #6), so it can never drift from the
+    # streaming formulation below or the batch pipeline DAGs
     d = load(spark, sf_dir, "documents")
-    cleaned = d.select(
-        "doc_id", normalize_text(F.col("text")).alias("clean")
-    )
-    w = Window.partitionBy(F.md5(F.col("clean"))).orderBy("doc_id")
-    deduped = (
-        cleaned.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") == 1)
-        .drop("_rk")
-    )
-    toks = F.split(F.col("clean"), " ")
-    n = F.size(toks)
-    dr = F.size(F.array_distinct(toks)).cast("double") / n
-    scored = deduped.filter(n.between(5, 1000) & (dr > 0.3))
+    _n, _dr, keep = pipeline_gate_exprs()
+    scored = pipeline_dedup_stage(pipeline_clean_stage(d)).filter(keep)
     test = scored.withColumn("bucket", _split_bucket()).filter(
         F.col("bucket") >= 90
     )
@@ -574,9 +570,7 @@ def stream_pipeline_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_hits = bloom_distinct_hits(bitmap, m_bits=_BLOOM_M)
 
-    stream = S.documents_stream(spark, sf_dir).select(
-        "doc_id", normalize_text(F.col("text")).alias("clean")
-    )
+    stream = pipeline_clean_stage(S.documents_stream(spark, sf_dir))
     agg = stream.groupBy(F.md5(F.col("clean")).alias("_h")).agg(
         F.min("doc_id").alias("doc_id"), F.min("clean").alias("clean")
     )
@@ -584,17 +578,10 @@ def stream_pipeline_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         "transform(sequence(1, size(split(clean, ' ')) - 4),"
         " i -> array_join(slice(split(clean, ' '), i, 5), ' '))"
     )
+    n_toks, _dr2, keep2 = pipeline_gate_exprs()
     out = (
-        agg.withColumn("n_tokens", F.size(F.split(F.col("clean"), " ")))
-        .withColumn(
-            "_dr",
-            F.size(F.array_distinct(F.split(F.col("clean"), " ")))
-            .cast("double")
-            / F.size(F.split(F.col("clean"), " ")),
-        )
-        .filter(
-            F.col("n_tokens").between(5, 1000) & (F.col("_dr") > 0.3)
-        )
+        agg.withColumn("n_tokens", n_toks)
+        .filter(keep2)
         .withColumn("bucket", _split_bucket())
         .filter(F.col("bucket") < 80)
         .withColumn("n_hits", n_hits(shingle_arr))

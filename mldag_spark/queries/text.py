@@ -727,9 +727,14 @@ def dedup_keep_best_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROUND(CAST(p.n_common AS DOUBLE)
                      / (len(ta.sh) + len(tb.sh) - p.n_common), 4)
                    AS jaccard,
-               ROUND(1.0 - CAST(levenshtein(ta.norm, tb.norm) AS DOUBLE)
-                     / greatest(len(ta.norm), len(tb.norm)), 4)
-                   AS edit_sim
+               -- two empty-normalized docs: defined as identical
+               -- (1.0), mirroring the operator's divide-by-zero guard
+               CASE WHEN greatest(len(ta.norm), len(tb.norm)) = 0
+                    THEN 1.0
+                    ELSE ROUND(1.0
+                         - CAST(levenshtein(ta.norm, tb.norm) AS DOUBLE)
+                         / greatest(len(ta.norm), len(tb.norm)), 4)
+               END AS edit_sim
         FROM pairs p
         JOIN t ta ON ta.doc_id = p.doc_a
         JOIN t tb ON tb.doc_id = p.doc_b
@@ -1237,6 +1242,52 @@ _DECON_ORACLE = """
     WHERE t.bucket < 80
       AND d.doc_id NOT IN (SELECT DISTINCT train_doc FROM dirty)
 """
+
+
+# ---------------------------------------------------------------------------
+# The pipeline front-half CONTRACT (r14, code-review r14 #6): the
+# clean → exact-dedup → quality-gate stages are shared by the batch
+# pipeline DAGs (dag_pipeline_clean_pack, dag_pipeline_fit_apply) and
+# the streaming twin (stream_pipeline_clean) — one definition, so the
+# keep-first rule and the gate thresholds cannot drift between the
+# three compositions (the contaminated_train_ids precedent).
+# ---------------------------------------------------------------------------
+
+_GATE_MIN_TOKENS = 5
+_GATE_MAX_TOKENS = 1000
+_GATE_MIN_DIVERSITY = 0.3
+
+
+def pipeline_clean_stage(docs: DataFrame, *carry: str) -> DataFrame:
+    """(doc_id, *carry, clean) — the normalize stage (map-only JVM)."""
+    return docs.select(
+        "doc_id", *carry, normalize_text(F.col("text")).alias("clean")
+    )
+
+
+def pipeline_dedup_stage(cleaned: DataFrame) -> DataFrame:
+    """Exact dedup, keep-first (min doc_id) per md5 content hash —
+    ONE corpus shuffle keyed by the hash; the cleaned text rides this
+    exchange once (measured: SCALING ``pipeline_clean_pack``)."""
+    w = Window.partitionBy(F.md5(F.col("clean"))).orderBy("doc_id")
+    return (
+        cleaned.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+
+
+def pipeline_gate_exprs():
+    """(n_tokens, diversity, keep) expressions over a pre-normalized
+    ``clean`` column — token-count band + lexical-diversity floor,
+    per-row codegen (no shuffle)."""
+    toks = F.split(F.col("clean"), " ")
+    n = F.size(toks)
+    dr = F.size(F.array_distinct(toks)).cast("double") / n
+    keep = n.between(_GATE_MIN_TOKENS, _GATE_MAX_TOKENS) & (
+        dr > _GATE_MIN_DIVERSITY
+    )
+    return n, dr, keep
 
 
 def contaminated_train_ids(
@@ -3542,7 +3593,15 @@ def _bpe_oracle_ctes(n_merges: int) -> str:
                            lower(text), '\\s+', ' ', 'g')), ' ')) AS w
                 FROM documents WHERE text IS NOT NULL
             ) AS toks
-            WHERE w <> '' GROUP BY w
+            -- mirror word_vocab's delimiter exclusion (r14, ADVICE
+            -- r13 #1): words containing SOH/EOT cannot be represented
+            -- in the delimited encoding and are excluded on BOTH
+            -- engines; such a word still reaches the ENCODE oracle's
+            -- corpus side (docw) and counts as OOV there, matching
+            -- the Spark LEFT join
+            WHERE w <> '' AND NOT contains(w, '{soh}')
+              AND NOT contains(w, '{eot}')
+            GROUP BY w
         ) AS vocab
     )"""]
     for i in range(n_merges):

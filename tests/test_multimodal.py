@@ -882,10 +882,14 @@ def test_fitted_featurizer_rejects_inconsistent_artifact(tmp_path, spark):
         dim=8, engine="native",
     ).write.parquet(b)
     mixed = spark.read.parquet(a).unionByName(spark.read.parquet(b))
-    with pytest.raises(ValueError, match="inconsistent"):
+    # expect 16: the 8-wide half is the mismatch, named precisely
+    with pytest.raises(ValueError, match="vectors of dim 8, expected 16"):
         extract_features_fitted(media, dim=4, native=mixed)
+    # expect 32: BOTH halves are wrong -> the range reads inconsistent
+    with pytest.raises(ValueError, match="dim 8..16 \\(inconsistent\\)"):
+        extract_features_fitted(media, dim=8, native=mixed)
     # a uniformly WRONG width still names the mismatch
-    with pytest.raises(ValueError, match="has dim 8"):
+    with pytest.raises(ValueError, match="vectors of dim 8"):
         extract_features_fitted(
             media, dim=4, native=spark.read.parquet(b)
         )

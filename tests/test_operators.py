@@ -2678,3 +2678,54 @@ def test_edit_similarity_pairs_values_and_empty_guard(spark):
     assert got[(3, 4)] == 1.0  # both empty: defined as identical
     # lev(kitten, abc) = 6 (len 6 vs 3) -> 1 - 6/6 = 0.0
     assert got[(1, 5)] == 0.0
+
+
+def test_bloom_distinct_hits_matches_relational_probe(spark):
+    """The per-row hit counter (streaming form) must agree with the
+    bloom_might_contain relational formulation element-for-element —
+    including duplicate elements (counted once), null elements (not
+    members), and empty/null arrays (0 hits)."""
+    from mldag_spark.operators.bloom import (
+        bloom_build,
+        bloom_distinct_hits,
+        bloom_might_contain,
+    )
+
+    vals = spark.createDataFrame(
+        [(f"tok{i}",) for i in range(50)], ["s"]
+    )
+    m_bits = 1 << 16
+    bitmap = bloom_build(vals, "s", m_bits=m_bits, k=4)
+    probe = bloom_might_contain(bitmap, m_bits=m_bits, k=4)
+    hits = bloom_distinct_hits(bitmap, m_bits=m_bits, k=4)
+
+    arrs = spark.createDataFrame(
+        [
+            (1, ["tok1", "tok2", "tok2", "nope"]),
+            (2, ["absent", "missing"]),
+            (3, []),
+            (4, None),
+            (5, ["tok7", None, "tok7"]),
+        ],
+        "rid long, arr array<string>",
+    )
+    got = {
+        r["rid"]: r["n"]
+        for r in arrs.select(
+            "rid", hits(F.col("arr")).alias("n")
+        ).collect()
+    }
+    # relational reference: explode -> distinct -> probe -> count
+    ref_rows = (
+        arrs.select("rid", F.explode_outer("arr").alias("s"))
+        .distinct()
+        .withColumn("m", probe(F.col("s")))
+        .groupBy("rid")
+        .agg(F.sum(F.col("m").cast("int")).alias("n"))
+        .collect()
+    )
+    ref = {r["rid"]: int(r["n"] or 0) for r in ref_rows}
+    assert got[1] == ref[1] >= 2   # tok1, tok2 members; dup counted once
+    assert got[5] == ref[5]        # null element not a member
+    assert got[2] == ref[2]        # possible deterministic FPs agree too
+    assert got[3] == 0 and got[4] == 0

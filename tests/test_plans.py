@@ -676,6 +676,18 @@ def test_keep_best_losers_is_pair_source_agnostic(spark):
     losers = keep_best_losers(pairs, quality, src="a", dst="b")
     got = sorted(r["doc_id"] for r in losers.collect())
     assert got == [1, 3, 8]
+    # missing-quality members rank LAST, never silently vanish
+    # (code-review r14 #3): doc 3 absent from quality -> loses to the
+    # known-quality 1 and 2; cluster {7,8} fully unknown -> min id 7
+    # kept, 8 dropped (dedup still happens)
+    partial = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9)], "doc_id long, qs double"
+    )
+    got2 = sorted(
+        r["doc_id"]
+        for r in keep_best_losers(pairs, partial, src="a", dst="b").collect()
+    )
+    assert got2 == [1, 3, 8]
 
 
 def test_edit_similarity_joins_broadcast_pairs_never_shuffle_text(spark):
