@@ -75,3 +75,13 @@ def test_all_registered_queries_still_reachable():
     from mldag_spark.queries import REGISTRY
 
     assert set(entrymod.queries()) == set(REGISTRY)
+
+
+def test_entry_smoke(spark):
+    """The driver's first check: entry(spark) runs the flagship query
+    through the DAG engine and returns a materializable DataFrame with
+    a stable schema."""
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 1
+    assert df.columns[0] == "l_returnflag"
