@@ -326,3 +326,25 @@ def bloom_distinct_hits(
         return _hits(h1s, h2s)
 
     return apply
+
+
+def bloom_sized_m_bits(
+    n_elements: int, bits_per_element: int = 16,
+    floor_bits: int = BLOOM_M_BITS,
+) -> int:
+    """PRODUCTION bitmap sizing: the next power of two >=
+    ``bits_per_element``·``n_elements`` (16 bits/element keeps FPR
+    < 0.5 % at k=4), floored at the registry default. The r14
+    pipeline scale probe measured WHY this matters: a fixed 2^20-bit
+    filter over the sf10 test split's ~10⁷ distinct shingles
+    SATURATES — every bit set, every probe a hit, every train doc
+    "contaminated", zero survivors. A bloom's false-positive rate is
+    a sizing contract, not a constant; callers at scale must size
+    from a measured (or bounded) element count."""
+    if n_elements < 0:
+        raise ValueError("n_elements must be >= 0")
+    need = max(int(n_elements) * int(bits_per_element), int(floor_bits), 8)
+    m = 1
+    while m < need:
+        m <<= 1
+    return m

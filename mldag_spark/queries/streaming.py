@@ -539,10 +539,27 @@ def stream_pipeline_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The oracle replays all four stages plus the exact bloom
     arithmetic relationally — streaming/batch parity for the composed
-    pipeline, the gated property. Honest 100 TB note: complete-mode
-    dedup state carries the representative text; a production run
-    keeps (hash, doc_id) state and re-joins text from storage, which
-    changes bytes-in-state, not survivors."""
+    pipeline, the gated property. Honest 100 TB notes: (1)
+    complete-mode dedup state carries the representative text; a
+    production run keeps (hash, doc_id) state and re-joins text from
+    storage, which changes bytes-in-state, not survivors. (2) the
+    2^20-bit bitmap here is the ORACLE-pinned arithmetic, right for
+    gate-scale test splits; at scale a fixed-size filter SATURATES
+    (measured at sf10: every probe a hit → zero survivors) —
+    production sizes it with ``bloom_sized_m_bits`` from the test
+    split's measured shingle count (the ``m_bits`` parameter of
+    :func:`pipeline_clean_stream_frame`; sized-variant scale row in
+    SCALING ``stream_pipeline_clean``)."""
+    return pipeline_clean_stream_frame(spark, sf_dir)
+
+
+def pipeline_clean_stream_frame(
+    spark: SparkSession, sf_dir: str, m_bits: int | None = None
+) -> DataFrame:
+    """The composed streaming pipeline behind
+    ``stream_pipeline_clean``, with the bloom bitmap size exposed:
+    ``m_bits=None`` keeps the oracle-pinned 2^20 default; production
+    passes ``bloom_sized_m_bits(measured_test_shingles)``."""
     from mldag_spark.functions import shingle_rows
     from mldag_spark.operators.bloom import bloom_build, bloom_distinct_hits
     from mldag_spark.queries.tables import load
@@ -553,6 +570,9 @@ def stream_pipeline_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         pipeline_dedup_stage,
         pipeline_gate_exprs,
     )
+
+    if m_bits is None:
+        m_bits = _BLOOM_M
 
     # batch-side bloom artifact over the pipeline's own test split —
     # built with the SHARED front-half stage contract (queries/
@@ -566,9 +586,9 @@ def stream_pipeline_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sh = shingle_rows(test, "doc_id", "clean", 5, complete_only=True)
     bitmap = bloom_build(
-        sh.select(F.col("shingle").alias("s")), "s", m_bits=_BLOOM_M
+        sh.select(F.col("shingle").alias("s")), "s", m_bits=m_bits
     )
-    n_hits = bloom_distinct_hits(bitmap, m_bits=_BLOOM_M)
+    n_hits = bloom_distinct_hits(bitmap, m_bits=m_bits)
 
     stream = pipeline_clean_stage(S.documents_stream(spark, sf_dir))
     agg = stream.groupBy(F.md5(F.col("clean")).alias("_h")).agg(

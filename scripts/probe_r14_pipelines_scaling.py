@@ -70,6 +70,36 @@ def main() -> None:
             "overwrite"
         ).format("noop").save()
 
+    from pyspark.sql import functions as F
+
+    from mldag_spark.functions import shingle_rows
+    from mldag_spark.operators.bloom import bloom_sized_m_bits
+    from mldag_spark.queries.streaming import pipeline_clean_stream_frame
+    from mldag_spark.queries.text import (
+        _split_bucket,
+        pipeline_clean_stage,
+        pipeline_dedup_stage,
+        pipeline_gate_exprs,
+    )
+
+    def sized_m_bits(d):
+        # production sizing: measure the test split's distinct
+        # complete 5-gram count (one bounded aggregate) and size the
+        # bitmap at 16 bits/element
+        docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
+        _n, _dr, keep = pipeline_gate_exprs()
+        scored = pipeline_dedup_stage(pipeline_clean_stage(docs)).filter(
+            keep
+        )
+        test = scored.withColumn("bucket", _split_bucket()).filter(
+            F.col("bucket") >= 90
+        )
+        n_sh = (
+            shingle_rows(test, "doc_id", "clean", 5, complete_only=True)
+            .select("shingle").distinct().count()
+        )
+        return n_sh, bloom_sized_m_bits(n_sh)
+
     out = {
         name: {"session": "local[16]@6g/64", "probe_gate": PROBE_GATE,
                "points": {}}
@@ -82,6 +112,17 @@ def main() -> None:
             df = qs[name](spark, d)
             point["n_rows"] = df.count()
             point["wall_sec"] = round(time.time() - t0, 3)
+            if name == "stream_pipeline_clean":
+                # the gate query's fixed 2^20 bitmap saturates at
+                # scale (sf10: 0 survivors) — measure the
+                # production-SIZED variant alongside it
+                n_sh, m = sized_m_bits(d)
+                point["test_shingles_distinct"] = n_sh
+                point["sized_m_bits"] = m
+                t0 = time.time()
+                sdf = pipeline_clean_stream_frame(spark, d, m_bits=m)
+                point["sized_n_rows"] = sdf.count()
+                point["sized_wall_sec"] = round(time.time() - t0, 3)
             point["post_probe"] = probe()
             point["clean_flanks"] = (
                 point["pre_probe"] <= PROBE_GATE

@@ -2729,3 +2729,21 @@ def test_bloom_distinct_hits_matches_relational_probe(spark):
     assert got[5] == ref[5]        # null element not a member
     assert got[2] == ref[2]        # possible deterministic FPs agree too
     assert got[3] == 0 and got[4] == 0
+
+
+def test_bloom_sized_m_bits_contract():
+    """Production bitmap sizing: next power of two over 16n, floored
+    at the registry default — the r14 scale probe measured a fixed
+    2^20 filter saturating over an sf10 test split (0 survivors)."""
+    import pytest
+
+    from mldag_spark.operators.bloom import bloom_sized_m_bits
+
+    assert bloom_sized_m_bits(0) == 1 << 20
+    assert bloom_sized_m_bits(65_536) == 1 << 20       # 16n == floor
+    assert bloom_sized_m_bits(65_537) == 1 << 21
+    assert bloom_sized_m_bits(10_000_000) == 1 << 28
+    assert bloom_sized_m_bits(100, bits_per_element=8,
+                              floor_bits=8) == 1024
+    with pytest.raises(ValueError):
+        bloom_sized_m_bits(-1)
