@@ -1434,7 +1434,12 @@ def text_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle replays the exact bloom arithmetic (position-set
     semi-join), so the gate compares identical results, FPs
     included; tests/test_operators.py pins the superset property
-    (bloom drops ⊇ exact drops) against the exact pass."""
+    (bloom drops ⊇ exact drops) against the exact pass. The 2^20
+    size is the ORACLE-pinned gate arithmetic; at scale a fixed
+    filter saturates into all-drops (measured, SCALING
+    ``stream_pipeline_clean``) — production sizes via
+    ``operators.bloom.bloom_sized_m_bits`` from the measured test
+    shingle count."""
     d = load(spark, sf_dir, "documents")
     docs = d.withColumn("bucket", _split_bucket())
     bitmap = decontamination_bloom(docs)
