@@ -269,3 +269,28 @@ def test_incremental_dedup_stream_matches_batch(spark, tmp_path):
         (r["batch_id"], r["index_id"], r["jaccard"])
         for r in spark.read.parquet(out2).collect()
     ) == want
+
+
+def test_pipeline_clean_stream_sized_bitmap_matches_gate_at_floor(spark, sf_dir):
+    """The m_bits parameter's contract: bloom_sized_m_bits floors at
+    the gate default, so at gate scale the production-sized pipeline
+    is BIT-IDENTICAL to the registered (oracle-pinned) query — sizing
+    only diverges when the test split actually outgrows 2^20 bits
+    (the measured sf3/sf10 saturation regime)."""
+    from mldag_spark.operators.bloom import bloom_sized_m_bits
+    from mldag_spark.queries.streaming import (
+        pipeline_clean_stream_frame,
+        stream_pipeline_clean,
+    )
+
+    m = bloom_sized_m_bits(1000)  # gate-scale shingle counts << floor
+    assert m == 1 << 20
+    fixed = sorted(
+        (r["doc_id"], r["n_tokens"])
+        for r in stream_pipeline_clean(spark, sf_dir).collect()
+    )
+    sized = sorted(
+        (r["doc_id"], r["n_tokens"])
+        for r in pipeline_clean_stream_frame(spark, sf_dir, m_bits=m).collect()
+    )
+    assert fixed == sized and len(fixed) > 0
