@@ -1454,11 +1454,18 @@ def _split_bucket():
     )
 
 
-def decontamination_bloom(docs: DataFrame) -> bytes:
-    """Build the test-split bloom (2^20 bits, k=4) from a documents
-    frame carrying the md5 ``bucket`` column — one map-only pass over
-    the test slice's complete 5-grams (dup-bearing rows: the OR is
-    idempotent, so no distinct and no shuffle)."""
+def decontamination_bloom(
+    docs: DataFrame, m_bits: int = _BLOOM_M
+) -> bytes:
+    """Build the test-split bloom (k=4; ``m_bits`` defaults to the
+    oracle-pinned 2^20) from a documents frame carrying the md5
+    ``bucket`` column — one map-only pass over the test slice's
+    complete 5-grams (dup-bearing rows: the OR is idempotent, so no
+    distinct and no shuffle). Production sizes ``m_bits`` via
+    ``operators.bloom.bloom_sized_m_bits`` from the measured test
+    shingle count — the r14 scale probe showed a fixed filter
+    SATURATING into all-drops at sf10 (SCALING
+    ``stream_pipeline_clean``)."""
     from mldag_spark.functions import shingle_rows
     from mldag_spark.operators.bloom import bloom_build
 
@@ -1467,7 +1474,7 @@ def decontamination_bloom(docs: DataFrame) -> bytes:
         complete_only=True,
     )
     return bloom_build(sh.select(F.col("shingle").alias("s")),
-                       "s", m_bits=_BLOOM_M)
+                       "s", m_bits=m_bits)
 
 
 def bloom_survivors(train_docs: DataFrame, bitmap: bytes) -> DataFrame:
@@ -1477,11 +1484,14 @@ def bloom_survivors(train_docs: DataFrame, bitmap: bytes) -> DataFrame:
     probe on dup-bearing shingle rows (duplicates probe identically,
     so filter-then-distinct == distinct-then-filter), distinct on the
     HIT rows only (contamination-sized), >= 3 distinct-hit docs drop,
-    survivors (doc_id, source, n_chars)."""
+    survivors (doc_id, source, n_chars). ``m_bits`` is derived from
+    the bitmap itself, so a production-SIZED filter
+    (``bloom_sized_m_bits``) probes correctly with no extra
+    parameter."""
     from mldag_spark.functions import shingle_rows
     from mldag_spark.operators.bloom import bloom_might_contain
 
-    probe = bloom_might_contain(bitmap, m_bits=_BLOOM_M)
+    probe = bloom_might_contain(bitmap, m_bits=len(bitmap) * 8)
     sh = shingle_rows(
         train_docs, "doc_id", "text", 5, complete_only=True
     ).select("doc_id", F.col("shingle").alias("s"))
