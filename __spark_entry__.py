@@ -146,6 +146,14 @@ _GATE_ORDER = [
     # non-vacuous, 7/18 split at sf0.01), hash-green at sf0.001 +
     # sf0.01 before entering; text_bm25_topk banks after two green
     # gated rounds (r12-r13).
+    # r14 late debuts #2: the binary-quantization ANN pair —
+    # ann_hamming_topk (sign-sketch packing + popcount-xor coarse
+    # ranking, all-JVM, oracle replays the bit arithmetic) and
+    # ann_hamming_refined_topk (the production coarse→exact-cosine
+    # refine composition; true cosines, recall>=0.9 at refine=200
+    # pinned by test). Both hash-green at sf0.001 + sf0.01 before
+    # entering; kmeans_embedding_clusters and text_bigram_surprisal
+    # bank after two green gated rounds (r12-r13).
     #
     # DAG engine (fit/transform through the scheduler)
     "dag_pipeline_priority_revenue",
@@ -154,7 +162,6 @@ _GATE_ORDER = [
     "dag_pipeline_fit_apply",
     "dag_ml_standard_scaler",
     "dedup_semantic_clusters",
-    "kmeans_embedding_clusters",
     # Text analysis — unigram logprob keeps its r10 slot.
     # r11: text_shingle_novelty banks after two green gated rounds
     # (r9-r10, sf0.001 sweep continues) to make room for the r11-NEW
@@ -175,7 +182,6 @@ _GATE_ORDER = [
     # gated rounds (r10-r11) — events keeps four window entries.
     "text_filter_funnel",
     "text_top_terms",
-    "text_bigram_surprisal",
     "text_boilerplate_chunks",
     # Corpus statistics (r10: the four never-gated corpus ops)
     "corpus_bigram_coverage",
@@ -247,6 +253,8 @@ _GATE_ORDER = [
     # (r2-r10; its window-rides-join-exchange plan pin and the sf10
     # SCALING row stand) to make room for the r11-NEW video decode
     "ann_cosine_topk",
+    "ann_hamming_topk",
+    "ann_hamming_refined_topk",
     "embedding_near_dup_stats",
     "embedding_centroid_distances",
     # Structured Streaming

@@ -1430,3 +1430,129 @@ def embedding_effective_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("effective_rank", round(eff_rank, 4)),
     ]
     return spark.createDataFrame(out, "stat string, value double")
+
+
+@register(
+    "ann_hamming_topk",
+    oracle=f"""
+    WITH packed AS (
+        SELECT vec_id,
+               CAST(list_sum(list_transform(range(0, 32),
+                    i -> CASE WHEN embedding[i+1] >= 0
+                              THEN (1::BIGINT << i) ELSE 0 END))
+                    AS BIGINT) AS w0,
+               CAST(list_sum(list_transform(range(32, 64),
+                    i -> CASE WHEN embedding[i+1] >= 0
+                              THEN (1::BIGINT << (i - 32)) ELSE 0 END))
+                    AS BIGINT) AS w1
+        FROM embeddings
+    ), sims AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               CAST(bit_count(xor(q.w0, c.w0))
+                    + bit_count(xor(q.w1, c.w1)) AS INT) AS hamming
+        FROM packed q
+        JOIN packed c ON c.vec_id != q.vec_id
+        WHERE q.vec_id < {_N_QUERIES}
+    ), ranked AS (
+        SELECT query_id, neighbor_id, hamming,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY hamming, neighbor_id
+               ) AS rk
+        FROM sims
+    )
+    SELECT query_id, neighbor_id, hamming, rk FROM ranked WHERE rk <= 5
+    """,
+)
+def ann_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantization ANN (r14): sign-bit pack every vector into
+    two BIGINT words (16 B vs 256 B of floats), rank by
+    popcount-of-xor Hamming distance — the memory-bandwidth scale
+    path modern embedding indexes run as their coarse stage (sign
+    quantization preserves angular order in expectation:
+    P[bit differs] = θ/π, the SimHash estimator). Everything is JVM
+    codegen (static CASE-sum packing, ``bit_count``/``bitwiseXOR``
+    scan — no UDF, no floats touched after packing), and the DuckDB
+    oracle replays packing AND distance bit-for-bit. Recall vs the
+    exact cosine baseline is pinned by test, and production composes
+    this coarse stage with an exact-cosine refine exactly like
+    ``ann_pq_topk(refine=)``."""
+    from mldag_spark.operators.similarity import binary_sign_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    return binary_sign_topk(
+        corpus=emb,
+        queries=emb.filter(F.col("vec_id") < _N_QUERIES),
+        k=5,
+        dim=64,
+    )
+
+
+@register(
+    "ann_hamming_refined_topk",
+    oracle=f"""
+    WITH packed AS (
+        SELECT vec_id,
+               CAST(list_sum(list_transform(range(0, 32),
+                    i -> CASE WHEN embedding[i+1] >= 0
+                              THEN (1::BIGINT << i) ELSE 0 END))
+                    AS BIGINT) AS w0,
+               CAST(list_sum(list_transform(range(32, 64),
+                    i -> CASE WHEN embedding[i+1] >= 0
+                              THEN (1::BIGINT << (i - 32)) ELSE 0 END))
+                    AS BIGINT) AS w1
+        FROM embeddings
+    ), sims AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               bit_count(xor(q.w0, c.w0))
+                 + bit_count(xor(q.w1, c.w1)) AS hamming
+        FROM packed q
+        JOIN packed c ON c.vec_id != q.vec_id
+        WHERE q.vec_id < {_N_QUERIES}
+    ), coarse AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY hamming, neighbor_id
+                   ) AS crk
+            FROM sims
+        ) WHERE crk <= 200
+    ), scored AS (
+        SELECT s.query_id, s.neighbor_id,
+               ROUND(list_cosine_similarity(
+                   CAST(q.embedding AS DOUBLE[]),
+                   CAST(c.embedding AS DOUBLE[])), 6) AS cos
+        FROM coarse s
+        JOIN embeddings q ON q.vec_id = s.query_id
+        JOIN embeddings c ON c.vec_id = s.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos, rk FROM (
+        SELECT query_id, neighbor_id, cos,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+               ) AS rk
+        FROM scored
+    ) WHERE rk <= 5
+    """,
+)
+def ann_hamming_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION composition of binary quantization (r14):
+    sign-sketch Hamming coarse stage → exact-cosine refine on the
+    top-200 candidates — reported scores are TRUE cosines, the float
+    table streams against the broadcast candidate set (the PQ refine
+    law), and the whole pipeline (packing arithmetic, integer coarse
+    ranking, float refine ranking) is ANSI-replayed by the oracle.
+    Recall vs the exact baseline is a function of the refine width —
+    measured/pinned in tests/test_operators.py, with the widen knob
+    (more sketch bits via rotations) documented on the operator."""
+    from mldag_spark.operators.similarity import binary_sign_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    return binary_sign_topk(
+        corpus=emb,
+        queries=emb.filter(F.col("vec_id") < _N_QUERIES),
+        k=5,
+        dim=64,
+        refine=200,
+    )

@@ -2747,3 +2747,49 @@ def test_bloom_sized_m_bits_contract():
                               floor_bits=8) == 1024
     with pytest.raises(ValueError):
         bloom_sized_m_bits(-1)
+
+
+def test_binary_sign_topk_refine_recall_and_contracts(spark, sf_dir):
+    """Binary-quantization ANN operating points (r14): the sign-sketch
+    coarse stage is exact arithmetic (gated), and the refine
+    composition must (a) report TRUE cosines, (b) recover most of the
+    exact top-5 at refine=200 on this table (the 64-bit sketch's
+    measured operating point), (c) reject refine < k."""
+    import pytest
+
+    from mldag_spark.operators.similarity import (
+        binary_sign_topk,
+        brute_force_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, q, k=5)
+    refined = binary_sign_topk(emb, q, k=5, refine=200)
+    e = {(r["query_id"], r["neighbor_id"]): r["cos"] for r in exact.collect()}
+    r5 = {(r["query_id"], r["neighbor_id"]): r["cos"] for r in refined.collect()}
+    hits = set(e) & set(r5)
+    assert len(hits) / len(e) >= 0.9, f"recall {len(hits)/len(e)}"
+    # refined scores are the exact cosines, not approximations
+    assert all(e[kk] == r5[kk] for kk in hits)
+    with pytest.raises(ValueError, match="refine must be >= k"):
+        binary_sign_topk(emb, q, k=5, refine=3)
+
+
+def test_binary_sign_pack_is_exact_bit_layout(spark):
+    """Packing contract: bit i of word j set iff vec[32j+i] >= 0 —
+    pinned against a hand-built vector (incl. the 0.0 edge, which is
+    a SET bit on both engines)."""
+    from mldag_spark.operators.similarity import binary_sign_pack
+
+    vec = [0.0] * 64
+    vec[0] = -1.0   # bit 0 of w0 clear
+    vec[5] = 2.5    # bit 5 set (as is every >= 0 position)
+    vec[33] = -0.5  # bit 1 of w1 clear
+    df = spark.createDataFrame(
+        [(1, vec)], "vec_id long, embedding array<double>"
+    )
+    row = binary_sign_pack(df, dim=64).collect()[0]
+    all32 = (1 << 32) - 1
+    assert row["w0"] == all32 & ~(1 << 0)
+    assert row["w1"] == all32 & ~(1 << 1)
