@@ -154,6 +154,12 @@ _GATE_ORDER = [
     # pinned by test). Both hash-green at sf0.001 + sf0.01 before
     # entering; kmeans_embedding_clusters and text_bigram_surprisal
     # bank after two green gated rounds (r12-r13).
+    # r14 late debut #3: pack_batch_boundaries (per-batch document
+    # [begin,end) offsets — the block-diagonal attention-mask
+    # artifact over the packer's prefix sum), hash-green at sf0.001
+    # + sf0.01 before entering; stream_sliding_counts banks after
+    # two green gated rounds (r12-r13) — streaming keeps three
+    # window entries incl. the composed pipeline twin.
     #
     # DAG engine (fit/transform through the scheduler)
     "dag_pipeline_priority_revenue",
@@ -247,6 +253,7 @@ _GATE_ORDER = [
     "sample_balanced_per_lang",
     "sample_weighted_mix",
     "pack_token_budget_batches",
+    "pack_batch_boundaries",
     # Similarity search / embeddings (r10: the three never-gated
     # embedding diagnostics rotate in). r11 late rotation #2:
     # embedding_near_dup_blocked banks after nine green gated rounds
@@ -260,7 +267,6 @@ _GATE_ORDER = [
     # Structured Streaming
     "stream_incremental_dedup",
     "stream_image_decode",
-    "stream_sliding_counts",
     "stream_pipeline_clean",
     # Multimodal (media_stats banks green r1-r9; the two never-gated
     # multimodal audits rotate in, plus the r10-NEW real-codec WAV

@@ -1799,6 +1799,80 @@ def pack_token_budget_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pack_batch_boundaries",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))
+                   AS n_tokens
+        FROM documents
+    ), c AS (
+        SELECT doc_id, n_tokens,
+               CAST(SUM(n_tokens) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS global_cum
+        FROM t
+    ), b AS (
+        SELECT doc_id, n_tokens,
+               CAST((global_cum - n_tokens) // 4096 AS INT) AS batch_id,
+               global_cum - n_tokens AS gbegin
+        FROM c
+    )
+    SELECT doc_id, batch_id,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY batch_id ORDER BY gbegin
+           ) AS INT) AS seq_in_batch,
+           CAST(gbegin - batch_id * 4096 AS BIGINT) AS begin_off,
+           CAST(gbegin - batch_id * 4096 + n_tokens AS BIGINT) AS end_off
+    FROM b
+    """,
+)
+def pack_batch_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-batch DOCUMENT BOUNDARY offsets (r14) — the attention-mask
+    artifact sequence packing actually ships: a packed batch holds
+    several documents back to back, and the trainer needs each
+    document's [begin, end) token offsets within its batch to build
+    the block-diagonal attention mask (the "packing without
+    cross-contamination" requirement; an ``end_off`` past the 4096
+    budget marks the straddling document this greedy cum-sum packer
+    carries into the next batch). Composes directly on
+    ``pack_token_budget_batches``'s distributed prefix sum — no new
+    corpus pass — plus ONE batch-keyed ranking window whose input is
+    (doc_id, 4 ints) rows, text long gone; the per-batch partitions
+    are budget-bounded (≤ 4096 tokens ⇒ ≤ 820 docs at the 5-token
+    gate floor), so the added exchange is output-sized and skew-free
+    by construction."""
+    from mldag_spark.operators.packing import token_budget_batches
+
+    d = load(spark, sf_dir, "documents")
+    counts = d.select(
+        "doc_id", F.size(tokenize(F.col("text"))).alias("n_tokens")
+    )
+    packed = token_budget_batches(
+        counts, "doc_id", "n_tokens", max_tokens=4096
+    )
+    gbegin = (F.col("global_cum") - F.col("n_tokens")).cast("long")
+    w = Window.partitionBy("batch_id").orderBy("gbegin")
+    return (
+        packed.withColumn("gbegin", gbegin)
+        .withColumn("seq_in_batch", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "batch_id",
+            "seq_in_batch",
+            (F.col("gbegin") - F.col("batch_id").cast("long") * 4096)
+            .alias("begin_off"),
+            (
+                F.col("gbegin")
+                - F.col("batch_id").cast("long") * 4096
+                + F.col("n_tokens")
+            ).cast("long").alias("end_off"),
+        )
+    )
+
+
+@register(
     "sample_balanced_per_lang",
     oracle="""
     WITH ranked AS (
