@@ -2793,3 +2793,25 @@ def test_binary_sign_pack_is_exact_bit_layout(spark):
     all32 = (1 << 32) - 1
     assert row["w0"] == all32 & ~(1 << 0)
     assert row["w1"] == all32 & ~(1 << 1)
+
+
+def test_binary_sign_hamming_matches_numpy_reference(spark):
+    """Property pin: popcount-of-xor over the packed words equals the
+    sign-disagreement count numpy computes on the raw vectors, for
+    deterministic pseudo-random vectors including exact zeros."""
+    import numpy as np
+
+    from mldag_spark.operators.similarity import binary_sign_topk
+
+    rng = np.random.default_rng(7)
+    X = rng.standard_normal((40, 64))
+    X[X < 0.05] = np.where(X[X < 0.05] < 0, X[X < 0.05], 0.0)  # zeros
+    df = spark.createDataFrame(
+        [(i, X[i].tolist()) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    got = binary_sign_topk(df, df.filter(F.col("vec_id") < 3), k=39)
+    B = X >= 0
+    ref = (B[:3][:, None, :] != B[None, :, :]).sum(axis=2)
+    for r in got.collect():
+        assert r["hamming"] == int(ref[r["query_id"], r["neighbor_id"]])
