@@ -1550,15 +1550,23 @@ def binary_sign_topk(
     ranked hamming ASC with neighbor-id ties. ``refine=R``: take the
     hamming top-R candidates per query, recompute EXACT cosine on
     just those, and return (query_id, neighbor_id, cos, rk) — the
-    reported scores are true cosines, recall is a function of R
-    (measured on this table: a 64-bit sketch needs R≈200/500 docs
-    for ~0.95 coverage of the exact top-5, because a 1-bit/dim
-    θ/π estimator is high-variance at dim=64 — the documented widen
-    knob is more sketch bits via rotations, 256 bits → R≈50;
-    operating points pinned by test). Candidate ids broadcast back
+    reported scores are true cosines. Candidate ids broadcast back
     against the corpus floats (candidate-sized, the PQ refine law) —
     the float table is scanned, never shuffled. Both modes are
-    deterministic and ANSI-replayable end to end."""
+    deterministic and ANSI-replayable end to end.
+
+    MEASURED operating honesty (SCALING ``hamming_ann``): ``refine``
+    is a RECALL knob that must scale with the corpus — a 64-bit
+    sketch (1 bit/dim, the θ/π SimHash estimator, high-variance at
+    dim=64) reads recall@5 ≈ 0.9 at R=200 over 500 vectors but 0.46
+    at R=200 over 200k (R is effectively a corpus FRACTION here; the
+    widen knob is more sketch bits via rotations — 256 bits measured
+    ≈0.98 coverage at R=50). And at local scales the Arrow/BLAS float
+    scan simply WINS on wall (0.7–0.8 s vs 5.6–7.5 s at sf1–sf10):
+    the binary path's 32× memory cut buys footprint (bigger corpus
+    per executor, smaller broadcast/shuffle bytes), not single-node
+    wall — use it when the float table cannot fit the bandwidth
+    budget, not as a latency play."""
     nwords = -(-dim // 32)
     q = binary_sign_pack(
         queries, id_col, vec_col, dim, out_id="query_id", prefix="qw"
