@@ -1467,16 +1467,18 @@ def embedding_effective_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-quantization ANN (r14): sign-bit pack every vector into
     two BIGINT words (16 B vs 256 B of floats), rank by
-    popcount-of-xor Hamming distance — the memory-bandwidth scale
-    path modern embedding indexes run as their coarse stage (sign
+    popcount-of-xor Hamming distance — the memory-FOOTPRINT path
+    modern embedding indexes run as their coarse stage (sign
     quantization preserves angular order in expectation:
     P[bit differs] = θ/π, the SimHash estimator). Everything is JVM
     codegen (static CASE-sum packing, ``bit_count``/``bitwiseXOR``
     scan — no UDF, no floats touched after packing), and the DuckDB
-    oracle replays packing AND distance bit-for-bit. Recall vs the
-    exact cosine baseline is pinned by test, and production composes
-    this coarse stage with an exact-cosine refine exactly like
-    ``ann_pq_topk(refine=)``."""
+    oracle replays packing AND distance bit-for-bit — this entry is
+    the ARITHMETIC gate. The measured scale economics are recorded
+    honestly on the operator and SCALING ``hamming_ann``: at local
+    scales the Arrow/BLAS float scan wins on wall; the 32× byte cut
+    buys corpus-per-executor and broadcast/shuffle volume, and a
+    64-bit sketch needs corpus-fraction refine widths."""
     from mldag_spark.operators.similarity import binary_sign_topk
 
     emb = load(spark, sf_dir, "embeddings")
@@ -1543,9 +1545,13 @@ def ann_hamming_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     table streams against the broadcast candidate set (the PQ refine
     law), and the whole pipeline (packing arithmetic, integer coarse
     ranking, float refine ranking) is ANSI-replayed by the oracle.
-    Recall vs the exact baseline is a function of the refine width —
-    measured/pinned in tests/test_operators.py, with the widen knob
-    (more sketch bits via rotations) documented on the operator."""
+    Recall vs the exact baseline is a function of the refine width
+    RELATIVE TO CORPUS SIZE — ≥ 0.9 at refine=200 on the 500-vector
+    gate table (pinned in tests/test_operators.py), degrading to
+    0.46 at 200k vectors with the same fixed width (SCALING
+    ``hamming_ann``, recorded as the honest operating curve); the
+    widen knob (more sketch bits via rotations) is documented on the
+    operator."""
     from mldag_spark.operators.similarity import binary_sign_topk
 
     emb = load(spark, sf_dir, "embeddings")
