@@ -328,6 +328,15 @@ def bloom_distinct_hits(
     return apply
 
 
+# The double-hash positions are (h1 + i·h2) % m with h1, h2 drawn
+# from 32-bit md5 slices: for m > 2^32 the i=0 hash can only reach
+# the first 2^32 positions and the others cover skewed sub-ranges —
+# the uniformity (and therefore the FPR contract) silently breaks.
+# 2^32 bits = 512 MiB supports 2^28 (~268M) elements at 16 bits each;
+# beyond that, shard the element space across several filters.
+_BLOOM_MAX_M_BITS = 1 << 32
+
+
 def bloom_sized_m_bits(
     n_elements: int, bits_per_element: int = 16,
     floor_bits: int = BLOOM_M_BITS,
@@ -336,15 +345,28 @@ def bloom_sized_m_bits(
     ``bits_per_element``·``n_elements`` (16 bits/element keeps FPR
     < 0.5 % at k=4), floored at the registry default. The r14
     pipeline scale probe measured WHY this matters: a fixed 2^20-bit
-    filter over the sf10 test split's ~10⁷ distinct shingles
+    filter over the sf10 test split's ~2.2M distinct shingles
     SATURATES — every bit set, every probe a hit, every train doc
     "contaminated", zero survivors. A bloom's false-positive rate is
     a sizing contract, not a constant; callers at scale must size
-    from a measured (or bounded) element count."""
+    from a measured (or bounded) element count.
+
+    Raises above ``_BLOOM_MAX_M_BITS`` (2^32): the md5 double-hash
+    positions are 32-bit-derived, so a larger bitmap would be
+    NON-UNIFORMLY addressed and the FPR promise silently broken
+    (code-review r14 late #1) — at that scale shard the element
+    space across ``ceil(need / 2^32)`` filters instead."""
     if n_elements < 0:
         raise ValueError("n_elements must be >= 0")
     need = max(int(n_elements) * int(bits_per_element), int(floor_bits), 8)
     m = 1
     while m < need:
         m <<= 1
+    if m > _BLOOM_MAX_M_BITS:
+        raise ValueError(
+            f"bloom sizing needs {m} bits but the md5 double-hash "
+            f"addresses at most {_BLOOM_MAX_M_BITS} uniformly; shard "
+            f"the element space across {-(-need // _BLOOM_MAX_M_BITS)} "
+            "filters (one bloom per shard, probe all)"
+        )
     return m

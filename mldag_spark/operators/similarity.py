@@ -1567,6 +1567,10 @@ def binary_sign_topk(
     per executor, smaller broadcast/shuffle bytes), not single-node
     wall — use it when the float table cannot fit the bandwidth
     budget, not as a latency play."""
+    if refine is not None:
+        refine = int(refine)
+        if refine < k:
+            raise ValueError(f"refine must be >= k (got {refine} < {k})")
     nwords = -(-dim // 32)
     q = binary_sign_pack(
         queries, id_col, vec_col, dim, out_id="query_id", prefix="qw"
@@ -1591,12 +1595,10 @@ def binary_sign_topk(
     )
     coarse = (
         sims.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= (k if refine is None else int(refine)))
+        .filter(F.col("rk") <= (k if refine is None else refine))
     )
     if refine is None:
         return coarse.select("query_id", "neighbor_id", "hamming", "rk")
-    if refine < k:
-        raise ValueError(f"refine must be >= k (got {refine} < {k})")
     cand = coarse.select("query_id", "neighbor_id")
     cvec = corpus.select(
         F.col(id_col).alias("neighbor_id"),

@@ -1842,16 +1842,12 @@ def pack_batch_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, 4 ints) rows, text long gone; the per-batch partitions
     are budget-bounded (≤ 4096 tokens ⇒ ≤ 820 docs at the 5-token
     gate floor), so the added exchange is output-sized and skew-free
-    by construction."""
-    from mldag_spark.operators.packing import token_budget_batches
-
-    d = load(spark, sf_dir, "documents")
-    counts = d.select(
-        "doc_id", F.size(tokenize(F.col("text"))).alias("n_tokens")
-    )
-    packed = token_budget_batches(
-        counts, "doc_id", "n_tokens", max_tokens=4096
-    )
+    by construction. The packer itself is CALLED, not re-derived
+    (code-review r14 late #2): a budget or tokenization change in
+    ``pack_token_budget_batches`` flows through here by
+    construction, so the offsets always describe the batches the
+    packer actually emits."""
+    packed = pack_token_budget_batches(spark, sf_dir)
     gbegin = (F.col("global_cum") - F.col("n_tokens")).cast("long")
     w = Window.partitionBy("batch_id").orderBy("gbegin")
     return (

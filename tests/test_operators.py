@@ -2815,3 +2815,16 @@ def test_binary_sign_hamming_matches_numpy_reference(spark):
     ref = (B[:3][:, None, :] != B[None, :, :]).sum(axis=2)
     for r in got.collect():
         assert r["hamming"] == int(ref[r["query_id"], r["neighbor_id"]])
+
+
+def test_bloom_sized_m_bits_rejects_hash_range_overflow():
+    """Code-review r14 late #1: the md5 double-hash addresses 2^32
+    positions uniformly; a sizing request beyond that must be a loud
+    shard-your-elements error, never a silently non-uniform bitmap."""
+    import pytest
+
+    from mldag_spark.operators.bloom import bloom_sized_m_bits
+
+    assert bloom_sized_m_bits(1 << 28) == 1 << 32  # the ceiling itself
+    with pytest.raises(ValueError, match="shard the element space"):
+        bloom_sized_m_bits((1 << 28) + 1)
