@@ -47,6 +47,13 @@ def _h1h2(col: Column) -> tuple[Column, Column]:
     return h1, h2
 
 
+def _h3(col: Column) -> Column:
+    """Shard-routing hash: md5 chars 17–24 — disjoint from the
+    position hashes' chars 1–16, so routing never conditions a
+    shard's population on its position bits (bloom_build_sharded)."""
+    return F.conv(F.substring(F.md5(col), 17, 8), 16, 10).cast("long")
+
+
 # Above this many bytes of driver-bound partial bitmaps
 # (|partitions| × m/8), bloom_build switches to the distributed
 # chunk-keyed tree merge: a production-sized filter (m_bits = 2^30 →
@@ -370,3 +377,85 @@ def bloom_sized_m_bits(
             "filters (one bloom per shard, probe all)"
         )
     return m
+
+
+def bloom_build_sharded(
+    df: DataFrame,
+    col: str,
+    n_elements: int,
+    bits_per_element: int = 16,
+    k: int = BLOOM_K,
+) -> list[bytes]:
+    """The >2^32-bit regime :func:`bloom_sized_m_bits` refuses with
+    "shard the element space": build ``ceil(16n / 2^32)`` filters,
+    each owning the elements whose ``h1 % n_shards`` routes to it, so
+    every shard stays inside the md5 double-hash's uniform 2^32-bit
+    address range and the per-element FPR contract holds at ANY
+    element count. One filtered build pass per shard (production
+    persists the element frame once; shards build from the cached
+    scan); :func:`bloom_might_contain_sharded` routes probes by the
+    same arithmetic, so an element is tested against exactly the
+    filter that would have absorbed it.
+
+    Routing hashes md5 chars 17–24 (``_h3``) — a slice DISJOINT from
+    the position hashes' chars 1–16: routing by ``h1 % n_shards``
+    would condition each shard's population on ``h1``'s residue, and
+    whenever gcd(n_shards, m) > 1 the i=0 position ``h1 % m`` could
+    then only reach a fraction of the shard's bitmap — the same
+    non-uniformity class the 2^32 cap exists to prevent."""
+    if n_elements < 1:
+        raise ValueError("n_elements must be >= 1")
+    need = int(n_elements) * int(bits_per_element)
+    n_shards = max(1, -(-need // _BLOOM_MAX_M_BITS))
+    per_shard_m = bloom_sized_m_bits(
+        -(-int(n_elements) // n_shards), bits_per_element
+    )
+    h3 = _h3(F.col(col))
+    return [
+        bloom_build(
+            df.filter((h3 % n_shards) == s), col, m_bits=per_shard_m, k=k
+        )
+        for s in range(n_shards)
+    ]
+
+
+def bloom_might_contain_sharded(
+    bitmaps: list[bytes], k: int = BLOOM_K
+):
+    """Column function: membership probe against a sharded filter set
+    (:func:`bloom_build_sharded`) — route by the dedicated ``_h3``
+    slice, test the routed shard with the standard double-hash
+    arithmetic. All shard bitmaps ride the closure (total bytes =
+    16n/8 regardless of shard count)."""
+    if not bitmaps:
+        raise ValueError("bitmaps must be non-empty")
+    mb = [np.frombuffer(b, dtype=np.uint8) for b in bitmaps]
+    sizes = {len(b) for b in mb}
+    if len(sizes) != 1:
+        raise ValueError("all shard bitmaps must share one size")
+    m_bits = len(mb[0]) * 8
+    n_shards = len(mb)
+    stack = np.stack(mb)  # (n_shards, nbytes)
+
+    @F.pandas_udf("boolean")
+    def _probe(
+        h1: pd.Series, h2: pd.Series, h3: pd.Series
+    ) -> pd.Series:
+        if len(h1) == 0:
+            return pd.Series([], dtype="bool")
+        valid = h1.notna().to_numpy()
+        a = h1.fillna(0).to_numpy(dtype=np.int64)
+        b = h2.fillna(0).to_numpy(dtype=np.int64)
+        shard = (h3.fillna(0).to_numpy(dtype=np.int64) % n_shards)
+        ok = valid.copy()
+        for i in range(k):
+            p = (a + i * b) % m_bits
+            byte = stack[shard, p >> 3]
+            ok &= ((byte >> (p & 7)) & 1).astype(bool)
+        return pd.Series(ok)
+
+    def apply(col: Column) -> Column:
+        h1, h2 = _h1h2(col)
+        return _probe(h1, h2, _h3(col))
+
+    return apply

@@ -2828,3 +2828,47 @@ def test_bloom_sized_m_bits_rejects_hash_range_overflow():
     assert bloom_sized_m_bits(1 << 28) == 1 << 32  # the ceiling itself
     with pytest.raises(ValueError, match="shard the element space"):
         bloom_sized_m_bits((1 << 28) + 1)
+
+
+def test_sharded_bloom_membership_and_routing(spark):
+    """The sharded path the >2^32-bit error message prescribes: every
+    inserted element is found (zero false negatives by construction,
+    shard routing probe==build), absent elements mostly miss, and the
+    shard count follows the sizing arithmetic."""
+    from mldag_spark.operators.bloom import (
+        _BLOOM_MAX_M_BITS,
+        bloom_build_sharded,
+        bloom_might_contain_sharded,
+    )
+
+    vals = spark.createDataFrame([(f"tok{i}",) for i in range(500)], ["s"])
+    # force multiple shards with a tiny max via the element-count math:
+    # bits_per_element chosen so need > 2^32 would require huge n —
+    # instead verify single-shard equivalence AND multi-shard routing
+    # with a hand-forced shard count via monkeypatched ceiling
+    bitmaps = bloom_build_sharded(vals, "s", n_elements=500)
+    assert len(bitmaps) == 1  # under the ceiling: one shard
+    import mldag_spark.operators.bloom as bl
+
+    old = bl._BLOOM_MAX_M_BITS
+    try:
+        bl._BLOOM_MAX_M_BITS = 1 << 20  # force ~8 shards at 16 b/elem
+        sharded = bl.bloom_build_sharded(vals, "s", n_elements=500_000)
+    finally:
+        bl._BLOOM_MAX_M_BITS = old
+    assert len(sharded) == 8
+    probe = bloom_might_contain_sharded(sharded)
+    rows = (
+        spark.createDataFrame(
+            [(f"tok{i}",) for i in range(500)]
+            + [(f"absent{i}",) for i in range(500)],
+            ["s"],
+        )
+        .withColumn("m", probe(F.col("s")))
+        .collect()
+    )
+    present = [r["m"] for r in rows if r["s"].startswith("tok")]
+    absent = [r["m"] for r in rows if r["s"].startswith("absent")]
+    assert all(present), "sharded bloom must have zero false negatives"
+    # 500k-element sizing over 500 real elements: FPR ~ 0
+    assert sum(absent) <= 5
