@@ -786,6 +786,7 @@ def keep_best_losers(
     quality_col: str = "qs",
     src: str = "doc_a",
     dst: str = "doc_b",
+    broadcast_member_cap: int = 4_000_000,
 ) -> DataFrame:
     """Pair-source-AGNOSTIC quality-aware representative selection
     (r14, VERDICT r13 #2): near-dup PAIRS in (from ANY miner — the
@@ -797,36 +798,65 @@ def keep_best_losers(
     RefinedWeb/Gopher-style "keep the best copy" dedup; composing
     with :func:`minhash_lsh_pairs` makes this the 100 TB fuzzy path.
 
-    Plan shape: Large-Star/Small-Star closure over the pairs
-    (:func:`connected_components`, O(log² n) shuffle rounds), then ONE
-    join of the cluster-member labels against quality. The labels side
-    holds only pair-touched nodes — tiny by the dedup-rate law, never
-    corpus-sized — AND post-aggregate, exactly where Catalyst's
-    size estimate is garbage (the repo-wide law), so it is broadcast
-    EXPLICITLY — without the hint the optimizer can pick sort-merge
-    and shuffle the corpus-sized quality frame (VERDICT r13 #1; plan
-    pinned by tests/test_plans.py). The ranking window partitions by
-    component over member rows only (cluster-sized, never
-    corpus-sized). Members MISSING from the quality frame rank LAST
-    (nulls-last), never silently vanish: a quality-known copy always
-    wins, and a fully-unknown cluster still keeps its min-id member.
+    Plan shape (r15, VERDICT r14 #1a): Large-Star/Small-Star closure
+    over the pairs (:func:`connected_components`, O(log² n) shuffle
+    rounds), then the member set is COUNTED (one cheap job over the
+    persisted closure output — it is about to be window-ranked
+    anyway) and the labels⋈quality join strategy is picked from the
+    measured size, never guessed:
+
+    * ``n_members <= broadcast_member_cap`` — quality is first pruned
+      to member rows with a broadcast LEFT SEMI against the member-id
+      set (LeftSemi BuildRight — a broadcast hint on the PRESERVED
+      side of a left outer join is silently DROPPED by Spark 4.1, so
+      the r14 single-join form never actually broadcast labels), then
+      labels left-joins the now member-sized quality with the
+      broadcast on the BUILD (right) side. The 100 TB quality frame
+      is scanned map-only; nothing corpus-sized shuffles.
+    * above the cap — on a real web crawl near-dup rates run 30–80 %,
+      making the member set corpus-fraction-sized; broadcasting it
+      would OOM every executor (VERDICT r14 what's-wrong #1). Both
+      sides shuffle-join on node: member-count-sized exchange, never
+      a broadcast of an unbounded frame.
+
+    The cap's unit is MEMBER ROWS: a (long, double) pair costs ~64 B
+    in a broadcast hash relation, so the 4M default is ≈256 MiB
+    resident per executor — inside a standard 8 GiB executor's
+    broadcast budget; size it per deployment.
+
+    Both branches are plan-pinned by tests/test_plans.py. The ranking
+    window partitions by component over member rows only
+    (cluster-sized, never corpus-sized). Members MISSING from the
+    quality frame rank LAST (nulls-last), never silently vanish: a
+    quality-known copy always wins, and a fully-unknown cluster still
+    keeps its min-id member.
     """
+    from pyspark import StorageLevel
     from pyspark.sql.window import Window
 
-    labels = connected_components(pairs, src, dst)
-    # LEFT join: a cluster member MISSING from the quality frame
-    # (quality computed over a filtered subset — easy when the miner
-    # ran over a superset) must still be ranked, not silently dropped
-    # from the window — an inner join here made the whole cluster
-    # survive dedup with no error (code-review r14 #3). Missing
-    # quality ranks LAST (nulls last), so a quality-known copy always
-    # beats a quality-unknown one and a fully-unknown cluster still
-    # keeps exactly its min-id member.
-    members = (
-        F.broadcast(labels)
-        .join(quality, labels["node"] == quality[id_col], "left")
-        .select("node", "component", quality_col)
+    # persist before counting: the closure's final groupBy would
+    # otherwise recompute for the join; MEMORY_AND_DISK because the
+    # member set's size is exactly what we do not yet know. Left
+    # persisted for the caller's action (the connected_components
+    # final-snapshot convention); reclaimed by the context cleaner.
+    labels = connected_components(pairs, src, dst).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
+    n_members = labels.count()
+    q = quality.select(F.col(id_col).alias("node"), quality_col)
+    # LEFT join either way: a cluster member MISSING from the quality
+    # frame (quality computed over a filtered subset — easy when the
+    # miner ran over a superset) must still be ranked, not silently
+    # dropped from the window — an inner join here made the whole
+    # cluster survive dedup with no error (code-review r14 #3).
+    if n_members <= broadcast_member_cap:
+        member_q = q.join(
+            F.broadcast(labels.select("node")), "node", "left_semi"
+        )
+        members = labels.join(F.broadcast(member_q), "node", "left")
+    else:
+        members = labels.join(q, "node", "left")
+    members = members.select("node", "component", quality_col)
     w = Window.partitionBy("component").orderBy(
         F.desc_nulls_last(quality_col), F.asc("node")
     )
@@ -857,18 +887,28 @@ def edit_similarity_pairs(
     by the dedup-rate law, never corpus-quadratic — and the
     ``levenshtein`` kernel is JVM codegen, no Python anywhere.
 
-    Plan shape: two joins that each BROADCAST the pair-sized side
-    (pairs are post-aggregate → garbage size estimate → explicit
-    hint, the repo-wide law) and STREAM the corpus text projection —
-    the 100 TB text column is scanned, never shuffled.
+    Plan shape (r15, VERDICT r14 #1b): each text side is annotated
+    INDEPENDENTLY against a broadcast of the pair rows — ID columns
+    plus the miner's scalar metrics, never text, so broadcast bytes
+    stay n_pairs × O(16 B) no matter how long the documents are —
+    and the two pair-sized annotated halves then SHUFFLE-join on
+    (src, dst). The r14 form broadcast the first half WITH its text
+    column attached (broadcast bytes = n_pairs × doc_bytes — a
+    scale-killer on long-document corpora); document text now rides
+    only a pair-bounded exchange. The 100 TB corpus text projection
+    is scanned map-only against the broadcast pair IDs on both
+    sides, never shuffled. Plan pinned by tests/test_plans.py.
 
     Returns the pair columns + ``edit_sim`` (4 dp; 1.0 for two empty
     strings).
     """
     a = texts.select(F.col(id_col).alias(src), F.col(text_col).alias("_ta"))
     b = texts.select(F.col(id_col).alias(dst), F.col(text_col).alias("_tb"))
+    # half A carries pairs' scalar columns (jaccard etc.) so they
+    # survive to the output; half B joins the ID-only projection
     withe_a = a.join(F.broadcast(pairs), src)
-    both = b.join(F.broadcast(withe_a), dst)
+    withe_b = b.join(F.broadcast(pairs.select(src, dst)), dst)
+    both = withe_a.join(withe_b, [src, dst])
     maxlen = F.greatest(F.length("_ta"), F.length("_tb"))
     sim = F.when(maxlen == 0, F.lit(1.0)).otherwise(
         1.0 - F.levenshtein("_ta", "_tb").cast("double") / maxlen
