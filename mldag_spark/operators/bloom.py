@@ -402,7 +402,13 @@ def bloom_build_sharded(
     would condition each shard's population on ``h1``'s residue, and
     whenever gcd(n_shards, m) > 1 the i=0 position ``h1 % m`` could
     then only reach a fraction of the shard's bitmap — the same
-    non-uniformity class the 2^32 cap exists to prevent."""
+    non-uniformity class the 2^32 cap exists to prevent.
+
+    The multi-shard build runs one filtered pass per shard, so the
+    element frame is persisted INTERNALLY for the loop and released
+    before returning (ADVICE r14 #3) — callers no longer pay
+    ``n_shards`` re-scans of a 100 TB source, and no caching contract
+    leaks into the signature."""
     if n_elements < 1:
         raise ValueError("n_elements must be >= 1")
     need = int(n_elements) * int(bits_per_element)
@@ -411,12 +417,84 @@ def bloom_build_sharded(
         -(-int(n_elements) // n_shards), bits_per_element
     )
     h3 = _h3(F.col(col))
-    return [
-        bloom_build(
-            df.filter((h3 % n_shards) == s), col, m_bits=per_shard_m, k=k
+    if n_shards == 1:
+        return [bloom_build(df, col, m_bits=per_shard_m, k=k)]
+    from pyspark import StorageLevel
+
+    # DISK_ONLY: the frame is scanned once per shard and never
+    # random-accessed — buying heap with an over-2^32-element frame
+    # is all cost (the connected_components checkpoint rationale)
+    df = df.persist(StorageLevel.DISK_ONLY)
+    try:
+        return [
+            bloom_build(
+                df.filter((h3 % n_shards) == s), col,
+                m_bits=per_shard_m, k=k,
+            )
+            for s in range(n_shards)
+        ]
+    finally:
+        df.unpersist()
+
+
+def bloom_build_sized(
+    df: DataFrame,
+    col: str,
+    n_elements: int | None = None,
+    bits_per_element: int = 16,
+    k: int = BLOOM_K,
+    floor_bits: int = BLOOM_M_BITS,
+) -> list[bytes]:
+    """The production entry point (r15, VERDICT r14 #4): size from
+    the element count and route to ONE filter or the sharded set —
+    never an advice-bearing ValueError. Callers that used to call
+    :func:`bloom_sized_m_bits` + :func:`bloom_build` by hand (and
+    got a raise at >2^28 elements telling them to shard manually)
+    call this instead; probe the result with :func:`bloom_probe`.
+
+    ``n_elements=None`` measures the count with ONE
+    ``approx_count_distinct`` pass (map-side partial, no shuffle of
+    the elements) padded by 10 %: the sizer rounds up to the next
+    power of two anyway, so a ±5 % HLL estimate moves the effective
+    bits/element between ~15 and 32 — the FPR contract holds on
+    either side of the rounding boundary. Duplicate-bearing frames
+    are fine: sizing wants the DISTINCT count (duplicates set the
+    same bits), which is exactly what the sketch estimates.
+
+    Returns ``list[bytes]`` in both regimes (length 1 under the 2^32
+    cap) so the probe path is uniform."""
+    if n_elements is None:
+        row = df.filter(F.col(col).isNotNull()).agg(
+            F.approx_count_distinct(col).alias("n")
+        ).collect()[0]
+        n_elements = max(1, int(row["n"] * 1.1))
+    need = max(
+        int(n_elements) * int(bits_per_element), int(floor_bits), 8
+    )
+    if need <= _BLOOM_MAX_M_BITS:
+        m = bloom_sized_m_bits(
+            n_elements, bits_per_element, floor_bits=floor_bits
         )
-        for s in range(n_shards)
-    ]
+        return [bloom_build(df, col, m_bits=m, k=k)]
+    return bloom_build_sharded(
+        df, col, n_elements, bits_per_element=bits_per_element, k=k
+    )
+
+
+def bloom_probe(bitmaps: "bytes | list[bytes]", k: int = BLOOM_K):
+    """Column-function probe for either bloom regime: a single bitmap
+    (or 1-element list) gets the plain two-hash
+    :func:`bloom_might_contain`; a sharded set routes through
+    :func:`bloom_might_contain_sharded`. Membership arithmetic is
+    identical either way — routing only picks WHICH bitmap absorbs
+    an element, never where its bits land."""
+    if isinstance(bitmaps, (bytes, bytearray)):
+        return bloom_might_contain(bytes(bitmaps), m_bits=len(bitmaps) * 8, k=k)
+    if len(bitmaps) == 1:
+        return bloom_might_contain(
+            bitmaps[0], m_bits=len(bitmaps[0]) * 8, k=k
+        )
+    return bloom_might_contain_sharded(list(bitmaps), k=k)
 
 
 def bloom_might_contain_sharded(

@@ -345,64 +345,73 @@ def bpe_learn(
     if trainer not in ("auto", "local", "distributed"):
         raise ValueError(f"unknown trainer {trainer!r}")
     vocab: Optional[DataFrame] = None
-    if trainer == "auto":
-        if top_words is not None:
-            trainer = "local"
-        else:
-            # a COUNT respects the bounded-collect law (it pulls one
-            # number, not rows); limit(cap+1) bounds even the count's
-            # work for genuinely huge vocabularies. The vocabulary is
-            # built ONCE and persisted so the measurement and the
-            # chosen trainer share a single corpus aggregate —
-            # whichever route wins reads the cached frame instead of
-            # re-running the corpus explode (ADVICE r13 #2)
-            vocab = word_vocab(docs, text_col).persist()
-            measured = vocab.limit(_LOCAL_VOCAB_CAP + 1).count()
-            trainer = (
-                "local" if measured <= _LOCAL_VOCAB_CAP else "distributed"
-            )
-    if trainer == "local":
-        try:
+    # everything after vocab.persist() runs under ONE try/finally that
+    # releases it: the old form relied on the merge loop's finally, so
+    # a raise from the trainer count, _bpe_learn_local's setup, or
+    # symbolize()/persist() leaked the cached vocab frame across the
+    # ~150-query registry (ADVICE r14 #4)
+    try:
+        if trainer == "auto":
+            if top_words is not None:
+                trainer = "local"
+            else:
+                # a COUNT respects the bounded-collect law (it pulls
+                # one number, not rows); limit(cap+1) bounds even the
+                # count's work for genuinely huge vocabularies. The
+                # vocabulary is built ONCE and persisted so the
+                # measurement and the chosen trainer share a single
+                # corpus aggregate — whichever route wins reads the
+                # cached frame instead of re-running the corpus
+                # explode (ADVICE r13 #2)
+                vocab = word_vocab(docs, text_col).persist()
+                measured = vocab.limit(_LOCAL_VOCAB_CAP + 1).count()
+                trainer = (
+                    "local" if measured <= _LOCAL_VOCAB_CAP
+                    else "distributed"
+                )
+        if trainer == "local":
             return _bpe_learn_local(
                 docs, text_col, n_merges, top_words, vocab=vocab
             )
+        base = symbolize(
+            word_vocab(docs, text_col, top_words) if vocab is None else vocab
+        ).persist()
+        merges: list[Merge] = []
+        enc = base
+        chain_depth = 0
+        try:
+            for i in range(n_merges):
+                top = (
+                    _pair_counts(enc)
+                    .orderBy(F.col("c").desc(), "l", "r")
+                    .limit(1)
+                    .collect()
+                )
+                if not top:
+                    break  # vocabulary fully merged — nothing to pair
+                l, r, c = top[0]["l"], top[0]["r"], int(top[0]["c"])
+                merges.append(Merge(i + 1, l, r, c))
+                pat, rep = merge_pattern(l, r)
+                enc = enc.withColumn(
+                    "s", F.replace(F.col("s"), F.lit(pat), F.lit(rep))
+                )
+                chain_depth += 1
+                if (
+                    checkpoint_every is not None
+                    and chain_depth >= checkpoint_every
+                ):
+                    enc = _materialize_vocab(enc)
+                    chain_depth = 0
         finally:
-            if vocab is not None:
-                vocab.unpersist()
-    base = symbolize(
-        word_vocab(docs, text_col, top_words) if vocab is None else vocab
-    ).persist()
-    merges: list[Merge] = []
-    enc = base
-    chain_depth = 0
-    try:
-        for i in range(n_merges):
-            top = (
-                _pair_counts(enc)
-                .orderBy(F.col("c").desc(), "l", "r")
-                .limit(1)
-                .collect()
-            )
-            if not top:
-                break  # vocabulary fully merged — nothing left to pair
-            l, r, c = top[0]["l"], top[0]["r"], int(top[0]["c"])
-            merges.append(Merge(i + 1, l, r, c))
-            pat, rep = merge_pattern(l, r)
-            enc = enc.withColumn(
-                "s", F.replace(F.col("s"), F.lit(pat), F.lit(rep))
-            )
-            chain_depth += 1
-            if checkpoint_every is not None and chain_depth >= checkpoint_every:
-                enc = _materialize_vocab(enc)
-                chain_depth = 0
+            # no cache leaks across the ~150-query registry: the
+            # returned frame recomputes its (cheap, vocab-sized)
+            # lineage lazily if a consumer materializes it after the
+            # loop
+            base.unpersist()
+        return merges, enc
     finally:
-        # no cache leaks across the ~150-query registry: the returned
-        # frame recomputes its (cheap, vocab-sized) lineage lazily if
-        # a consumer materializes it after the loop
-        base.unpersist()
         if vocab is not None:
             vocab.unpersist()
-    return merges, enc
 
 
 def token_counts(enc: DataFrame, top_n: Optional[int] = None) -> DataFrame:

@@ -1455,43 +1455,58 @@ def _split_bucket():
 
 
 def decontamination_bloom(
-    docs: DataFrame, m_bits: int = _BLOOM_M
-) -> bytes:
-    """Build the test-split bloom (k=4; ``m_bits`` defaults to the
-    oracle-pinned 2^20) from a documents frame carrying the md5
-    ``bucket`` column — one map-only pass over the test slice's
-    complete 5-grams (dup-bearing rows: the OR is idempotent, so no
-    distinct and no shuffle). Production sizes ``m_bits`` via
-    ``operators.bloom.bloom_sized_m_bits`` from the measured test
-    shingle count — the r14 scale probe showed a fixed filter
-    SATURATING into all-drops at sf10 (SCALING
-    ``stream_pipeline_clean``)."""
+    docs: DataFrame, m_bits: int | None = None
+) -> list[bytes]:
+    """Build the test-split bloom set (k=4) from a documents frame
+    carrying the md5 ``bucket`` column — one map-only pass over the
+    test slice's complete 5-grams (dup-bearing rows: the OR is
+    idempotent, so no distinct and no shuffle).
+
+    Sizing (r15, VERDICT r14 #4): routed through
+    ``operators.bloom.bloom_build_sized`` — ONE approx-count pass
+    measures the distinct test-shingle count, the bitmap sizes from
+    it (floored at the 2^20 registry default), and an over-2^32-bit
+    corpus shards automatically instead of raising sizing advice.
+    The r14 scale probe showed WHY the fixed filter was wrong: at
+    sf10 the 2^20 bitmap SATURATES into all-drops (SCALING
+    ``stream_pipeline_clean``). The gated oracle replays the 2^20
+    arithmetic; the auto-sizer provably returns that floor for any
+    test split under ~59 k distinct shingles (16 b/element + 10 %
+    pad), which covers every driver gate scale (sf0.1 measures ~22 k)
+    by two orders of margin — above it, sizing deliberately diverges
+    from the static-SQL replay, because a saturated filter's "match"
+    is the wrong answer, not a gate property worth preserving.
+    ``m_bits`` pins the old fixed-size arithmetic for tests."""
     from mldag_spark.functions import shingle_rows
-    from mldag_spark.operators.bloom import bloom_build
+    from mldag_spark.operators.bloom import bloom_build, bloom_build_sized
 
     sh = shingle_rows(
         docs.filter(F.col("bucket") >= 90), "doc_id", "text", 5,
         complete_only=True,
-    )
-    return bloom_build(sh.select(F.col("shingle").alias("s")),
-                       "s", m_bits=m_bits)
+    ).select(F.col("shingle").alias("s"))
+    if m_bits is not None:
+        return [bloom_build(sh, "s", m_bits=m_bits)]
+    return bloom_build_sized(sh, "s", floor_bits=_BLOOM_M)
 
 
-def bloom_survivors(train_docs: DataFrame, bitmap: bytes) -> DataFrame:
+def bloom_survivors(
+    train_docs: DataFrame, bitmap: "bytes | list[bytes]"
+) -> DataFrame:
     """The probe half, shared by the batch query and the streaming
     micro-batch path (contamination is decided per document, so any
     slicing of the train side computes identical survivors): map-only
     probe on dup-bearing shingle rows (duplicates probe identically,
     so filter-then-distinct == distinct-then-filter), distinct on the
     HIT rows only (contamination-sized), >= 3 distinct-hit docs drop,
-    survivors (doc_id, source, n_chars). ``m_bits`` is derived from
-    the bitmap itself, so a production-SIZED filter
-    (``bloom_sized_m_bits``) probes correctly with no extra
+    survivors (doc_id, source, n_chars). Accepts either bloom regime
+    (one bitmap or the sharded set ``bloom_build_sized`` returns);
+    sizing is derived from the bitmaps themselves, so a
+    production-SIZED filter probes correctly with no extra
     parameter."""
     from mldag_spark.functions import shingle_rows
-    from mldag_spark.operators.bloom import bloom_might_contain
+    from mldag_spark.operators.bloom import bloom_probe
 
-    probe = bloom_might_contain(bitmap, m_bits=len(bitmap) * 8)
+    probe = bloom_probe(bitmap)
     sh = shingle_rows(
         train_docs, "doc_id", "text", 5, complete_only=True
     ).select("doc_id", F.col("shingle").alias("s"))

@@ -2830,6 +2830,56 @@ def test_bloom_sized_m_bits_rejects_hash_range_overflow():
         bloom_sized_m_bits((1 << 28) + 1)
 
 
+def test_bloom_build_sized_autoroutes_and_matches_single(spark, sf_dir):
+    """VERDICT r14 #4: the production entry point picks single-filter
+    vs sharded from the element count instead of raising sizing
+    advice. (a) the measured route over a gate-scale test split sizes
+    to the 2^20 floor — the exact oracle-pinned arithmetic, so wiring
+    the decontamination pipelines through it changes nothing at any
+    driver scale; (b) an over-cap sizing (cap monkeypatched to 2^20,
+    the existing sharded-build test convention) routes through the
+    sharded build and computes the SAME survivors as the single-filter
+    route on the same data."""
+    from mldag_spark.functions import shingle_rows
+    from mldag_spark.queries.tables import load
+    from mldag_spark.queries.text import (
+        _BLOOM_M,
+        _split_bucket,
+        bloom_survivors,
+        decontamination_bloom,
+    )
+    import mldag_spark.operators.bloom as bl
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "bucket", _split_bucket()
+    )
+    train = docs.filter(F.col("bucket") < 80)
+    # (a) auto route == the pinned gate arithmetic at gate scale
+    auto = decontamination_bloom(docs)
+    pinned = decontamination_bloom(docs, m_bits=_BLOOM_M)
+    assert len(auto) == 1 and auto[0] == pinned[0]
+    base = sorted(
+        r["doc_id"] for r in bloom_survivors(train, auto).collect()
+    )
+    # (b) force the sharded route: same shingle frame, a claimed
+    # production element count over a lowered cap
+    sh = shingle_rows(
+        docs.filter(F.col("bucket") >= 90), "doc_id", "text", 5,
+        complete_only=True,
+    ).select(F.col("shingle").alias("s"))
+    old = bl._BLOOM_MAX_M_BITS
+    try:
+        bl._BLOOM_MAX_M_BITS = 1 << 20
+        sharded = bl.bloom_build_sized(sh, "s", n_elements=500_000)
+    finally:
+        bl._BLOOM_MAX_M_BITS = old
+    assert len(sharded) == 8
+    got = sorted(
+        r["doc_id"] for r in bloom_survivors(train, sharded).collect()
+    )
+    assert got == base
+
+
 def test_sharded_bloom_membership_and_routing(spark):
     """The sharded path the >2^32-bit error message prescribes: every
     inserted element is found (zero false negatives by construction,
