@@ -161,10 +161,38 @@ _GATE_ORDER = [
     # two green gated rounds (r12-r13) — streaming keeps three
     # window entries incl. the composed pipeline twin.
     #
+    # r15 rotation (VERDICT r14 #5 — the evidence-age law). ELEVEN
+    # two-round-green (r13+r14) entries bank, all staying under the
+    # continuous sf0.001 sweep: the four r13 debuts
+    # (dag_pipeline_clean_pack, dedup_keep_best_quality,
+    # stream_image_decode, multimodal_resize_native) and the seven
+    # r13 re-admits (dag_sql_priority_topk, text_filter_funnel,
+    # text_top_terms, corpus_bigram_coverage, text_decontaminate_filter,
+    # dedup_keep_representatives, pack_token_budget_batches). The TEN
+    # oldest-evidence banked queries re-admit — the full last-gated-r9
+    # trio (agg_quantity_price_stats, agg_rollup_flag_status,
+    # events_grouped_zscore) and seven of the last-gated-r10 cohort
+    # (dedup_containment_pairs, dedup_incremental_batch,
+    # dedup_overlap_pairs, dq_column_profile,
+    # embedding_near_dup_blocked, embedding_norm_by_label,
+    # sample_global_shuffle; text_dsir_weights and
+    # text_shingle_novelty stay the r16 re-admit pool) — each
+    # re-verified hash-green at sf0.001 AND sf0.01 via
+    # scripts/check_oracle.py this session before entering (the
+    # standing norm). ONE r15 debut enters debut-gated per the
+    # standing norm (hash-green at sf0.001 + sf0.01 before entering):
+    # dedup_fuzzy_pipeline — the composed LSH → edit-verify →
+    # keep-best production chain (VERDICT r14 #2), whose edit filter
+    # rejects a measured 8/28 (sf0.001) / 7/25 (sf0.01) of the
+    # miner's pairs (non-vacuity pinned by
+    # tests/test_plans.py::test_fuzzy_pipeline_verification_non_vacuous).
+    # The r14 debuts and r14 re-admits stay for their second gated
+    # round. corpus-statistics window coverage rotates out with
+    # corpus_bigram_coverage (banked two-round green); the corpus_*
+    # family stays under the sf0.001 sweep and re-enters at r16.
+    #
     # DAG engine (fit/transform through the scheduler)
     "dag_pipeline_priority_revenue",
-    "dag_sql_priority_topk",
-    "dag_pipeline_clean_pack",
     "dag_pipeline_fit_apply",
     "dag_ml_standard_scaler",
     "dedup_semantic_clusters",
@@ -186,11 +214,7 @@ _GATE_ORDER = [
     # (hash-green at sf0.001 + sf0.01 via scripts/check_oracle.py
     # before entering); events_json_typed_agg banks after two green
     # gated rounds (r10-r11) — events keeps four window entries.
-    "text_filter_funnel",
-    "text_top_terms",
     "text_boilerplate_chunks",
-    # Corpus statistics (r10: the four never-gated corpus ops)
-    "corpus_bigram_coverage",
     # Decontamination — the summary-stats half rotates in; the filter
     # half banks after two green gated rounds.
     # r11 late rotation #3: the r11-NEW broadcast-bloom
@@ -211,6 +235,7 @@ _GATE_ORDER = [
     # banks after two green gated rounds (r9-r10); the embedding
     # diagnostics keep three window entries.
     "contamination_check",
+    "dq_column_profile",
     # r12 NEW: the overlap-FRACTION rule (GPT-3-style dirty-document
     # score vs the test-set union; every train doc kept, frac 0
     # included, threshold flag both-sides-populated at gate size).
@@ -218,7 +243,6 @@ _GATE_ORDER = [
     # sf0.01 via scripts/check_oracle.py before entering);
     # dq_orphan_audit banks after two green gated rounds (r10-r11) —
     # dq keeps the lineitem expectations entry.
-    "text_decontaminate_filter",
     # Deduplication (jaccard/cluster-stats/keep-representatives bank
     # multi-round green; the LSH + components pins stay, the r9-new
     # pair ops keep their driver proof). r11: dedup_overlap_pairs
@@ -233,6 +257,9 @@ _GATE_ORDER = [
     # via scripts/check_oracle.py before entering)
     "dedup_minhash_lsh",
     "dedup_components",
+    "dedup_containment_pairs",
+    "dedup_incremental_batch",
+    "dedup_overlap_pairs",
     # r12 NEW: the REMOVAL half of substring dedup (Lee et al. cut the
     # spans out; detection alone cleans nothing) — cleaned TEXT
     # verified byte-for-byte. Debut-gated per the standing norm
@@ -242,17 +269,16 @@ _GATE_ORDER = [
     # five window entries (media_stats, resize audit, audio, image,
     # video).
     "dedup_ngram_jaccard",
-    "dedup_keep_representatives",
-    "dedup_keep_best_quality",
     "dedup_keep_best_lsh",
     "dedup_edit_verified",
+    "dedup_fuzzy_pipeline",
     # Repetition/PII quality passes (r11 NEW): Gopher coverage-form
     # n-gram rules + the byte-exact-verified PII redaction pass
     # Sampling / splits (r10: the four never-gated sampling patterns)
     "sample_deterministic_split",
     "sample_balanced_per_lang",
     "sample_weighted_mix",
-    "pack_token_budget_batches",
+    "sample_global_shuffle",
     "pack_batch_boundaries",
     # Similarity search / embeddings (r10: the three never-gated
     # embedding diagnostics rotate in). r11 late rotation #2:
@@ -263,10 +289,11 @@ _GATE_ORDER = [
     "ann_hamming_topk",
     "ann_hamming_refined_topk",
     "embedding_near_dup_stats",
+    "embedding_near_dup_blocked",
+    "embedding_norm_by_label",
     "embedding_centroid_distances",
     # Structured Streaming
     "stream_incremental_dedup",
-    "stream_image_decode",
     "stream_pipeline_clean",
     # Multimodal (media_stats banks green r1-r9; the two never-gated
     # multimodal audits rotate in, plus the r10-NEW real-codec WAV
@@ -276,7 +303,6 @@ _GATE_ORDER = [
     # sf0.001 sweep and its Arrow twin's pytest pins)
     "multimodal_resize_audit",
     "multimodal_audio_decode",
-    "multimodal_resize_native",
     "multimodal_fitted_audit",
     # r11 NEW: real stdlib-PNG codec round-trip (encode + spec-correct
     # parse with CRC checks and all five filter types), debut-gated
@@ -292,6 +318,7 @@ _GATE_ORDER = [
     "events_gapfill_hourly",
     "events_asof_tolerance_order",
     "events_user_mode_arrow",
+    "events_grouped_zscore",
     # Relational: scans, filters, scalar functions
     "scalar_expressions",
     # Data quality (r11 late rotation #2: dq_column_profile banks
@@ -308,6 +335,8 @@ _GATE_ORDER = [
     "agg_salted_returnflag_totals",
     "agg_approx_percentile_invariant",
     "agg_price_histogram",
+    "agg_quantity_price_stats",
+    "agg_rollup_flag_status",
     # Set ops + sort/limit (category coverage pinned by
     # tests/test_gate_window.py)
     "setop_except_all_multiset",

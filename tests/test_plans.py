@@ -697,6 +697,26 @@ def test_keep_best_over_cap_sortmerges_never_broadcasts(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_fuzzy_pipeline_verification_non_vacuous(spark, registry):
+    """r15 (VERDICT r14 #2): the composed LSH → edit-verify →
+    keep-best pipeline must DIFFER from the unverified keep-best path
+    — the edit filter rejects a measured fraction of the miner's
+    pairs, clusters split, and the survivor set strictly GROWS
+    (rejecting an edge can only split clusters; each subcluster keeps
+    its own best, and the old cluster's best remains the best of its
+    subcluster, so every previously-kept doc stays kept and at least
+    one previously-dropped doc survives)."""
+    fuzzy = {
+        r["doc_id"]
+        for r in registry["dedup_fuzzy_pipeline"](spark, SF_DIR).collect()
+    }
+    plain = {
+        r["doc_id"]
+        for r in registry["dedup_keep_best_lsh"](spark, SF_DIR).collect()
+    }
+    assert plain < fuzzy, (len(plain), len(fuzzy))
+
+
 def test_keep_best_losers_is_pair_source_agnostic(spark):
     """The r14 operator contract: pairs in (any miner, any column
     names) → loser ids out, highest quality kept, ties to min id."""
