@@ -508,11 +508,55 @@ _DET_LSH_SCALE = 1_000_000
 
 
 def det_hyperplane_weights(dim: int, n_planes: int) -> np.ndarray:
-    """(n_planes, dim) int64 weight matrix per the formula above."""
+    """(n_planes, dim) int64 weight matrix per the formula above.
+
+    KNOWN QUALITY LIMIT (measured r15): the map k → k·MULT mod 2^32
+    is LINEAR, so row b+1's keys are row b's shifted by dim·MULT —
+    the rows are near-translates of one another (inter-row |corr| up
+    to 1.0), i.e. the family spans very few independent directions
+    and adding planes adds almost no angular information. This is
+    tolerable where it is used — LSH BANDING whose candidates are
+    always exact-verified downstream (weak planes cost candidates/
+    recall, never correctness; the banded near-dup path measures and
+    caps exactly that) — and the gated oracle replays this exact
+    arithmetic, so it stays frozen here. Anything that needs planes
+    to carry INDEPENDENT information (the binary-sketch widen knob)
+    must use :func:`det_rotation_weights` instead: measured on 20 k
+    unit vectors, sign-agreement/angle correlation is 0.25 for this
+    family at ANY width vs 0.80 (256 bits) / 0.89 (512) for the
+    avalanche family."""
     k = 1 + np.arange(dim, dtype=np.int64)[None, :] + dim * np.arange(
         n_planes, dtype=np.int64
     )[:, None]
     return (k * _DET_LSH_MULT) % _DET_LSH_MOD // _DET_LSH_DIV - 512
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (Steele/Lea/Flood's SplitMix,
+    the JDK SplittableRandom mix — public constants): full-avalanche
+    uint64 → uint64, so arithmetic-progression keys come out
+    statistically independent — exactly what the linear multiplicative
+    map above does NOT provide."""
+    M = np.uint64
+    x = x + M(0x9E3779B97F4A7C15)
+    x = (x ^ (x >> M(30))) * M(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> M(27))) * M(0x94D049BB133111EB)
+    return x ^ (x >> M(31))
+
+
+def det_rotation_weights(dim: int, n_planes: int) -> np.ndarray:
+    """(n_planes, dim) int64 hyperplane matrix for the binary-sketch
+    WIDEN path: weight(b, i) = top-24 signed bits of
+    splitmix64(1 + i + dim·b) — i.i.d.-uniform in [-2^23, 2^23),
+    deterministic integer arithmetic any engine replays exactly.
+    |Σ q_i·w_bi| ≤ 10^6 · 2^23 · dim ≈ 2^49·(dim/64): exact in
+    int64, no overflow for any practical dim."""
+    k = (
+        1
+        + np.arange(dim, dtype=np.uint64)[None, :]
+        + np.uint64(dim) * np.arange(n_planes, dtype=np.uint64)[:, None]
+    )
+    return (_splitmix64(k) >> np.uint64(40)).astype(np.int64) - (1 << 23)
 
 
 def banded_signature_udf(dim: int, n_bands: int, band_bits: int):
@@ -1507,26 +1551,85 @@ def binary_sign_pack(
     dim: int = 64,
     out_id: str = "vec_id",
     prefix: str = "w",
+    n_bits: Optional[int] = None,
 ) -> DataFrame:
     """Binary (sign) quantization: pack each vector's sign bits into
-    ``ceil(dim/32)`` BIGINT words (bit i of word j = 1 iff
-    ``vec[32j+i] >= 0``) — 32-bit words so the packing stays inside
-    signed-long range and an ANSI oracle replays it bit-for-bit. Each
-    word is a STATIC sum of codegen'd CASE terms (the minhash
-    wide-projection convention — no interpreted lambdas), so packing
-    is map-only JVM and a 64-dim float vector shrinks 256 B → 16 B,
-    the memory trick behind modern binary embedding indexes."""
-    cols = []
-    for j in range(0, dim, 32):
-        hi = min(j + 32, dim)
-        word = F.lit(0).cast("long")
-        for i in range(j, hi):
-            word = word + F.when(
-                F.col(vec_col).getItem(i) >= 0,
-                F.lit(1 << (i - j)).cast("long"),
-            ).otherwise(F.lit(0).cast("long"))
-        cols.append(word.alias(f"{prefix}{j // 32}"))
-    return df.select(F.col(id_col).alias(out_id), *cols)
+    32-bit BIGINT words (32-bit words so the packing stays inside
+    signed-long range and an ANSI oracle replays it bit-for-bit).
+
+    ``n_bits=None`` (the gated arithmetic): 1 bit per NATIVE
+    dimension — bit i of word j = 1 iff ``vec[32j+i] >= 0``,
+    ``ceil(dim/32)`` words. Each word is a STATIC sum of codegen'd
+    CASE terms (the minhash wide-projection convention — no
+    interpreted lambdas), so packing is map-only JVM and a 64-dim
+    float vector shrinks 256 B → 16 B, the memory trick behind
+    modern binary embedding indexes.
+
+    ``n_bits=N`` (r15, VERDICT r14 #3 — the WIDEN knob the measured
+    recall cliff prescribes): a dim-d vector can donate only d native
+    sign bits, and the SCALING ``hamming_ann`` diagnosis measured
+    the 64-bit sketch's recall collapsing at fixed refine as the
+    corpus grows (0.90 → 0.46 recall@5 at R=200 by 200k vectors —
+    the θ/π SimHash estimator's variance). More bits need more
+    hyperplanes: bit b = sign of the ROTATED projection
+    ``Σ_i floor(vec[i]·10⁶) · W[b,i] > 0`` with the full-avalanche
+    integer-deterministic matrix (:func:`det_rotation_weights` —
+    exact int64 arithmetic, every engine replays it bit-for-bit;
+    |dot| ≤ 2^49, no overflow). NOT the LSH banding family
+    (:func:`det_hyperplane_weights`): that linear map's rows are
+    near-translates of one another, so widening with it ADDS NO
+    information — measured recall@5 0.18 (native 64-bit) → 0.04
+    (256 "wide" linear bits) on 20 k vectors at R=50, vs recovery
+    with the avalanche family (pinned by test).
+    Packing runs as ONE Arrow-batched int64 matmul per batch (the
+    :func:`banded_signature_udf` kernel shape) — the widen path
+    trades the all-JVM projection for O(dim·n_bits) exact integer
+    ops per vector, still map-only, still deterministic. Measured
+    recall recovery: scripts/probe_hamming_widen.py (committed
+    artifact — SCALING ``hamming_ann.widen``). ``n_bits`` must be a
+    multiple of 32."""
+    if n_bits is None:
+        cols = []
+        for j in range(0, dim, 32):
+            hi = min(j + 32, dim)
+            word = F.lit(0).cast("long")
+            for i in range(j, hi):
+                word = word + F.when(
+                    F.col(vec_col).getItem(i) >= 0,
+                    F.lit(1 << (i - j)).cast("long"),
+                ).otherwise(F.lit(0).cast("long"))
+            cols.append(word.alias(f"{prefix}{j // 32}"))
+        return df.select(F.col(id_col).alias(out_id), *cols)
+    if n_bits % 32:
+        raise ValueError(f"n_bits must be a multiple of 32 (got {n_bits})")
+    from pyspark.sql.functions import pandas_udf
+
+    w = det_rotation_weights(dim, n_bits)
+    nwords = n_bits // 32
+    pows = 1 << np.arange(32, dtype=np.int64)
+
+    @pandas_udf("array<long>")
+    def _pack(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.array(list(vs), dtype=np.float64)
+        q = np.floor(mat * _DET_LSH_SCALE).astype(np.int64)
+        bits = (q @ w.T) > 0  # (n, n_bits), exact int64 arithmetic
+        words = (
+            bits.reshape(len(q), nwords, 32) * pows
+        ).sum(axis=2)  # (n, nwords), each < 2^32
+        return pd.Series(list(words))
+
+    packed = df.select(
+        F.col(id_col).alias(out_id), _pack(F.col(vec_col)).alias("_pw")
+    )
+    return packed.select(
+        out_id,
+        *[
+            F.col("_pw").getItem(j).alias(f"{prefix}{j}")
+            for j in range(nwords)
+        ],
+    )
 
 
 def binary_sign_topk(
@@ -1537,6 +1640,7 @@ def binary_sign_topk(
     k: int = 5,
     dim: int = 64,
     refine: Optional[int] = None,
+    n_bits: Optional[int] = None,
 ) -> DataFrame:
     """Hamming top-k over sign-quantized vectors — the binary-
     quantization ANN coarse stage (asymmetric of nothing: both sides
@@ -1559,9 +1663,14 @@ def binary_sign_topk(
     is a RECALL knob that must scale with the corpus — a 64-bit
     sketch (1 bit/dim, the θ/π SimHash estimator, high-variance at
     dim=64) reads recall@5 ≈ 0.9 at R=200 over 500 vectors but 0.46
-    at R=200 over 200k (R is effectively a corpus FRACTION here; the
-    widen knob is more sketch bits via rotations — 256 bits measured
-    ≈0.98 coverage at R=50). And at local scales the Arrow/BLAS float
+    at R=200 over 200k (R is effectively a corpus FRACTION here). The
+    widen knob is ``n_bits`` (r15): more sketch bits via
+    deterministic integer hyperplane rotations
+    (:func:`binary_sign_pack` ``n_bits=``) — measured at 200k
+    vectors/R=200, recall@5 recovers 0.46 (64-bit native) → ~0.9+
+    (256-bit rotated); committed artifact
+    scripts/probe_hamming_widen.py → SCALING ``hamming_ann.widen``.
+    And at local scales the Arrow/BLAS float
     scan simply WINS on wall (0.7–0.8 s vs 5.6–7.5 s at sf1–sf10):
     the binary path's 32× memory cut buys footprint (bigger corpus
     per executor, smaller broadcast/shuffle bytes), not single-node
@@ -1571,12 +1680,14 @@ def binary_sign_topk(
         refine = int(refine)
         if refine < k:
             raise ValueError(f"refine must be >= k (got {refine} < {k})")
-    nwords = -(-dim // 32)
+    nwords = -(-dim // 32) if n_bits is None else n_bits // 32
     q = binary_sign_pack(
-        queries, id_col, vec_col, dim, out_id="query_id", prefix="qw"
+        queries, id_col, vec_col, dim, out_id="query_id", prefix="qw",
+        n_bits=n_bits,
     )
     c = binary_sign_pack(
-        corpus, id_col, vec_col, dim, out_id="neighbor_id", prefix="cw"
+        corpus, id_col, vec_col, dim, out_id="neighbor_id", prefix="cw",
+        n_bits=n_bits,
     )
     ham = F.lit(0).cast("int")
     for j in range(nwords):
