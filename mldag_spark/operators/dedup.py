@@ -831,17 +831,17 @@ def keep_best_losers(
     quality-known copy always wins, and a fully-unknown cluster still
     keeps its min-id member.
     """
-    from pyspark import StorageLevel
     from pyspark.sql.window import Window
 
-    # persist before counting: the closure's final groupBy would
-    # otherwise recompute for the join; MEMORY_AND_DISK because the
-    # member set's size is exactly what we do not yet know. Left
-    # persisted for the caller's action (the connected_components
-    # final-snapshot convention); reclaimed by the context cleaner.
-    labels = connected_components(pairs, src, dst).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # No persist here (code-review r15 #4 — the bpe_learn /
+    # bloom_build_sharded leak class): the count job and the later
+    # join each run the closure's final groupBy once, but that
+    # aggregate reads the closure's PERSISTED final edge snapshot
+    # (connected_components leaves it cached by contract), so the
+    # recompute is one member-sized aggregate over local blocks —
+    # cheaper than leaving a cached member frame behind per
+    # invocation across a 182-query registry sweep.
+    labels = connected_components(pairs, src, dst)
     n_members = labels.count()
     q = quality.select(F.col(id_col).alias("node"), quality_col)
     # LEFT join either way: a cluster member MISSING from the quality
@@ -905,9 +905,13 @@ def edit_similarity_pairs(
     a = texts.select(F.col(id_col).alias(src), F.col(text_col).alias("_ta"))
     b = texts.select(F.col(id_col).alias(dst), F.col(text_col).alias("_tb"))
     # half A carries pairs' scalar columns (jaccard etc.) so they
-    # survive to the output; half B joins the ID-only projection
+    # survive to the output; half B joins the DISTINCT ID projection —
+    # a miner that emits the same pair d times (e.g. once per
+    # colliding LSH band) must produce d annotated rows, not d², so
+    # exactly one half may carry the caller's multiplicity
+    # (code-review r15 #1)
     withe_a = a.join(F.broadcast(pairs), src)
-    withe_b = b.join(F.broadcast(pairs.select(src, dst)), dst)
+    withe_b = b.join(F.broadcast(pairs.select(src, dst).distinct()), dst)
     both = withe_a.join(withe_b, [src, dst])
     maxlen = F.greatest(F.length("_ta"), F.length("_tb"))
     sim = F.when(maxlen == 0, F.lit(1.0)).otherwise(

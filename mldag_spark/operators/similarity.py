@@ -1612,11 +1612,24 @@ def binary_sign_pack(
     def _pack(vs: pd.Series) -> pd.Series:
         if len(vs) == 0:
             return pd.Series([], dtype=object)
-        mat = np.array(list(vs), dtype=np.float64)
+        # NULL / wrong-width vectors pack as ALL-ZERO words — the same
+        # row-survives-ranks-poorly behavior the native CASE path gives
+        # a NULL embedding, instead of failing the whole job on
+        # np.array(ragged) (code-review r15 #2)
+        vals = list(vs)
+        valid = np.array(
+            [v is not None and len(v) == dim for v in vals], dtype=bool
+        )
+        mat = np.zeros((len(vals), dim), dtype=np.float64)
+        if valid.any():
+            mat[valid] = np.array(
+                [v for v, ok in zip(vals, valid) if ok], dtype=np.float64
+            )
         q = np.floor(mat * _DET_LSH_SCALE).astype(np.int64)
         bits = (q @ w.T) > 0  # (n, n_bits), exact int64 arithmetic
+        bits[~valid] = False
         words = (
-            bits.reshape(len(q), nwords, 32) * pows
+            bits.reshape(len(vals), nwords, 32) * pows
         ).sum(axis=2)  # (n, nwords), each < 2^32
         return pd.Series(list(words))
 
@@ -1667,8 +1680,8 @@ def binary_sign_topk(
     widen knob is ``n_bits`` (r15): more sketch bits via
     deterministic integer hyperplane rotations
     (:func:`binary_sign_pack` ``n_bits=``) — measured at 200k
-    vectors/R=200, recall@5 recovers 0.46 (64-bit native) → ~0.9+
-    (256-bit rotated); committed artifact
+    vectors/R=200, recall@5 recovers 0.46 (64-bit native) → 0.86
+    (256-bit rotated) → 0.94 (512-bit); committed artifact
     scripts/probe_hamming_widen.py → SCALING ``hamming_ann.widen``.
     And at local scales the Arrow/BLAS float
     scan simply WINS on wall (0.7–0.8 s vs 5.6–7.5 s at sf1–sf10):

@@ -582,13 +582,12 @@ def dedup_keep_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# shared by the exact-mined and LSH-mined keep-best queries VERBATIM:
-# at gate scale the r=4,b=16 LSH pair set equals the exact pair set
-# (p(catch) ≈ 0.9996 at the 0.8 threshold, candidates exact-verified
-# — dedup_minhash_lsh already gates against the exact _JACCARD_ORACLE),
-# so both materializations replay against the exact closure
-_KEEP_BEST_ORACLE = f"""
-    WITH RECURSIVE {_COMPONENTS_ORACLE_BODY}
+# the quality metric + best-member selection + survivor select,
+# shared VERBATIM by every keep-best oracle (exact-mined, LSH-mined,
+# and the composed fuzzy pipeline) so the replays can never drift —
+# each caller composes it after its own closure producing `labels`
+# (code-review r15 #5, the _EDIT_VERIFY_ORACLE_CTES pattern)
+_KEEP_BEST_TAIL_ORACLE = """
     , q AS (
         SELECT doc_id,
                CAST(len(list_distinct(string_split(trim(regexp_replace(
@@ -612,6 +611,15 @@ _KEEP_BEST_ORACLE = f"""
     WHERE d.doc_id NOT IN (SELECT node FROM labels)
        OR d.doc_id IN (SELECT node FROM best)
     """
+
+# shared by the exact-mined and LSH-mined keep-best queries VERBATIM:
+# at gate scale the r=4,b=16 LSH pair set equals the exact pair set
+# (p(catch) ≈ 0.9996 at the 0.8 threshold, candidates exact-verified
+# — dedup_minhash_lsh already gates against the exact _JACCARD_ORACLE),
+# so both materializations replay against the exact closure
+_KEEP_BEST_ORACLE = f"""
+    WITH RECURSIVE {_COMPONENTS_ORACLE_BODY}
+    {_KEEP_BEST_TAIL_ORACLE}"""
 
 
 @register("dedup_keep_best_quality", oracle=_KEEP_BEST_ORACLE)
@@ -811,31 +819,8 @@ _FUZZY_PIPELINE_ORACLE = f"""
     ),
     labels AS (
         SELECT node, MIN(comp) AS component FROM reach GROUP BY node
-    ),
-    q AS (
-        SELECT doc_id,
-               CAST(len(list_distinct(string_split(trim(regexp_replace(
-                        lower(text), '\\s+', ' ', 'g')), ' '))) AS DOUBLE)
-               / len(string_split(trim(regexp_replace(
-                        lower(text), '\\s+', ' ', 'g')), ' ')) AS qs
-        FROM documents
-    ),
-    best AS (
-        SELECT node FROM (
-            SELECT l.node,
-                   ROW_NUMBER() OVER (
-                       PARTITION BY l.component
-                       ORDER BY q.qs DESC, l.node
-                   ) AS rk
-            FROM labels l JOIN q ON q.doc_id = l.node
-        ) WHERE rk = 1
     )
-    SELECT d.doc_id, d.n_chars, ROUND(q.qs, 4) AS kept_quality
-    FROM documents d
-    JOIN q ON q.doc_id = d.doc_id
-    WHERE d.doc_id NOT IN (SELECT node FROM labels)
-       OR d.doc_id IN (SELECT node FROM best)
-    """
+    {_KEEP_BEST_TAIL_ORACLE}"""
 
 
 @register("dedup_fuzzy_pipeline", oracle=_FUZZY_PIPELINE_ORACLE)
@@ -1577,10 +1562,13 @@ def decontamination_bloom(
     ``stream_pipeline_clean``). The gated oracle replays the 2^20
     arithmetic; the auto-sizer provably returns that floor for any
     test split under ~59 k distinct shingles (16 b/element + 10 %
-    pad), which covers every driver gate scale (sf0.1 measures ~22 k)
-    by two orders of margin — above it, sizing deliberately diverges
-    from the static-SQL replay, because a saturated filter's "match"
-    is the wrong answer, not a gate property worth preserving.
+    pad), which covers the largest driver gate scale with ~2.7×
+    margin (sf0.1 measures ~22 k distinct; sf0.01 and sf0.001 are
+    1–2 orders below the boundary). If a future gate scale crosses
+    the floor the divergence is a LOUD hash-mismatch red, not silent
+    corruption — and sizing deliberately diverges there, because a
+    saturated filter's "match" is the wrong answer, not a gate
+    property worth preserving.
     ``m_bits`` pins the old fixed-size arithmetic for tests."""
     from mldag_spark.functions import shingle_rows
     from mldag_spark.operators.bloom import bloom_build, bloom_build_sized

@@ -2827,6 +2827,103 @@ def test_binary_widen_knob_recovers_recall(spark):
         binary_sign_topk(df, q, k=k, refine=R, n_bits=100)
 
 
+def test_edit_similarity_duplicate_pairs_annotate_not_square(spark):
+    """code-review r15 #1: a miner that emits the same pair d times
+    (one row per colliding LSH band is the canonical shape) must get
+    d annotated rows back, never d² — only ONE half of the two-sided
+    text annotation may carry the caller's multiplicity."""
+    from mldag_spark.operators.dedup import edit_similarity_pairs
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 2), (1, 2), (3, 4)], "doc_a long, doc_b long"
+    )
+    texts = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(6)], "doc_id long, norm string"
+    )
+    out = edit_similarity_pairs(pairs, texts, text_col="norm").collect()
+    assert len(out) == 4, out
+    assert sum(1 for r in out if (r["doc_a"], r["doc_b"]) == (1, 2)) == 3
+
+
+def test_binary_widen_pack_tolerates_null_and_ragged(spark):
+    """code-review r15 #2: the widened Arrow pack must give a NULL or
+    wrong-width vector the same survive-with-zero-words behavior the
+    native CASE path gives it, not fail the job on np.array(ragged)."""
+    from mldag_spark.operators.similarity import binary_sign_pack
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0] * 64),
+            (2, None),
+            (3, [1.0] * 10),  # ragged: wrong width
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {
+        r["vec_id"]: [r[f"w{j}"] for j in range(8)]
+        for r in binary_sign_pack(df, dim=64, n_bits=256).collect()
+    }
+    assert len(rows) == 3
+    assert any(w != 0 for w in rows[1])
+    assert rows[2] == [0] * 8
+    assert rows[3] == [0] * 8
+
+
+def test_linear_weight_family_cannot_widen():
+    """The negative control that forced det_rotation_weights
+    (code-review r15 #3 made this an actual assertion): the linear
+    LSH-banding matrix's rows are near-translates of one another
+    (k → k·MULT mod 2^32 is linear), so 'widening' with it must NOT
+    beat the native 1-bit/dim sketch — replayed here in pure numpy
+    (same packing arithmetic, 2k seeded vectors, hamming top-R=50
+    coarse → exact-cosine recall@5)."""
+    import numpy as np
+
+    from mldag_spark.operators.similarity import (
+        _DET_LSH_SCALE,
+        det_hyperplane_weights,
+        det_rotation_weights,
+    )
+
+    rng = np.random.RandomState(0)
+    n, dim, nq, k, R = 2000, 64, 20, 5, 50
+    X = rng.randn(n, dim)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    q = np.floor(X * _DET_LSH_SCALE).astype(np.int64)
+
+    def recall(bits):
+        total = 0
+        for i in range(nq):
+            ham = (bits[i] != bits).sum(axis=1)
+            ham[i] = 10**9
+            cand = np.argsort(ham, kind="stable")[:R]
+            cos = X[cand] @ X[i]
+            top = set(cand[np.argsort(-cos, kind="stable")[:k]].tolist())
+            s = X @ X[i]
+            s[i] = -2
+            total += len(top & set(np.argsort(-s)[:k].tolist()))
+        return total / (nq * k)
+
+    native = recall(X >= 0)
+    linear256 = recall(q @ det_hyperplane_weights(dim, 256).T > 0)
+    rotated256 = recall(q @ det_rotation_weights(dim, 256).T > 0)
+    # the linear family's extra bits add (almost) no information — it
+    # must not beat native; the avalanche family must clearly beat both
+    assert linear256 <= native + 0.02, (native, linear256)
+    assert rotated256 >= native + 0.1, (native, rotated256)
+    # and the structural cause: linear rows are near-duplicates of one
+    # another, avalanche rows are not
+    wl = det_hyperplane_weights(dim, 256).astype(np.float64)
+    wr = det_rotation_weights(dim, 256).astype(np.float64)
+
+    def max_offdiag_corr(w):
+        c = np.corrcoef(w)
+        return float(np.abs(c[np.triu_indices(len(w), 1)]).max())
+
+    assert max_offdiag_corr(wl) > 0.9, "linear family lattice vanished?"
+    assert max_offdiag_corr(wr) < 0.6, "avalanche family correlated?"
+
+
 def test_binary_sign_pack_is_exact_bit_layout(spark):
     """Packing contract: bit i of word j set iff vec[32j+i] >= 0 —
     pinned against a hand-built vector (incl. the 0.0 edge, which is
