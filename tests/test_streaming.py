@@ -294,3 +294,14 @@ def test_pipeline_clean_stream_sized_bitmap_matches_gate_at_floor(spark, sf_dir)
         for r in pipeline_clean_stream_frame(spark, sf_dir, m_bits=m).collect()
     )
     assert fixed == sized and len(fixed) > 0
+    # r15: m_bits="auto" (measure -> size -> shard if over-cap) must
+    # also equal the pinned arithmetic at gate scale — the measured
+    # count sits far under the floor, so the route returns ONE
+    # floor-sized filter and the pipeline is bit-identical
+    auto = sorted(
+        (r["doc_id"], r["n_tokens"])
+        for r in pipeline_clean_stream_frame(
+            spark, sf_dir, m_bits="auto"
+        ).collect()
+    )
+    assert fixed == auto
