@@ -190,12 +190,21 @@ _GATE_ORDER = [
     # round. corpus-statistics window coverage rotates out with
     # corpus_bigram_coverage (banked two-round green); the corpus_*
     # family stays under the sf0.001 sweep and re-enters at r16.
+    # r15 late debut: dag_pipeline_fuzzy_dedup — the fuzzy chain
+    # composed THROUGH the DAG engine (multi-input routing: the
+    # documents source fans out to mine/verify/select nodes), sharing
+    # dedup_fuzzy_pipeline's oracle VERBATIM so the gated property is
+    # DAG/hand-written parity (the stream-twin convention); hash-green
+    # at sf0.001 + sf0.01 before entering. dedup_semantic_clusters
+    # banks after five consecutive green gated rounds (r10-r14) —
+    # SemDeDup coverage stays under the sf0.001 sweep, its pytest
+    # pins, and the rows-only incremental twin.
     #
     # DAG engine (fit/transform through the scheduler)
     "dag_pipeline_priority_revenue",
     "dag_pipeline_fit_apply",
     "dag_ml_standard_scaler",
-    "dedup_semantic_clusters",
+    "dag_pipeline_fuzzy_dedup",
     # Text analysis — unigram logprob keeps its r10 slot.
     # r11: text_shingle_novelty banks after two green gated rounds
     # (r9-r10, sf0.001 sweep continues) to make room for the r11-NEW

