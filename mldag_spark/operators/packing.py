@@ -15,8 +15,8 @@ This module uses the distributed prefix-sum instead:
    ``_pid`` is monotone in id;
 2. a *local* cumulative sum per bucket (window partitioned by
    ``_pid`` — fully parallel, one hash exchange);
-3. per-bucket totals (|buckets| rows) cumulated into offsets and
-   broadcast-joined back;
+3. per-bucket totals (|buckets| rows — driver-bounded) cumulated into
+   offsets embedded as one literal array, looked up O(1) per row;
 4. global cumsum = local cumsum + bucket offset.
 
 Why data-derived buckets instead of ``repartitionByRange`` +
@@ -142,27 +142,44 @@ def token_budget_batches(
     )
     local = p.withColumn("_lcum", F.sum(count_col).over(w_local))
 
-    # per-bucket totals: |buckets| rows — a tiny single-partition
-    # window here is fine and broadcast-joins back. `_pid` is monotone
-    # in id, so cumulating totals in `_pid` order stitches the local
-    # sums back into the global id-ordered prefix sum.
-    w_off = (
-        Window.orderBy("_pid")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    offsets = (
-        local.groupBy("_pid")
-        .agg(F.sum(count_col).alias("_ptotal"))
-        .withColumn("_offset", F.sum("_ptotal").over(w_off) - F.col("_ptotal"))
-        .select("_pid", "_offset")
-    )
+    # per-bucket totals: |buckets| rows, collected to the driver
+    # (bounded by n_buckets <= 4096 by construction — two longs per
+    # row) and cumulated into offsets embedded as ONE literal array.
+    # `_pid` is monotone in id, so offsets in `_pid` order stitch the
+    # local sums back into the global id-ordered prefix sum via an
+    # O(1) element_at per row — no second plan branch at all. The
+    # earlier broadcast-join formulation kept the offsets as a plan
+    # branch self-joined against `local`; besides costing two extra
+    # exchanges (SinglePartition agg + broadcast), that self-join
+    # mis-binds under constraint propagation when df is an
+    # ExistingRDD-backed frame (foreachBatch micro-batches,
+    # createDataFrame(rdd)): the inferred `_pid <=> bucket_expr(id)`
+    # predicate crosses branches referencing the other branch's
+    # deduplicated ids — INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND at
+    # execution. A literal lookup has no second branch to infer into.
+    totals = {
+        r["_pid"]: int(r["_t"])
+        for r in p.groupBy("_pid")
+        .agg(F.sum(count_col).alias("_t"))
+        .collect()
+    }
+    offs, run = [], 0
+    for pid in range(len(bounds) + 1):
+        offs.append(run)
+        run += totals.get(pid, 0)
+    off_arr = F.array(*[F.lit(o).cast("long") for o in offs])
 
-    out = local.join(F.broadcast(offsets), "_pid").select(
+    out = local.select(
         id_col,
         count_col,
-        (F.col("_lcum") + F.col("_offset")).alias("global_cum"),
+        (F.col("_lcum") + F.element_at(off_arr, F.col("_pid") + 1))
+        .alias("global_cum"),
         F.floor(
-            (F.col("_lcum") + F.col("_offset") - F.col(count_col))
+            (
+                F.col("_lcum")
+                + F.element_at(off_arr, F.col("_pid") + 1)
+                - F.col(count_col)
+            )
             / max_tokens
         )
         .cast("int")

@@ -625,3 +625,81 @@ def pipeline_clean_stream_frame(
         out, _unique("stream_pipeclean"), output_mode="complete"
     )
     return res.select("doc_id", "n_tokens")
+
+
+@register("stream_pack_batches")  # oracle set below: shares the batch
+# packer's oracle VERBATIM so the two can never drift
+
+
+def stream_pack_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING token-budget packing (r15 — VERDICT r14 #6): the
+    pack stage of the training-export pipeline over arriving
+    micro-batches. Packing's global running sum cannot live inside a
+    streaming aggregation (it is unbounded per-row state and would be
+    a SECOND aggregation behind any dedup/gate stage — the
+    one-stateful-agg boundary ``stream_pipeline_clean`` documents),
+    so it streams as the ``foreachBatch`` two-phase recurrence in
+    :func:`mldag_spark.streaming.pack_stream`: the distributed prefix
+    sum WITHIN each micro-batch, an idempotent per-batch carry LEDGER
+    across batches (committed state, never driver memory — a retried
+    batch recomputes its carry from batches strictly before it and
+    overwrites only its own partitions, the ``_mb_id`` discipline
+    applied to state as well as output).
+
+    Arrival order is pack order, so for the gated property the
+    documents arrive as FOUR id-range micro-batches in id order
+    (``repartitionByRange`` + per-file mtime stamping +
+    ``maxFilesPerTrigger=1``): the streamed result must then equal
+    the batch packer ROW-FOR-ROW — ``pack_token_budget_batches``'s
+    oracle shared VERBATIM, the ``stream_decontaminate_bloom``
+    precedent. The cross-batch carry is non-vacuous by construction
+    (every batch after the first is shifted by its predecessors'
+    token totals; pinned with a two-batch minimum in
+    ``tests/test_streaming.py``)."""
+    import os
+
+    from mldag_spark.functions import tokenize
+    from mldag_spark.queries.tables import load
+
+    d = load(spark, sf_dir, "documents")
+    counts = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(tokenize(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    work = _stream_workdir("stream_pack_")
+    src = f"{work}/src"
+    counts.repartitionByRange(4, "doc_id").write.parquet(src)
+    # part file order == id-range order under repartitionByRange;
+    # stamp strictly increasing mtimes so the file source's
+    # (mtime, path) ordering delivers micro-batches in id order
+    parts = sorted(
+        f for f in os.listdir(src) if f.endswith(".parquet")
+    )
+    base = os.path.getmtime(src)
+    for i, f in enumerate(parts):
+        os.utime(os.path.join(src, f), (base + i, base + i))
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, n_tokens bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    S.pack_stream(
+        stream,
+        "doc_id",
+        "n_tokens",
+        max_tokens=4096,
+        out_path=f"{work}/packed",
+        checkpoint=f"{work}/ckpt",
+        carry_path=f"{work}/carry",
+    )
+    return spark.read.parquet(f"{work}/packed").select(
+        "doc_id", "n_tokens", "global_cum", "batch_id"
+    )
+
+
+# the streamed pack must hash-match the BATCH packer — share its
+# oracle string verbatim so the two can never drift
+from mldag_spark.queries import ORACLES as _ORACLES2  # noqa: E402
+
+_ORACLES2["stream_pack_batches"] = _ORACLES2["pack_token_budget_batches"]

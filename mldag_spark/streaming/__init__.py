@@ -531,3 +531,143 @@ def incremental_dedup_stream(
         # a leaked corpus-sized cache outlives the failed query
         index_bands.unpersist()
     return q
+
+
+def pack_stream(
+    stream: DataFrame,
+    id_col: str,
+    count_col: str,
+    max_tokens: int,
+    out_path: str,
+    checkpoint: str,
+    carry_path: str,
+):
+    """Streaming token-budget packing (r15 — VERDICT r14 #6): the
+    GLOBAL running sum behind ``operators.packing.token_budget_batches``
+    crosses micro-batch boundaries, and a streaming query gets exactly
+    one stateful aggregation — which an unbounded running sum over a
+    total order cannot be (the state would be every row ever seen,
+    re-emitted). So packing streams as a TWO-PHASE ``foreachBatch``
+    recurrence instead:
+
+    1. WITHIN each micro-batch, the distributed prefix sum itself
+       (``token_budget_batches`` — quantile buckets, local cumsum,
+       offset stitch), so one giant arriving batch still never
+       collapses into a single task;
+    2. ACROSS batches, a carry: batch N's rows are shifted by the
+       token total of batches 0..N-1, read from a tiny per-batch
+       carry LEDGER (one ``(total)`` row per committed batch in
+       ``carry_path/_mb_id=K``) — never from driver memory.
+
+    The carry ledger is what makes the handoff IDEMPOTENT under
+    at-least-once retries: a retried batch N recomputes
+    ``carry_in = sum(totals of _mb_id < N)`` from COMMITTED state
+    only (its own partial writes sit at ``_mb_id = N`` and are
+    excluded by the strict inequality, then overwritten), so the
+    shifted offsets, the batch ids, and the ledger row it rewrites
+    are bit-identical to the first attempt — within a checkpoint,
+    exactly-once per micro-batch id (the ``_mb_id`` sink discipline,
+    applied to state as well as output). Output is written BEFORE the
+    ledger row so a crash between the two writes replays the batch
+    with the same carry_in.
+
+    Semantics: arriving order IS pack order (batch K packs after
+    everything in batches < K; ties within a batch break by
+    ``id_col`` via the inner prefix sum) — the production crawl-ingest
+    contract. When micro-batches arrive id-ordered, the result equals
+    the batch packer row-for-row, which is the gated parity property
+    (``stream_pack_batches``). At 100 TB the per-batch ledger scan
+    reads |batches| single-row files — metadata-bounded, no output
+    rescan.
+    """
+    from mldag_spark.operators.packing import token_budget_batches
+
+    spark = stream.sparkSession
+    out_ddl = (
+        f"{id_col} bigint, {count_col} bigint, "
+        "global_cum bigint, batch_id int"
+    )
+    _seed_idempotent_sink(spark, out_path, checkpoint, out_ddl)
+    _seed_idempotent_sink(spark, carry_path, checkpoint, "total bigint")
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        pack_stream_batch(
+            batch,
+            int(batch_id),
+            id_col,
+            count_col,
+            max_tokens,
+            out_path,
+            carry_path,
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def pack_stream_batch(
+    batch: DataFrame,
+    bid: int,
+    id_col: str,
+    count_col: str,
+    max_tokens: int,
+    out_path: str,
+    carry_path: str,
+) -> None:
+    """One micro-batch of :func:`pack_stream` — module-level so the
+    retry-idempotence contract is directly REPLAYABLE: calling this
+    again with a committed batch's id and input rows must leave the
+    sink partition and the carry-ledger row bit-identical (pinned in
+    ``tests/test_streaming.py``). The carry reads COMMITTED batches
+    strictly before ``bid`` only; output commits before the ledger
+    row so a crash between the two writes replays with the same
+    carry_in."""
+    from mldag_spark.operators.packing import token_budget_batches
+
+    spark = batch.sparkSession
+    carry_in = (
+        spark.read.parquet(carry_path)
+        .filter((F.col("_mb_id") >= 0) & (F.col("_mb_id") < bid))
+        .agg(F.coalesce(F.sum("total"), F.lit(0)).alias("t"))
+        .collect()[0]["t"]
+    )
+    # the packer runs three actions over the batch (quantile bounds,
+    # bucket totals, the shifted write); persist so a foreachBatch
+    # frame doesn't re-read its micro-batch source per action
+    batch = batch.persist()
+    try:
+        packed = token_budget_batches(
+            batch, id_col, count_col, max_tokens
+        )
+        shifted = packed.select(
+            F.col(id_col).cast("long").alias(id_col),
+            F.col(count_col).cast("long").alias(count_col),
+            (F.col("global_cum") + F.lit(carry_in))
+            .cast("long")
+            .alias("global_cum"),
+            F.floor(
+                (F.col("global_cum") + F.lit(carry_in) - F.col(count_col))
+                / max_tokens
+            )
+            .cast("int")
+            .alias("batch_id"),
+        )
+        shifted.write.mode("overwrite").parquet(
+            f"{out_path}/_mb_id={bid}"
+        )
+    finally:
+        batch.unpersist()
+    total = (
+        spark.read.parquet(f"{out_path}/_mb_id={bid}")
+        .agg(F.coalesce(F.sum(count_col), F.lit(0)).alias("t"))
+        .collect()[0]["t"]
+    )
+    spark.createDataFrame(
+        [(int(total),)], "total bigint"
+    ).write.mode("overwrite").parquet(f"{carry_path}/_mb_id={bid}")

@@ -494,6 +494,37 @@ def test_token_budget_batches_leaves_no_cache(spark):
     assert jsc.getPersistentRDDs().size() == before
 
 
+def test_token_budget_batches_on_existing_rdd_source(spark):
+    """The packer must work over ExistingRDD-backed frames (r15):
+    foreachBatch micro-batches and createDataFrame(rdd) sources hit
+    them, and the earlier offsets broadcast-join mis-bound attributes
+    there (constraint propagation inferred `_pid <=> bucket_expr(id)`
+    across deduplicated branches — INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND
+    at execution, invisible over file/local relations). The literal
+    offsets-array formulation has no second branch to infer into; the
+    result must equal the file-relation path exactly."""
+    from mldag_spark.operators.packing import token_budget_batches
+
+    rows = [(i, 700 + 97 * (i % 5)) for i in range(1, 13)]
+    local = spark.createDataFrame(rows, "doc_id bigint, n_tokens bigint")
+    rddf = spark.createDataFrame(local.rdd, local.schema)
+
+    def packed(df):
+        return sorted(
+            (r["doc_id"], r["global_cum"], r["batch_id"])
+            for r in token_budget_batches(
+                df, "doc_id", "n_tokens", max_tokens=2048
+            ).collect()
+        )
+
+    want = packed(local)
+    cum = 0
+    for (doc_id, global_cum, _b), (_, n) in zip(want, rows):
+        cum += n
+        assert global_cum == cum
+    assert packed(rddf) == want
+
+
 def test_incremental_lsh_pairs_batch_vs_index_only(spark):
     from mldag_spark.operators.dedup import incremental_lsh_pairs
 
