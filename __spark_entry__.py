@@ -302,8 +302,17 @@ _GATE_ORDER = [
     "embedding_norm_by_label",
     "embedding_centroid_distances",
     # Structured Streaming
+    # r15 late debut #2: stream_pack_batches — the pack stage streamed
+    # as the foreachBatch two-phase carry-ledger recurrence (VERDICT
+    # r14 #6), sharing pack_token_budget_batches' oracle VERBATIM so
+    # the gated property is streaming/batch parity; hash-green at
+    # sf0.001 + sf0.01 before entering. events_gapfill_hourly banks
+    # after five consecutive green gated rounds (r10-r14) — gap-fill
+    # coverage stays under the continuous sf0.001 sweep; events keeps
+    # four window entries.
     "stream_incremental_dedup",
     "stream_pipeline_clean",
+    "stream_pack_batches",
     # Multimodal (media_stats banks green r1-r9; the two never-gated
     # multimodal audits rotate in, plus the r10-NEW real-codec WAV
     # round-trip, debut-gated per the standing norm —
@@ -324,7 +333,6 @@ _GATE_ORDER = [
     # r9-rotated trio; MAD stays for driver proof of the r10 grouped-
     # median rewrite)
     "events_anomaly_mad",
-    "events_gapfill_hourly",
     "events_asof_tolerance_order",
     "events_user_mode_arrow",
     "events_grouped_zscore",

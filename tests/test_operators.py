@@ -431,6 +431,12 @@ def test_token_budget_batches_no_global_window(spark):
     assert "hashpartitioning(_pid" in plan.lower()
     # no global range sort of the full data anywhere in the plan
     assert "rangepartitioning" not in plan.lower()
+    # r15: offsets are a driver-collected literal array (element_at
+    # lookup) — the output plan is ONE branch: no offsets self-join,
+    # no broadcast, no single-partition exchange
+    assert "broadcastexchange" not in plan.lower()
+    assert "singlepartition" not in plan.lower()
+    assert "element_at" in plan.lower()
     assert out.count() == 1000
 
 
