@@ -15,8 +15,12 @@ This module uses the distributed prefix-sum instead:
    ``_pid`` is monotone in id;
 2. a *local* cumulative sum per bucket (window partitioned by
    ``_pid`` — fully parallel, one hash exchange);
-3. per-bucket totals (|buckets| rows — driver-bounded) cumulated into
-   offsets embedded as one literal array, looked up O(1) per row;
+3. per-bucket totals (|buckets| rows) cumulated into offsets and
+   stitched back PLAN-ADAPTIVELY — broadcast-joined (default: the two
+   input evaluations overlap in one job) or, for RDD-backed frames,
+   collected driver-side (bounded) into one literal lookup array (see
+   the in-function comment for the measured trade and the optimizer
+   bug the fallback avoids);
 4. global cumsum = local cumsum + bucket offset.
 
 Why data-derived buckets instead of ``repartitionByRange`` +
@@ -142,47 +146,78 @@ def token_budget_batches(
     )
     local = p.withColumn("_lcum", F.sum(count_col).over(w_local))
 
-    # per-bucket totals: |buckets| rows, collected to the driver
-    # (bounded by n_buckets <= 4096 by construction — two longs per
-    # row) and cumulated into offsets embedded as ONE literal array.
-    # `_pid` is monotone in id, so offsets in `_pid` order stitch the
-    # local sums back into the global id-ordered prefix sum via an
-    # O(1) element_at per row — no second plan branch at all. The
-    # earlier broadcast-join formulation kept the offsets as a plan
-    # branch self-joined against `local`; besides costing two extra
-    # exchanges (SinglePartition agg + broadcast), that self-join
-    # mis-binds under constraint propagation when df is an
-    # ExistingRDD-backed frame (foreachBatch micro-batches,
-    # createDataFrame(rdd)): the inferred `_pid <=> bucket_expr(id)`
-    # predicate crosses branches referencing the other branch's
-    # deduplicated ids — INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND at
-    # execution. A literal lookup has no second branch to infer into.
-    totals = {
-        r["_pid"]: int(r["_t"])
-        for r in p.groupBy("_pid")
-        .agg(F.sum(count_col).alias("_t"))
-        .collect()
-    }
-    offs, run = [], 0
-    for pid in range(len(bounds) + 1):
-        offs.append(run)
-        run += totals.get(pid, 0)
-    off_arr = F.array(*[F.lit(o).cast("long") for o in offs])
+    # Stitching the per-bucket offsets back on is PLAN-ADAPTIVE
+    # (r15). Two formulations, identical results:
+    #
+    # (a) in-plan broadcast join (the default): the offsets are a
+    #     second plan branch (groupBy(_pid) totals + a |buckets|-row
+    #     cumsum window) broadcast-joined back. Its two full
+    #     evaluations of the input lineage sit in ONE job, so the
+    #     scheduler overlaps them across the cluster — measured
+    #     1.65x faster than (b) at sf10 when the count column is
+    #     expensive lineage (tokenize): 2.3s vs 3.7s
+    #     (scripts/probe_pack_offsets_ab.py).
+    #
+    # (b) driver-literal offsets: per-bucket totals collected (
+    #     bounded: |buckets| <= 4096 rows of two longs) and embedded
+    #     as ONE literal array, looked up element_at(_pid+1) per row.
+    #     No second branch — but the totals action serializes one
+    #     extra evaluation of the input lineage before the output
+    #     plan runs.
+    #
+    # (a) is BROKEN when df is backed by an ExistingRDD leaf
+    # (foreachBatch micro-batches, createDataFrame(rdd)): constraint
+    # propagation infers `bucket_expr(id) <=> _pid` across the
+    # deduplicated self-join branches, referencing the other branch's
+    # ids — INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND at execution. File,
+    # local-relation, and range sources are unaffected (every gate +
+    # the plan pins run (a)); RDD-backed frames take (b), which has
+    # no second branch to infer into. Both paths are value-pinned
+    # against each other (test_token_budget_batches_on_existing_rdd_
+    # source).
+    plan_str = df._jdf.queryExecution().analyzed().toString()
+    if "LogicalRDD" in plan_str or "ExistingRDD" in plan_str:
+        totals = {
+            r["_pid"]: int(r["_t"])
+            for r in p.groupBy("_pid")
+            .agg(F.sum(count_col).alias("_t"))
+            .collect()
+        }
+        offs, run = [], 0
+        for pid in range(len(bounds) + 1):
+            offs.append(run)
+            run += totals.get(pid, 0)
+        off_arr = F.array(*[F.lit(o).cast("long") for o in offs])
+        off_col = F.element_at(off_arr, F.col("_pid") + 1)
+        return local.select(
+            id_col,
+            count_col,
+            (F.col("_lcum") + off_col).alias("global_cum"),
+            F.floor((F.col("_lcum") + off_col - F.col(count_col)) / max_tokens)
+            .cast("int")
+            .alias("batch_id"),
+        )
 
-    out = local.select(
+    w_off = (
+        Window.orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = (
+        local.groupBy("_pid")
+        .agg(F.sum(count_col).alias("_ptotal"))
+        .withColumn(
+            "_offset", F.sum("_ptotal").over(w_off) - F.col("_ptotal")
+        )
+        .select("_pid", "_offset")
+    )
+    return local.join(F.broadcast(offsets), "_pid").select(
         id_col,
         count_col,
-        (F.col("_lcum") + F.element_at(off_arr, F.col("_pid") + 1))
-        .alias("global_cum"),
+        (F.col("_lcum") + F.col("_offset")).alias("global_cum"),
         F.floor(
-            (
-                F.col("_lcum")
-                + F.element_at(off_arr, F.col("_pid") + 1)
-                - F.col(count_col)
-            )
+            (F.col("_lcum") + F.col("_offset") - F.col(count_col))
             / max_tokens
         )
         .cast("int")
         .alias("batch_id"),
     )
-    return out

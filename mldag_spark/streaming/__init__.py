@@ -555,15 +555,17 @@ def pack_stream(
        offset stitch), so one giant arriving batch still never
        collapses into a single task;
     2. ACROSS batches, a carry: batch N's rows are shifted by the
-       token total of batches 0..N-1, read from a tiny per-batch
-       carry LEDGER (one ``(total)`` row per committed batch in
-       ``carry_path/_mb_id=K``) — never from driver memory.
+       token total of batches 0..N-1, read from a tiny carry LEDGER
+       (one ``(cum_total)`` row per committed batch in
+       ``carry_path/_mb_id=K`` holding the CUMULATIVE total through
+       K, so the carry is one O(1) direct read of row N-1) — never
+       from driver memory.
 
     The carry ledger is what makes the handoff IDEMPOTENT under
     at-least-once retries: a retried batch N recomputes
-    ``carry_in = sum(totals of _mb_id < N)`` from COMMITTED state
-    only (its own partial writes sit at ``_mb_id = N`` and are
-    excluded by the strict inequality, then overwritten), so the
+    ``carry_in`` from COMMITTED state only (its predecessor's row;
+    its own partial writes sit at ``_mb_id = N`` and are
+    never read, then overwritten), so the
     shifted offsets, the batch ids, and the ledger row it rewrites
     are bit-identical to the first attempt — within a checkpoint,
     exactly-once per micro-batch id (the ``_mb_id`` sink discipline,
@@ -576,9 +578,8 @@ def pack_stream(
     ``id_col`` via the inner prefix sum) — the production crawl-ingest
     contract. When micro-batches arrive id-ordered, the result equals
     the batch packer row-for-row, which is the gated parity property
-    (``stream_pack_batches``). At 100 TB the per-batch ledger scan
-    reads |batches| single-row files — metadata-bounded, no output
-    rescan.
+    (``stream_pack_batches``). At 100 TB the per-batch carry is one
+    single-row file read — no output rescan, no ledger listing.
     """
     from mldag_spark.operators.packing import token_budget_batches
 
@@ -588,7 +589,9 @@ def pack_stream(
         "global_cum bigint, batch_id int"
     )
     _seed_idempotent_sink(spark, out_path, checkpoint, out_ddl)
-    _seed_idempotent_sink(spark, carry_path, checkpoint, "total bigint")
+    _seed_idempotent_sink(
+        spark, carry_path, checkpoint, "cum_total bigint"
+    )
 
     def _process(batch: DataFrame, batch_id: int) -> None:
         pack_stream_batch(
@@ -624,19 +627,48 @@ def pack_stream_batch(
     retry-idempotence contract is directly REPLAYABLE: calling this
     again with a committed batch's id and input rows must leave the
     sink partition and the carry-ledger row bit-identical (pinned in
-    ``tests/test_streaming.py``). The carry reads COMMITTED batches
+    ``tests/test_streaming.py``). The carry reads COMMITTED state
     strictly before ``bid`` only; output commits before the ledger
     row so a crash between the two writes replays with the same
-    carry_in."""
+    carry_in.
+
+    The ledger row for batch N holds the CUMULATIVE token total
+    through batch N, so the carry is one direct read of the
+    predecessor's row (``_mb_id = N-1``) — O(1) per batch, no
+    directory listing (a per-batch-total ledger would need a
+    sum over all earlier rows: O(B) listing per batch, O(B^2)
+    metadata calls over a long-running stream — real money on object
+    stores). Micro-batch ids are consecutive within a checkpoint and
+    a crashed batch recommits BOTH its output and its ledger row on
+    replay before the next id runs, so the predecessor row is always
+    committed when batch N starts; a missing predecessor falls back
+    to the max-committed-row scan rather than silently packing from
+    zero."""
     from mldag_spark.operators.packing import token_budget_batches
 
     spark = batch.sparkSession
-    carry_in = (
-        spark.read.parquet(carry_path)
-        .filter((F.col("_mb_id") >= 0) & (F.col("_mb_id") < bid))
-        .agg(F.coalesce(F.sum("total"), F.lit(0)).alias("t"))
-        .collect()[0]["t"]
-    )
+    if bid <= 0:
+        carry_in = 0
+    else:
+        prev = f"{carry_path}/_mb_id={bid - 1}"
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(prev)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(jpath):
+            carry_in = int(
+                spark.read.parquet(prev).collect()[0]["cum_total"]
+            )
+        else:
+            # resumed checkpoint whose predecessor id predates this
+            # ledger, or non-consecutive ids: fall back to the newest
+            # committed row strictly before bid (one listing)
+            rows = (
+                spark.read.parquet(carry_path)
+                .filter((F.col("_mb_id") >= 0) & (F.col("_mb_id") < bid))
+                .orderBy(F.col("_mb_id").desc())
+                .limit(1)
+                .collect()
+            )
+            carry_in = int(rows[0]["cum_total"]) if rows else 0
     # the packer runs three actions over the batch (quantile bounds,
     # bucket totals, the shifted write); persist so a foreachBatch
     # frame doesn't re-read its micro-batch source per action
@@ -669,5 +701,5 @@ def pack_stream_batch(
         .collect()[0]["t"]
     )
     spark.createDataFrame(
-        [(int(total),)], "total bigint"
+        [(int(carry_in) + int(total),)], "cum_total bigint"
     ).write.mode("overwrite").parquet(f"{carry_path}/_mb_id={bid}")

@@ -431,12 +431,10 @@ def test_token_budget_batches_no_global_window(spark):
     assert "hashpartitioning(_pid" in plan.lower()
     # no global range sort of the full data anywhere in the plan
     assert "rangepartitioning" not in plan.lower()
-    # r15: offsets are a driver-collected literal array (element_at
-    # lookup) — the output plan is ONE branch: no offsets self-join,
-    # no broadcast, no single-partition exchange
-    assert "broadcastexchange" not in plan.lower()
-    assert "singlepartition" not in plan.lower()
-    assert "element_at" in plan.lower()
+    # default (non-RDD-source) path: the offsets ride the in-plan
+    # broadcast branch so the two input evaluations overlap in one
+    # job (the r15 A/B — scripts/probe_pack_offsets_ab.py)
+    assert "broadcastexchange" in plan.lower()
     assert out.count() == 1000
 
 
@@ -529,6 +527,15 @@ def test_token_budget_batches_on_existing_rdd_source(spark):
         cum += n
         assert global_cum == cum
     assert packed(rddf) == want
+
+    # and the RDD path really is the literal formulation: one branch,
+    # element_at offsets lookup, no broadcast self-join to mis-bind
+    out = token_budget_batches(rddf, "doc_id", "n_tokens", max_tokens=2048)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "element_at" in plan.lower()
+    assert "broadcastexchange" not in plan.lower()
 
 
 def test_incremental_lsh_pairs_batch_vs_index_only(spark):

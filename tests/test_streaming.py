@@ -356,7 +356,7 @@ def test_pack_stream_matches_batch_and_replays_idempotently(
 
     def read_ledger():
         return sorted(
-            (r["_mb_id"], r["total"])
+            (r["_mb_id"], r["cum_total"])
             for r in spark.read.parquet(carry_path)
             .filter(F.col("_mb_id") >= 0)
             .collect()
@@ -372,9 +372,12 @@ def test_pack_stream_matches_batch_and_replays_idempotently(
     assert got == want
     ledger = read_ledger()
     assert len(ledger) >= 2, "carry must cross >= 2 micro-batches"
-    # every batch after the first is shifted by its predecessors —
-    # the carry is non-vacuous iff some later batch has rows
-    assert any(t > 0 for _mb, t in ledger[1:])
+    # cumulative ledger: strictly increasing iff every batch carried
+    # a non-zero shift into its successor — the carry is non-vacuous
+    for (_m1, c1), (_m2, c2) in zip(ledger, ledger[1:]):
+        assert c2 > c1
+    # and the final cumulative total is the corpus token total
+    assert ledger[-1][1] == sum(n for _i, n in rows)
 
     # REPLAY a committed middle batch with its original input: the
     # retry recomputes carry_in from batches strictly before it and
