@@ -951,8 +951,12 @@ SF10_DIAGNOSES_RAW = {
     ),
     "pack_token_budget_batches": (
         "packing at 100x: quantile prefix-sum bucketing — one "
-        "bounded percentile aggregate + a bucket-key window; 2.4s "
-        "for 500k docs."
+        "bounded percentile aggregate + a bucket-key window; 3.7s "
+        "for 500k docs on the r15 host epoch (shuffle probe 2.6 vs "
+        "the 1.6 the r14 stamp's 2.4s wall rode; warm same-session "
+        "walls 2.8-3.0 — host drift, not the r15 plan-adaptive "
+        "offsets change, whose default path keeps the overlapped "
+        "broadcast-join plan byte-identical)."
     ),
     "knn_label_vote": (
         "bounded-query kNN vote at 100x: the Arrow brute-force scan "
