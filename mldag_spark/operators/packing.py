@@ -131,6 +131,12 @@ def token_budget_batches(
     n_buckets = int(num_partitions) or int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     )
+    # cap at the documented design point: bounds/offsets are embedded
+    # as literals and (on the RDD path) collected driver-side, so the
+    # bucket count must stay driver-bounded no matter how high the
+    # session sets shuffle partitions; results are bucketing-invariant
+    # (pinned), only local-cumsum parallelism is capped
+    n_buckets = min(n_buckets, 4096)
     if n_buckets > 1:
         probs = [i / n_buckets for i in range(1, n_buckets)]
         err = max(1e-4, 1.0 / (4.0 * n_buckets))

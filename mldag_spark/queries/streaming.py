@@ -656,8 +656,6 @@ def stream_pack_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     (every batch after the first is shifted by its predecessors'
     token totals; pinned with a two-batch minimum in
     ``tests/test_streaming.py``)."""
-    import os
-
     from mldag_spark.functions import tokenize
     from mldag_spark.queries.tables import load
 
@@ -668,16 +666,7 @@ def stream_pack_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     work = _stream_workdir("stream_pack_")
     src = f"{work}/src"
-    counts.repartitionByRange(4, "doc_id").write.parquet(src)
-    # part file order == id-range order under repartitionByRange;
-    # stamp strictly increasing mtimes so the file source's
-    # (mtime, path) ordering delivers micro-batches in id order
-    parts = sorted(
-        f for f in os.listdir(src) if f.endswith(".parquet")
-    )
-    base = os.path.getmtime(src)
-    for i, f in enumerate(parts):
-        os.utime(os.path.join(src, f), (base + i, base + i))
+    S.stage_id_ordered_micro_batches(counts, src, 4, "doc_id")
 
     stream = (
         spark.readStream.schema("doc_id bigint, n_tokens bigint")
@@ -699,7 +688,10 @@ def stream_pack_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # the streamed pack must hash-match the BATCH packer — share its
-# oracle string verbatim so the two can never drift
+# oracle string verbatim so the two can never drift (import the source
+# module explicitly: its registration populates ORACLES, and relying
+# on an earlier block's import is an ordering trap)
 from mldag_spark.queries import ORACLES as _ORACLES2  # noqa: E402
+from mldag_spark.queries import text as _text_oracles  # noqa: E402,F401
 
 _ORACLES2["stream_pack_batches"] = _ORACLES2["pack_token_budget_batches"]

@@ -533,6 +533,27 @@ def incremental_dedup_stream(
     return q
 
 
+def stage_id_ordered_micro_batches(
+    df: DataFrame, path: str, n_batches: int, id_col: str
+) -> None:
+    """Write ``df`` as ``n_batches`` id-range parquet files whose
+    (mtime, path) order equals id order, so a ``maxFilesPerTrigger=1``
+    file stream delivers micro-batches in nondecreasing ``id_col``
+    order — the staging recipe behind the streamed-pack parity gate,
+    its test, and its scale probe (ONE definition; the mtime stamp is
+    strictly increasing per file because equal mtimes leave the file
+    source's ordering to path alone)."""
+    import os
+
+    df.repartitionByRange(n_batches, id_col).write.parquet(path)
+    parts = sorted(
+        f for f in os.listdir(path) if f.endswith(".parquet")
+    )
+    base = os.path.getmtime(path)
+    for i, f in enumerate(parts):
+        os.utime(os.path.join(path, f), (base + i, base + i))
+
+
 def pack_stream(
     stream: DataFrame,
     id_col: str,
@@ -581,8 +602,6 @@ def pack_stream(
     (``stream_pack_batches``). At 100 TB the per-batch carry is one
     single-row file read — no output rescan, no ledger listing.
     """
-    from mldag_spark.operators.packing import token_budget_batches
-
     spark = stream.sparkSession
     out_ddl = (
         f"{id_col} bigint, {count_col} bigint, "

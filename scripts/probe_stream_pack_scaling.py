@@ -92,14 +92,20 @@ def main() -> None:
         try:
             src = f"{work}/src"
             t0 = time.time()
-            counts.repartitionByRange(4, "doc_id").write.parquet(src)
-            parts = sorted(
-                f for f in os.listdir(src) if f.endswith(".parquet")
-            )
-            base = os.path.getmtime(src)
-            for i, f in enumerate(parts):
-                os.utime(os.path.join(src, f), (base + i, base + i))
+            S.stage_id_ordered_micro_batches(counts, src, 4, "doc_id")
             point["stage_wall_sec"] = round(time.time() - t0, 3)
+
+            # SYMMETRIC batch baseline: the batch packer over the SAME
+            # staged (doc_id, n_tokens) parquet the stream reads —
+            # otherwise the overhead decomposition subtracts tokenize
+            # work only the live-lineage baseline pays (code-review
+            # r15 late #1)
+            staged = spark.read.parquet(src)
+            t0 = time.time()
+            point["batch_staged_rows"] = token_budget_batches(
+                staged, "doc_id", "n_tokens", 4096
+            ).count()
+            point["batch_staged_wall_sec"] = round(time.time() - t0, 3)
 
             t0 = time.time()
             S.pack_stream(
@@ -121,8 +127,11 @@ def main() -> None:
             shutil.rmtree(work, ignore_errors=True)
 
         point["rows_match"] = point["stream_n_rows"] == batch_rows
+        # overhead vs the SAME staged input the stream reads
         point["overhead_per_batch_sec"] = round(
-            (point["stream_wall_sec"] - point["batch_wall_sec"]) / 4, 3
+            (point["stream_wall_sec"] - point["batch_staged_wall_sec"])
+            / 4,
+            3,
         )
         point["post_probe"] = probe()
         point["clean_flanks"] = (

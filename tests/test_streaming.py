@@ -324,12 +324,9 @@ def test_pack_stream_matches_batch_and_replays_idempotently(
     rows = [(i, 700 + 97 * (i % 5)) for i in range(1, 13)]
     counts = spark.createDataFrame(rows, "doc_id bigint, n_tokens bigint")
     src = str(tmp_path / "src")
-    counts.repartitionByRange(3, "doc_id").write.parquet(src)
+    S.stage_id_ordered_micro_batches(counts, src, 3, "doc_id")
     parts = sorted(f for f in os.listdir(src) if f.endswith(".parquet"))
     assert len(parts) >= 2, "fixture must yield multiple range files"
-    base = os.path.getmtime(src)
-    for i, f in enumerate(parts):
-        os.utime(os.path.join(src, f), (base + i, base + i))
 
     stream = (
         spark.readStream.schema("doc_id bigint, n_tokens bigint")
@@ -386,6 +383,13 @@ def test_pack_stream_matches_batch_and_replays_idempotently(
     replay_rows = spark.read.parquet(f"{out_path}/_mb_id={replay_mb}")
     replay_input = counts.join(
         replay_rows.select("doc_id"), "doc_id", "left_semi"
+    )
+    # replay through an ExistingRDD-backed frame — the shape a real
+    # foreachBatch retry hands the batch function, which routes the
+    # packer down its literal-offsets path (the production retry path,
+    # not the broadcast-join path a LocalRelation join would take)
+    replay_input = spark.createDataFrame(
+        replay_input.rdd, replay_input.schema
     )
     S.pack_stream_batch(
         replay_input,
