@@ -788,6 +788,22 @@ def keep_best_losers(
     dst: str = "doc_b",
     broadcast_member_cap: int = 4_000_000,
 ) -> DataFrame:
+    out, _n = keep_best_losers_counted(
+        pairs, quality, id_col, quality_col, src, dst,
+        broadcast_member_cap,
+    )
+    return out
+
+
+def keep_best_losers_counted(
+    pairs: DataFrame,
+    quality: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "qs",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    broadcast_member_cap: int = 4_000_000,
+) -> "tuple[DataFrame, int]":
     """Pair-source-AGNOSTIC quality-aware representative selection
     (r14, VERDICT r13 #2): near-dup PAIRS in (from ANY miner — the
     exact prefix-filtered join, MinHash-LSH, PPJoin, SimHash…) plus a
@@ -830,6 +846,10 @@ def keep_best_losers(
     quality frame rank LAST (nulls-last), never silently vanish: a
     quality-known copy always wins, and a fully-unknown cluster still
     keeps its min-id member.
+
+    :func:`keep_best_losers_counted` is the same selection returning
+    ``(losers, n_members)`` — the measured count callers reuse to
+    bound their own anti-join of the loser set (paid once here).
     """
     from pyspark.sql.window import Window
 
@@ -860,11 +880,16 @@ def keep_best_losers(
     w = Window.partitionBy("component").orderBy(
         F.desc_nulls_last(quality_col), F.asc("node")
     )
-    return (
+    out = (
         members.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") > 1)
         .select(F.col("node").alias(id_col))
     )
+    # the measured member count is returned so CALLERS can bound their
+    # own loser-set joins from the same (already-paid) measurement —
+    # losers <= members, so a caller's broadcast decision against this
+    # count is conservative (r15 broadcast audit; keep_best_survivors)
+    return out, n_members
 
 
 def edit_similarity_pairs(

@@ -569,9 +569,13 @@ def build_clean_pack_dag(spark: SparkSession):
         # composed pipeline cannot drift (code-review r13 #3)
         docs = scored.withColumn("bucket", _split_bucket())
         dirty = contaminated_train_ids(docs, text_col="clean")
+        # no static broadcast hint (r15 broadcast audit): dirty is
+        # contamination-rate-sized — AQE broadcasts it when small,
+        # sort-merges when not, exactly like the stage queries
+        # (text_decontaminate_filter joins dirty unhinted)
         return (
             docs.filter(F.col("bucket") < 80)
-            .join(F.broadcast(dirty), "doc_id", "left_anti")
+            .join(dirty, "doc_id", "left_anti")
             .select("doc_id", "n_tokens")
         )
 

@@ -567,8 +567,10 @@ def dedup_keep_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate group, all singletons untouched — i.e. drop every
     component member that is not its component's id. This is the actual
     corpus-shrinking step a training-data pipeline runs after pair
-    mining + clustering; implemented as a broadcast anti-join of the
-    (tiny) non-representative id set against documents."""
+    mining + clustering; implemented as an anti-join of the
+    non-representative id set against documents, with the join
+    strategy left to AQE's runtime size (the drop set is
+    dup-rate-sized, not structure-bounded)."""
     from mldag_spark.operators.dedup import connected_components
 
     pairs = dedup_ngram_jaccard(spark, sf_dir)
@@ -577,7 +579,13 @@ def dedup_keep_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("doc_id")
     )
     d = load(spark, sf_dir, "documents")
-    return d.join(F.broadcast(drop), "doc_id", "left_anti").select(
+    # no static broadcast hint (r15 broadcast audit): the drop set is
+    # corpus-fraction-sized at real near-dup rates, so the join
+    # strategy is left to AQE's runtime size measurement — small drop
+    # sets still broadcast (verified at gate scale), huge ones
+    # sort-merge instead of OOMing, the same convention the
+    # decontaminate stage queries use
+    return d.join(drop, "doc_id", "left_anti").select(
         "doc_id", "n_chars"
     )
 
@@ -673,17 +681,25 @@ def _keep_best_materialize(
 def keep_best_survivors(d: DataFrame, pairs: DataFrame) -> DataFrame:
     """Frame-level keep-best materialization (shared by the three
     registered keep-best queries and the ``dag_pipeline_fuzzy_dedup``
-    DAG node): losers from ``keep_best_losers`` (measured-size member
-    join inside), broadcast anti-join against the documents frame,
-    kept quality recomputed inline on the survivors (same single-scan
-    expression — no corpus×corpus join anywhere)."""
-    from mldag_spark.operators.dedup import keep_best_losers
+    DAG node): losers from ``keep_best_losers_counted`` (measured-size
+    member join inside), anti-join against the documents frame with
+    the broadcast decision taken from the SAME measured member count
+    the selection already paid for (r15 broadcast audit: at web-crawl
+    near-dup rates the loser set is corpus-fraction-sized and an
+    unconditional broadcast is the OOM, the r14 what's-wrong #1 class
+    — losers <= members, so the member count is a conservative bound
+    and costs no extra job), kept quality recomputed inline on the
+    survivors (same single-scan expression — no corpus×corpus join
+    anywhere)."""
+    from mldag_spark.operators.dedup import keep_best_losers_counted
 
-    losers = keep_best_losers(pairs, _doc_quality(d))
+    losers, n_members = keep_best_losers_counted(pairs, _doc_quality(d))
+    if n_members <= 4_000_000:
+        losers = F.broadcast(losers)
     toks = tokenize(F.col("text"))
     qs = F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
     return (
-        d.join(F.broadcast(losers), "doc_id", "left_anti")
+        d.join(losers, "doc_id", "left_anti")
         .select("doc_id", "n_chars", F.round(qs, 4).alias("kept_quality"))
     )
 

@@ -783,3 +783,68 @@ def test_edit_similarity_joins_broadcast_pairs_never_shuffle_text(spark):
                 assert "_ta" not in detail and "_tb" not in detail, detail
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_corpus_fraction_anti_joins_are_aqe_adaptive(spark, registry):
+    """r15 broadcast audit: the drop/dirty/loser id sets fed to the
+    corpus anti-joins are DUP-RATE- or CONTAMINATION-RATE-sized, not
+    structure-bounded — at web-crawl rates they are corpus-fraction-
+    sized and a static F.broadcast hint is the OOM. The convention:
+    either the decision comes from a MEASURED count (keep-best — the
+    member count the selection already paid for), or the hint is
+    omitted and AQE picks from runtime sizes. Pin both halves:
+
+    (a) the logical plans of the unhinted queries carry NO broadcast
+        hint on the anti-join's right side (the strategy is AQE's);
+    (b) executing at gate scale, AQE still ends up broadcasting the
+        small drop set (the fast plan survives the safety change).
+    """
+    for q in ("dedup_keep_representatives", "dag_pipeline_clean_pack"):
+        df = registry[q](spark, SF_DIR)
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+        # keep-best queries legitimately hint (measured count);
+        # these two must not carry an UnresolvedHint/ResolvedHint on
+        # their corpus anti-join
+        assert "hints=[broadcast]" not in analyzed.lower(), q
+        # execute THIS dataframe's own plan (collect, not count —
+        # count() spawns a separate aggregate execution and leaves
+        # df's AdaptiveSparkPlan unexecuted/initial) so the explain
+        # below shows AQE's FINAL runtime choice
+        df.collect()
+        final = _plan(df)
+        assert "LeftAnti" in final, (q, final)
+        # gate-scale drop sets are small: AQE must have picked the
+        # broadcast form at runtime, not paid a sort-merge
+        assert "BroadcastHashJoin LeftAnti" in final, (q, final)
+
+
+def test_keep_best_survivors_bounds_loser_broadcast(spark):
+    """The survivor anti-join's broadcast decision must come from the
+    measured member count (losers <= members), never unconditionally:
+    under a forced zero cap the loser set must NOT be broadcast."""
+    from mldag_spark.operators import dedup as D
+    from mldag_spark.queries.text import keep_best_survivors
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta", 36),
+        (2, "alpha beta gamma delta epsilon zeta", 36),
+        (3, "totally different content here now", 34),
+    ]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string, n_chars bigint")
+    pairs = spark.createDataFrame([(1, 2)], "doc_a bigint, doc_b bigint")
+
+    orig = D.keep_best_losers_counted
+
+    def fake_counted(*a, **k):
+        out, _n = orig(*a, **k)
+        return out, 10**9  # pretend corpus-fraction-sized
+
+    D.keep_best_losers_counted = fake_counted
+    try:
+        surv = keep_best_survivors(d, pairs)
+        analyzed = surv._jdf.queryExecution().analyzed().toString()
+        assert "hints=[broadcast]" not in analyzed.lower()
+        got = sorted(r["doc_id"] for r in surv.collect())
+        assert got == [1, 3]  # keep best of {1,2} (tie -> min id), plus 3
+    finally:
+        D.keep_best_losers_counted = orig
