@@ -351,7 +351,17 @@ _GATE_ORDER = [
     # histogram; rollup/quantity-stats bank multi-round green)
     "agg_salted_returnflag_totals",
     "agg_approx_percentile_invariant",
-    "agg_price_histogram",
+    # r15 late debut #3: text_heavy_hitters — the two-pass Misra-Gries
+    # frequency sketch (per-partition k-counter summaries whose
+    # candidate union provably misses no global >N/k element, then an
+    # exact candidate-only aggregate; the oracle computes the same
+    # set via the full groupBy, proving the sketch path loses
+    # nothing); hash-green at sf0.001 + sf0.01 + sf0.1 before
+    # entering. agg_price_histogram banks after five consecutive
+    # green gated rounds (r10-r14) — histogram coverage stays under
+    # the continuous sf0.001 sweep; the sketch-family window slot
+    # passes to the new exact-guarantee representative.
+    "text_heavy_hitters",
     "agg_quantity_price_stats",
     "agg_rollup_flag_status",
     # Set ops + sort/limit (category coverage pinned by

@@ -4000,3 +4000,43 @@ def text_bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     by test)."""
     docs = load(spark, sf_dir, "documents")
     return bpe_encode_docs_frame(docs, n_merges=_BPE_N)
+
+
+@register(
+    "text_heavy_hitters",
+    oracle=r"""
+    WITH t AS (
+        SELECT unnest(string_split(
+            trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '
+        )) AS w
+        FROM documents
+    ), tot AS (
+        SELECT COUNT(*) AS n FROM t
+    ), c AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM t GROUP BY w
+    )
+    SELECT c.w, c.cnt FROM c, tot WHERE c.cnt * 200 > tot.n
+    """,
+)
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters over the corpus token stream (r15) — every token
+    whose frequency exceeds N/200, with EXACT counts, via the two-pass
+    Misra-Gries shape in :mod:`mldag_spark.operators.sketches`:
+    per-partition k-counter summaries (Arrow ``mapInPandas``, batch
+    counts merged with the Agarwal et al. summary-merge rule) whose
+    candidate UNION provably misses no global heavy hitter, then one
+    broadcast-semi-filtered exact aggregate over candidates only. The
+    scale contract is the map-side bound: the sketch emits <= k rows
+    per partition and the exact pass shuffles candidate tokens only —
+    the full token domain (billions of keys at corpus scale) never
+    shuffles. Output is <= k-1 rows by construction (at most k-1
+    elements can each exceed N/k). The DuckDB oracle computes the same
+    set the slow way — full groupBy + threshold — so the gate proves
+    the sketch path loses nothing."""
+    from mldag_spark.operators.sketches import heavy_hitters_exact
+
+    d = load(spark, sf_dir, "documents")
+    ex = d.select(
+        F.explode(tokenize(F.col("text"))).alias("w")
+    )
+    return heavy_hitters_exact(ex, "w", 200)

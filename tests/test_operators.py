@@ -3150,3 +3150,71 @@ def test_sharded_bloom_membership_and_routing(spark):
     assert all(present), "sharded bloom must have zero false negatives"
     # 500k-element sizing over 500 real elements: FPR ~ 0
     assert sum(absent) <= 5
+
+
+def test_misra_gries_merge_never_loses_heavy_hitter():
+    """Pure-python pin of the MG summary-merge bound: for ANY batch
+    split of an adversarial stream, every element with global
+    frequency > N/k survives the merged summary (estimate >=
+    true - N/k > 0). Exercises the decrement path hard: many distinct
+    light elements competing with few heavy ones across batches."""
+    import random
+
+    from mldag_spark.operators.sketches import _mg_merge
+
+    rng = random.Random(7)
+    k = 8
+    # heavy: 3 elements at ~20% each; light: 200 distinct singletons
+    stream = (["h1"] * 200 + ["h2"] * 150 + ["h3"] * 120
+              + [f"l{i}" for i in range(200)])
+    rng.shuffle(stream)
+    n = len(stream)
+    for n_batches in (1, 2, 7, 50):
+        size = max(1, n // n_batches)
+        counters = {}
+        for i in range(0, n, size):
+            batch = stream[i:i + size]
+            add = {}
+            for e in batch:
+                add[e] = add.get(e, 0) + 1
+            counters = _mg_merge(counters, add, k)
+            assert len(counters) <= k
+        for heavy, cnt in (("h1", 200), ("h2", 150), ("h3", 120)):
+            if cnt * k > n:
+                assert heavy in counters, (n_batches, counters)
+
+
+def test_heavy_hitters_exact_matches_full_groupby(spark):
+    """The two-pass sketch path must return EXACTLY the set (and
+    counts) of the full groupBy-threshold formulation — the sketch is
+    a shuffle-bound optimization, never an approximation — and the
+    candidate frame must respect the <= k-per-partition bound."""
+    from mldag_spark.operators.sketches import (
+        heavy_hitters_exact,
+        misra_gries_candidates,
+    )
+
+    rows = []
+    for i in range(40):
+        rows += [(f"common{j}",) for j in range(3)]  # 3 heavies x 40
+        rows += [(f"rare_{i}_{j}",) for j in range(5)]  # long tail
+    df = spark.createDataFrame(rows, "w string").repartition(7)
+    k = 10
+    n = len(rows)
+
+    got = sorted(
+        (r["w"], r["cnt"])
+        for r in heavy_hitters_exact(df, "w", k).collect()
+    )
+    want = sorted(
+        (r["w"], r["cnt"])
+        for r in df.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") * k > n)
+        .collect()
+    )
+    assert got == want
+    assert want, "fixture must contain at least one heavy hitter"
+    # map-side bound: <= k candidates per partition before distinct
+    n_cand = misra_gries_candidates(df, "w", k).count()
+    assert n_cand <= k * 7
