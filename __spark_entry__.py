@@ -286,7 +286,9 @@ _GATE_ORDER = [
     # Sampling / splits (r10: the four never-gated sampling patterns)
     "sample_deterministic_split",
     "sample_balanced_per_lang",
-    "sample_weighted_mix",
+    # r15 late debut #4: sample_weighted_mix banks after five
+    # consecutive green gated rounds (r10-r14; sampling keeps three
+    # window entries) to make room for stream_heavy_hitters below.
     "sample_global_shuffle",
     "pack_batch_boundaries",
     # Similarity search / embeddings (r10: the three never-gated
@@ -313,6 +315,14 @@ _GATE_ORDER = [
     "stream_incremental_dedup",
     "stream_pipeline_clean",
     "stream_pack_batches",
+    # r15 late debut #4: stream_heavy_hitters — the Misra-Gries
+    # summary as MERGEABLE micro-batch state (O(1) predecessor read,
+    # bit-identical retry replay, <= k rows committed per batch, the
+    # N/(k+1) undercount bound making the drained summary a
+    # no-false-negative candidate set), sharing text_heavy_hitters'
+    # oracle VERBATIM; hash-green at sf0.001 + sf0.01 + sf0.1 before
+    # entering.
+    "stream_heavy_hitters",
     # Multimodal (media_stats banks green r1-r9; the two never-gated
     # multimodal audits rotate in, plus the r10-NEW real-codec WAV
     # round-trip, debut-gated per the standing norm —

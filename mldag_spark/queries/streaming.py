@@ -695,3 +695,71 @@ from mldag_spark.queries import ORACLES as _ORACLES2  # noqa: E402
 from mldag_spark.queries import text as _text_oracles  # noqa: E402,F401
 
 _ORACLES2["stream_pack_batches"] = _ORACLES2["pack_token_budget_batches"]
+
+
+@register("stream_heavy_hitters")  # oracle set below: shares the batch
+# heavy-hitters oracle VERBATIM so the two can never drift
+
+
+def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING heavy hitters (r15) — the Misra-Gries k-counter
+    summary as MERGEABLE micro-batch state: documents arrive as four
+    id-range micro-batches, each batch's exact token counts merge
+    into the committed summary of its predecessor under the
+    ``_mb_id`` ledger discipline (:func:`mldag_spark.streaming.
+    mg_sketch_stream` — O(1) predecessor read, retry recomputes
+    bit-identical state, at most k rows committed per batch, k+1-row
+    bounded driver materialization per merge regardless of batch
+    size). The streaming guarantee — total undercount <= N/(k+1)
+    under ANY batch slicing — makes the drained summary a
+    no-false-negative candidate set, so the exact verify pass over
+    the full corpus returns EXACTLY the batch two-pass result:
+    ``text_heavy_hitters``'s oracle shared VERBATIM, the
+    ``stream_pack_batches`` precedent."""
+    from mldag_spark.functions import tokenize
+    from mldag_spark.queries.tables import load
+
+    k = 200
+    d = load(spark, sf_dir, "documents")
+    tokens = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(tokenize(F.col("text"))).alias("w"),
+    )
+    work = _stream_workdir("stream_hh_")
+    src = f"{work}/src"
+    S.stage_id_ordered_micro_batches(tokens, src, 4, "doc_id")
+
+    S.mg_sketch_stream(
+        spark.readStream.schema("doc_id bigint, w string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        "w",
+        k,
+        sketch_path=f"{work}/sketch",
+        checkpoint=f"{work}/ckpt",
+    )
+
+    committed = spark.read.parquet(f"{work}/sketch").filter(
+        F.col("_mb_id") >= 0
+    )
+    last = committed.select(F.max("_mb_id").alias("m"))
+    cand = (
+        committed.join(F.broadcast(last), F.col("_mb_id") == F.col("m"))
+        .select("w")
+    )
+    ex = d.select(F.explode(tokenize(F.col("text"))).alias("w"))
+    total = ex.select(F.count(F.lit(1)).cast("long").alias("_n"))
+    return (
+        ex.join(F.broadcast(cand), "w", "left_semi")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * k > F.col("_n"))
+        .drop("_n")
+    )
+
+
+# the streamed sketch's exact verify must hash-match the batch
+# two-pass — share its oracle string verbatim (source module imported
+# above for the pack alias; same ORACLES handle)
+_ORACLES2["stream_heavy_hitters"] = _ORACLES2["text_heavy_hitters"]

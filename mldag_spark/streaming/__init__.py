@@ -722,3 +722,119 @@ def pack_stream_batch(
     spark.createDataFrame(
         [(int(carry_in) + int(total),)], "cum_total bigint"
     ).write.mode("overwrite").parquet(f"{carry_path}/_mb_id={bid}")
+
+
+def mg_sketch_stream(
+    stream: DataFrame,
+    elem_col: str,
+    k: int,
+    sketch_path: str,
+    checkpoint: str,
+):
+    """Streaming Misra-Gries heavy-hitter sketch (r15): the k-counter
+    summary is MERGEABLE state maintained across micro-batches under
+    the ``_mb_id`` ledger discipline — batch N merges its exact
+    per-batch counts into the COMMITTED summary of batch N-1 (one
+    direct O(1) read, the ``pack_stream`` carry pattern) and
+    overwrites only its own ledger row, so an at-least-once retry
+    recomputes bit-identical state. Each committed summary is at most
+    ``k`` rows; the merge is the Agarwal et al. rule executed
+    RELATIONALLY (union → sum → subtract the (k+1)-th largest —
+    fetched via a bounded k+1-row sort-limit — keep positive), so the
+    only driver materialization is k+1 rows per batch regardless of
+    batch size.
+
+    Guarantee carried across any batch slicing: total undercount per
+    element <= N/(k+1), so every element with global frequency
+    > N/k has a positive final counter — the drained summary is a
+    no-false-negative candidate set for an exact verify pass
+    (``stream_heavy_hitters`` gates exactly that against the batch
+    two-pass oracle)."""
+    spark = stream.sparkSession
+    _seed_idempotent_sink(
+        spark, sketch_path, checkpoint, f"{elem_col} string, cnt bigint"
+    )
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        mg_sketch_stream_batch(
+            batch, int(batch_id), elem_col, k, sketch_path
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def mg_sketch_stream_batch(
+    batch: DataFrame,
+    bid: int,
+    elem_col: str,
+    k: int,
+    sketch_path: str,
+) -> None:
+    """One micro-batch of :func:`mg_sketch_stream` — module-level so
+    the retry contract is replayable (the ``pack_stream_batch``
+    convention): reads only COMMITTED state strictly before ``bid``,
+    writes only its own ledger row."""
+    spark = batch.sparkSession
+    if bid <= 0:
+        prev = spark.createDataFrame(
+            [], f"{elem_col} string, cnt bigint"
+        )
+    else:
+        path = f"{sketch_path}/_mb_id={bid - 1}"
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(jpath):
+            prev = spark.read.parquet(path).select(elem_col, "cnt")
+        else:
+            # resumed checkpoint predating this ledger: newest
+            # committed row-set strictly before bid (one listing)
+            committed = (
+                spark.read.parquet(sketch_path)
+                .filter((F.col("_mb_id") >= 0) & (F.col("_mb_id") < bid))
+            )
+            rows = (
+                committed.select(F.max("_mb_id").alias("m")).collect()
+            )
+            m = rows[0]["m"]
+            prev = (
+                committed.filter(F.col("_mb_id") == m)
+                .select(elem_col, "cnt")
+                if m is not None
+                else spark.createDataFrame(
+                    [], f"{elem_col} string, cnt bigint"
+                )
+            )
+
+    counts = (
+        batch.select(elem_col)
+        .groupBy(elem_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    u = (
+        counts.unionByName(prev)
+        .groupBy(elem_col)
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    # Agarwal et al. merge: if more than k counters survive, subtract
+    # the (k+1)-th largest count from all and keep strictly positive
+    # (at most k values exceed the (k+1)-th largest, so <= k remain).
+    # The sort-limit is k+1 rows — driver-bounded regardless of the
+    # batch's distinct-element count.
+    topk1 = u.orderBy(F.desc("cnt"), F.asc(elem_col)).limit(k + 1).collect()
+    if len(topk1) > k:
+        cut = int(topk1[-1]["cnt"])
+        summary = u.filter(F.col("cnt") > cut).select(
+            elem_col, (F.col("cnt") - cut).cast("long").alias("cnt")
+        )
+    else:
+        summary = u
+    summary.write.mode("overwrite").parquet(
+        f"{sketch_path}/_mb_id={bid}"
+    )

@@ -417,3 +417,86 @@ def test_pack_stream_matches_batch_and_replays_idempotently(
         carry_path=carry_path,
     )
     assert read_out() == want
+
+
+def test_mg_sketch_stream_state_and_replay(spark, tmp_path):
+    """The streaming Misra-Gries state (r15): per-batch committed
+    summaries stay <= k rows, the drained candidate set misses no
+    global heavy hitter (the N/(k+1) undercount bound across batch
+    slicing), and REPLAYING a committed middle batch leaves its
+    ledger row bit-identical — the retry contract, pinned directly."""
+    import os
+
+    k = 4
+    # 3 heavies spread across id ranges + a long tail fighting for
+    # counters in every batch
+    rows = []
+    rid = 0
+    for blk in range(3):
+        for _ in range(30):
+            rows.append((rid, "h1")); rid += 1
+            rows.append((rid, "h2")); rid += 1
+        for j in range(25):
+            rows.append((rid, f"tail_{blk}_{j}")); rid += 1
+    df = spark.createDataFrame(rows, "doc_id bigint, w string")
+    n = len(rows)
+
+    src = str(tmp_path / "src")
+    S.stage_id_ordered_micro_batches(df, src, 3, "doc_id")
+    sketch = str(tmp_path / "sketch")
+    S.mg_sketch_stream(
+        spark.readStream.schema("doc_id bigint, w string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        "w",
+        k,
+        sketch_path=sketch,
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+
+    committed = spark.read.parquet(sketch).filter(F.col("_mb_id") >= 0)
+    per_batch = {
+        r["_mb_id"]: r["c"]
+        for r in committed.groupBy("_mb_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    assert len(per_batch) >= 2, "state must cross >= 2 micro-batches"
+    assert all(c <= k for c in per_batch.values())
+
+    last = max(per_batch)
+    cand = {
+        r["w"]
+        for r in committed.filter(F.col("_mb_id") == last).collect()
+    }
+    want_heavy = {
+        r["w"]
+        for r in df.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") * k > n)
+        .collect()
+    }
+    assert want_heavy, "fixture must contain heavy hitters"
+    assert want_heavy <= cand  # no false negative, ever
+
+    # replay a committed middle batch with its original input rows:
+    # ledger must be bit-identical afterwards
+    replay_mb = sorted(per_batch)[1]
+    ledger_before = sorted(
+        (r["_mb_id"], r["w"], r["cnt"]) for r in committed.collect()
+    )
+    parts = sorted(
+        f for f in os.listdir(src) if f.endswith(".parquet")
+    )
+    replay_input = spark.createDataFrame(
+        spark.read.parquet(os.path.join(src, parts[replay_mb])).rdd,
+        "doc_id bigint, w string",
+    )
+    S.mg_sketch_stream_batch(replay_input, int(replay_mb), "w", k, sketch)
+    ledger_after = sorted(
+        (r["_mb_id"], r["w"], r["cnt"])
+        for r in spark.read.parquet(sketch)
+        .filter(F.col("_mb_id") >= 0)
+        .collect()
+    )
+    assert ledger_after == ledger_before
