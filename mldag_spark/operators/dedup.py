@@ -779,6 +779,14 @@ def connected_components(
     )
 
 
+# the default broadcast cap for keep-best member/loser joins (MEMBER
+# ROWS; ~64 B per (long, double) hash-relation entry => ~256 MiB
+# resident at 4M — size per deployment). Shared by the selection's
+# member join AND keep_best_survivors' loser anti-join so the two
+# halves of the measured-count convention cannot diverge.
+BROADCAST_MEMBER_CAP = 4_000_000
+
+
 def keep_best_losers(
     pairs: DataFrame,
     quality: DataFrame,
@@ -786,7 +794,7 @@ def keep_best_losers(
     quality_col: str = "qs",
     src: str = "doc_a",
     dst: str = "doc_b",
-    broadcast_member_cap: int = 4_000_000,
+    broadcast_member_cap: int = BROADCAST_MEMBER_CAP,
 ) -> DataFrame:
     out, _n = keep_best_losers_counted(
         pairs, quality, id_col, quality_col, src, dst,
@@ -802,7 +810,7 @@ def keep_best_losers_counted(
     quality_col: str = "qs",
     src: str = "doc_a",
     dst: str = "doc_b",
-    broadcast_member_cap: int = 4_000_000,
+    broadcast_member_cap: int = BROADCAST_MEMBER_CAP,
 ) -> "tuple[DataFrame, int]":
     """Pair-source-AGNOSTIC quality-aware representative selection
     (r14, VERDICT r13 #2): near-dup PAIRS in (from ANY miner — the

@@ -76,24 +76,37 @@ def misra_gries_candidates(
             )
         yield pd.DataFrame({elem_col: list(counters.keys())})
 
-    return rows.select(elem_col).mapInPandas(
-        kernel, f"{elem_col} string"
-    ).distinct()
+    # output schema mirrors the input element type (the first cut
+    # hardcoded string — any numeric elem_col died in Arrow
+    # conversion; code-review r15 late-2 #3); nulls are excluded
+    # HERE and from N in heavy_hitters_exact, consistently
+    dt = dict(rows.dtypes)[elem_col]
+    return (
+        rows.select(elem_col)
+        .filter(F.col(elem_col).isNotNull())
+        .mapInPandas(kernel, f"{elem_col} {dt}")
+        .distinct()
+    )
 
 
 def heavy_hitters_exact(
     rows: DataFrame, elem_col: str, k: int
 ) -> DataFrame:
-    """(elem, cnt) for every element with exact global count
+    """(elem, cnt) for every NON-NULL element with exact global count
     ``cnt * k > N`` — by construction at most k-1 rows, broadcast-safe
-    everywhere downstream. Fully lazy: candidates, the total, and the
-    exact counts are plan branches of one job."""
+    everywhere downstream. Null elements are excluded from BOTH the
+    candidate set and N (a null candidate cannot match an equi
+    semi-join, and counting nulls in N while never emitting them
+    would silently break the groupBy-equality contract — code-review
+    r15 late-2 #4). Fully lazy: candidates, the total, and the exact
+    counts are plan branches of one job."""
+    nn = rows.filter(F.col(elem_col).isNotNull())
     cand = misra_gries_candidates(rows, elem_col, k)
-    total = rows.select(
+    total = nn.select(
         F.count(F.lit(1)).cast("long").alias("_n")
     )
     counts = (
-        rows.join(F.broadcast(cand), elem_col, "left_semi")
+        nn.join(F.broadcast(cand), elem_col, "left_semi")
         .groupBy(elem_col)
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )

@@ -691,10 +691,13 @@ def keep_best_survivors(d: DataFrame, pairs: DataFrame) -> DataFrame:
     and costs no extra job), kept quality recomputed inline on the
     survivors (same single-scan expression — no corpus×corpus join
     anywhere)."""
-    from mldag_spark.operators.dedup import keep_best_losers_counted
+    from mldag_spark.operators.dedup import (
+        BROADCAST_MEMBER_CAP,
+        keep_best_losers_counted,
+    )
 
     losers, n_members = keep_best_losers_counted(pairs, _doc_quality(d))
-    if n_members <= 4_000_000:
+    if n_members <= BROADCAST_MEMBER_CAP:
         losers = F.broadcast(losers)
     toks = tokenize(F.col("text"))
     qs = F.size(F.array_distinct(toks)).cast("double") / F.size(toks)

@@ -826,15 +826,21 @@ def mg_sketch_stream_batch(
     # the (k+1)-th largest count from all and keep strictly positive
     # (at most k values exceed the (k+1)-th largest, so <= k remain).
     # The sort-limit is k+1 rows — driver-bounded regardless of the
-    # batch's distinct-element count.
+    # batch's distinct-element count — and the new summary is fully
+    # derivable from those rows (every survivor has cnt > cut, so it
+    # sits inside the top k of topk1; in the <= k case topk1 IS all
+    # of u), so the merged aggregation runs ONCE per batch, not once
+    # for the cut and again for the write (code-review r15 late-2 #5).
     topk1 = u.orderBy(F.desc("cnt"), F.asc(elem_col)).limit(k + 1).collect()
     if len(topk1) > k:
         cut = int(topk1[-1]["cnt"])
-        summary = u.filter(F.col("cnt") > cut).select(
-            elem_col, (F.col("cnt") - cut).cast("long").alias("cnt")
-        )
+        out = [
+            (r[elem_col], int(r["cnt"]) - cut)
+            for r in topk1
+            if int(r["cnt"]) > cut
+        ]
     else:
-        summary = u
-    summary.write.mode("overwrite").parquet(
-        f"{sketch_path}/_mb_id={bid}"
-    )
+        out = [(r[elem_col], int(r["cnt"])) for r in topk1]
+    spark.createDataFrame(
+        out, f"{elem_col} string, cnt bigint"
+    ).write.mode("overwrite").parquet(f"{sketch_path}/_mb_id={bid}")

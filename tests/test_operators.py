@@ -3218,3 +3218,32 @@ def test_heavy_hitters_exact_matches_full_groupby(spark):
     # map-side bound: <= k candidates per partition before distinct
     n_cand = misra_gries_candidates(df, "w", k).count()
     assert n_cand <= k * 7
+
+
+def test_heavy_hitters_numeric_elements_and_null_exclusion(spark):
+    """The sketch API is type-generic (the first cut hardcoded a
+    string output schema — numeric element columns died in Arrow
+    conversion) and nulls are excluded consistently from candidates
+    AND N, so the result equals the groupBy formulation over non-null
+    elements exactly."""
+    from mldag_spark.operators.sketches import heavy_hitters_exact
+
+    rows = [(1,)] * 50 + [(2,)] * 40 + [(None,)] * 30 + [
+        (100 + i,) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint").repartition(5)
+    k = 4
+    n_nonnull = 110
+    got = sorted(
+        (r["user_id"], r["cnt"])
+        for r in heavy_hitters_exact(df, "user_id", k).collect()
+    )
+    want = sorted(
+        (r["user_id"], r["cnt"])
+        for r in df.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") * k > n_nonnull)
+        .collect()
+    )
+    assert got == want == [(1, 50), (2, 40)]
