@@ -323,6 +323,17 @@ _GATE_ORDER = [
     # oracle VERBATIM; hash-green at sf0.001 + sf0.01 + sf0.1 before
     # entering.
     "stream_heavy_hitters",
+    # r15 late debut #5: stream_pipeline_pack — the END-TO-END
+    # streamed export path: the registered decon stream (called, not
+    # re-derived) chained via the id-ordered staging handoff into the
+    # carry-ledger pack stream; the composed oracle replays
+    # decontamination + the survivor cumsum, pinning the whole chain.
+    # Hash-green at sf0.001 + sf0.01 + sf0.1 before entering.
+    # events_asof_tolerance_order banks after five consecutive green
+    # gated rounds (r10-r14; events keeps three window entries incl.
+    # the as-of coverage via events_asof_latest_order under the
+    # sf0.001 sweep).
+    "stream_pipeline_pack",
     # Multimodal (media_stats banks green r1-r9; the two never-gated
     # multimodal audits rotate in, plus the r10-NEW real-codec WAV
     # round-trip, debut-gated per the standing norm —
@@ -343,7 +354,6 @@ _GATE_ORDER = [
     # r9-rotated trio; MAD stays for driver proof of the r10 grouped-
     # median rewrite)
     "events_anomaly_mad",
-    "events_asof_tolerance_order",
     "events_user_mode_arrow",
     "events_grouped_zscore",
     # Relational: scans, filters, scalar functions

@@ -763,3 +763,109 @@ def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # two-pass — share its oracle string verbatim (source module imported
 # above for the pack alias; same ORACLES handle)
 _ORACLES2["stream_heavy_hitters"] = _ORACLES2["text_heavy_hitters"]
+
+
+@register("stream_pipeline_pack")  # oracle set below (composes the
+# decon stage's oracle CTEs with the pack cumsum — built from the
+# same _BLOOM_M constant so the stage rule can never drift)
+
+
+def stream_pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END STREAMED export path (r15): streamed bloom
+    decontamination chained into streamed token-budget packing — the
+    two ``foreachBatch`` stage disciplines composed. Stage 1 IS the
+    registered ``stream_decontaminate_bloom`` query (called, not
+    re-derived — zero drift with the gated stage): train documents
+    arrive as micro-batches, each probed map-only against the
+    batch-built test-split bloom, survivors landing in the
+    ``_mb_id``-idempotent sink. Stage 2 stages the survivors as four
+    id-range micro-batches (``stage_id_ordered_micro_batches`` — the
+    deterministic handoff artifact between chained streams) and runs
+    :func:`mldag_spark.streaming.pack_stream` over their ``n_chars``
+    (a 65536-char shard budget: packing by bytes/chars is the export
+    shape when token counts aren't in the survivor schema), with the
+    cumulative carry ledger giving idempotent cross-batch offsets.
+
+    The oracle replays decontamination + the survivor-ordered cumsum
+    relationally, so the gate pins the WHOLE chain: streamed stage 1
+    == the batch bloom pass, and streamed stage 2 == the batch packer
+    over exactly those survivors."""
+    from mldag_spark.queries import REGISTRY
+
+    survivors = REGISTRY["stream_decontaminate_bloom"](spark, sf_dir)
+    counts = survivors.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+    work = _stream_workdir("stream_pipepack_")
+    src = f"{work}/src"
+    S.stage_id_ordered_micro_batches(counts, src, 4, "doc_id")
+    S.pack_stream(
+        spark.readStream.schema("doc_id bigint, n_chars bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        "doc_id",
+        "n_chars",
+        max_tokens=65536,
+        out_path=f"{work}/packed",
+        checkpoint=f"{work}/ckpt",
+        carry_path=f"{work}/carry",
+    )
+    return spark.read.parquet(f"{work}/packed").select(
+        "doc_id", "n_chars", "global_cum", "batch_id"
+    )
+
+
+from mldag_spark.queries.text import _BLOOM_M as _BM  # noqa: E402
+
+_ORACLES2["stream_pipeline_pack"] = f"""
+    WITH t AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                 % 100 AS bucket,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+                   AS toks
+        FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id, bucket,
+               array_to_string(toks[u:u+4], ' ') AS s
+        FROM (SELECT doc_id, bucket, toks,
+                     unnest(generate_series(1, len(toks) - 4)) AS u
+              FROM t)
+    ), hashed AS (
+        SELECT doc_id, bucket, s,
+               ('0x' || substr(md5(s), 1, 8))::BIGINT AS h1,
+               ('0x' || substr(md5(s), 9, 8))::BIGINT AS h2
+        FROM sh
+    ), pos AS (
+        SELECT DISTINCT (h1 + g.i * h2) % {_BM} AS p
+        FROM (SELECT h1, h2 FROM hashed WHERE bucket >= 90),
+             unnest([0, 1, 2, 3]) AS g(i)
+    ), dirty AS (
+        SELECT doc_id
+        FROM hashed
+        WHERE bucket < 80
+          AND (h1 + 0 * h2) % {_BM} IN (SELECT p FROM pos)
+          AND (h1 + 1 * h2) % {_BM} IN (SELECT p FROM pos)
+          AND (h1 + 2 * h2) % {_BM} IN (SELECT p FROM pos)
+          AND (h1 + 3 * h2) % {_BM} IN (SELECT p FROM pos)
+        GROUP BY doc_id
+        HAVING COUNT(*) >= 3
+    ), surv AS (
+        SELECT d.doc_id, d.n_chars
+        FROM documents d
+        JOIN t ON t.doc_id = d.doc_id
+        WHERE t.bucket < 80
+          AND d.doc_id NOT IN (SELECT doc_id FROM dirty)
+    ), c AS (
+        SELECT doc_id, n_chars,
+               CAST(SUM(n_chars) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS global_cum
+        FROM surv
+    )
+    SELECT doc_id, n_chars, global_cum,
+           CAST((global_cum - n_chars) // 65536 AS INT) AS batch_id
+    FROM c
+"""
