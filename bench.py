@@ -505,6 +505,30 @@ def main() -> int:
         # safe with write_bucketed_table's one-file-per-bucket layout;
         # lets the bucketed join skip its per-side Sort (sources.py)
         .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+        # r15 (guide §2.4): allow joins to reuse an existing subset
+        # partitioning instead of re-shuffling BOTH sides onto the
+        # full join-key tuple. The dedup verification kernels join
+        # (id)-partitioned element rows on (id, element); with the
+        # default (true) Spark re-exchanges the CORPUS-scale element
+        # rows onto (id, element) even though (id)-hash already
+        # co-locates every join group. Scale-independent by
+        # construction — the reused keys are high-cardinality doc
+        # ids, so no skew concentration — and the win grows with
+        # corpus size (one full element-row shuffle removed per
+        # verification join). Measured: dedup_minhash_lsh executed
+        # plan 8 → 4 data exchanges.
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+        # r15 (guide §5): with the co-partition reuse above, the
+        # verification stages run at full shuffle-partition fan-out
+        # instead of AQE-coalesced counts, so on this 1 GiB local
+        # heap 32 concurrent sort tasks each allocating the default
+        # 1 MiB spill-READER read-ahead buffer per spill file can tip
+        # a text-heavy sort into OOM (observed once on
+        # dedup_edit_verified at sf0.1: OutOfMemoryError inside
+        # UnsafeSorterSpillReader's ByteBuffer.allocate). 256 KiB
+        # bounds that footprint 4x; at production heap sizes the
+        # buffer size is noise either way.
+        .config("spark.unsafe.sorter.spill.reader.buffer.size", "256k")
         # NB: do NOT raise spark.driver.memory here. On this host a large
         # (8-16g) heap makes the local-mode JVM intermittently freeze for
         # minutes (jstack cannot even attach); with the default heap the

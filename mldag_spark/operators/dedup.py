@@ -198,7 +198,17 @@ def _lsh_pairs_impl(
             F.col(f"a.{id_col}").alias("doc_a"),
             F.col(f"b.{id_col}").alias("doc_b"),
         )
-        .distinct()
+        # pair dedup keyed by doc_a ALONE (hash-partitioning on doc_a
+        # still co-locates every (doc_a, doc_b) group), so the
+        # verification join on doc_a consumes the dedup exchange
+        # directly instead of paying a second pair-sized exchange to
+        # re-key from (doc_a, doc_b) to (doc_a). The (doc_a, doc_b)-
+        # keyed distinct's map-side partial combine lost nothing worth
+        # keeping: band-duplicates of one pair live in DIFFERENT
+        # (band, bucket) shuffle partitions by construction, so the
+        # partials almost never merged anyway (r15; guide §2.4).
+        .repartition(F.col("doc_a"))
+        .dropDuplicates(["doc_a", "doc_b"])
     )
     return _verify_pairs_by_rows(
         candidates, rows, id_col, elem_col, "doc_a", "doc_b", threshold
@@ -287,30 +297,67 @@ def _verify_pairs_by_rows(
             rows_right.select(F.col(id_col), F.col(elem_col).alias("_e"))
             .distinct()
         )
-    sizes_l = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
-    sizes_r = ex_r.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
+    # Per-doc set sizes ride a count-over-window on the SAME element
+    # rows instead of the r2-r14 shape (two groupBy(id) size frames +
+    # two pair-keyed merge joins after `common`). The window partitions
+    # by id and orders by _e with an unbounded frame, so its required
+    # sort (id, _e) is EXACTLY the ordering the verification merge
+    # joins need anyway: the left join (on id) consumes the (id, _e)
+    # sort as a prefix, the right join (on id, _e) consumes it whole —
+    # EnsureRequirements elides both SMJ sorts, the window adds ZERO
+    # exchanges (rows arrive id-clustered from the callers' shared
+    # repartition), and the two pair-sized size joins plus their two
+    # exchanges and two barrier stages disappear (r15 measurement:
+    # dedup_minhash_lsh executed plan 8 → 5 data exchanges with the
+    # caller-side dedup keying change; see OPTIMIZATION_r15.md). At
+    # 100 TB the removed exchanges are pair-scale — on web corpora the
+    # pair frame rivals the corpus in size, so this is not just a
+    # local stage-count win. Group keys include the per-side constants
+    # (_na, _nb are functions of left/right), so groups — and the
+    # output values — are byte-identical to the joined form.
+    from pyspark.sql.window import Window
 
-    ra = ex.select(F.col(id_col).alias(left), "_e").hint("merge")
-    rb = ex_r.select(F.col(id_col).alias(right), "_e").hint("merge")
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("_e")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    exn = ex.withColumn("_n", F.count(F.lit(1)).over(w))
+    exn_r = exn if rows_right is None else ex_r.withColumn(
+        "_n", F.count(F.lit(1)).over(w)
+    )
+    ra = exn.select(
+        F.col(id_col).alias(left), "_e", F.col("_n").alias("_na")
+    ).hint("merge")
+    rb = exn_r.select(
+        F.col(id_col).alias(right), "_e", F.col("_n").alias("_nb")
+    ).hint("merge")
+    # The pair-side re-key before the right join is on `right` ALONE
+    # (not the (right, _e) pair EnsureRequirements would pick): rb is
+    # already hash-partitioned by id from the callers' shared
+    # repartition, and a single-key left side makes the two sides
+    # subset-co-partitioned, so the CORPUS-scale element rows are
+    # never re-shuffled onto (right, _e) — only the candidate-
+    # restricted pair×element rows move. The downstream groupBy's
+    # clustering ({right} ⊆ group keys) is satisfied by the same
+    # partitioning, so the final pair aggregate pays no exchange
+    # either (r15; guide §2.3 "shuffle fewer bytes" / §2.4). Trade,
+    # documented: a REPARTITION_BY_COL shuffle is not eligible for
+    # AQE skew-join splitting — acceptable because per-doc candidate
+    # fan-out is band-bucket-bounded by construction, while the rb
+    # exchange this removes scales with the corpus.
     common = (
         candidates.join(ra, left)
+        .repartition(F.col(right))
         .join(rb, [right, "_e"])
-        .groupBy(left, right)
+        .groupBy(left, right, "_na", "_nb")
         .agg(F.count(F.lit(1)).alias("_nc"))
     )
-    sa = sizes_l.select(
-        F.col(id_col).alias(left), F.col("_n").alias("_na")
-    ).hint("merge")
-    sb = sizes_r.select(
-        F.col(id_col).alias(right), F.col("_n").alias("_nb")
-    ).hint("merge")
     jac = F.col("_nc").cast("double") / (
         F.col("_na") + F.col("_nb") - F.col("_nc")
     )
     return (
-        common.join(sa, left)
-        .join(sb, right)
-        .filter(jac >= threshold)
+        common.filter(jac >= threshold)
         .select(left, right, F.round(jac, 4).alias("jaccard"))
     )
 
@@ -937,6 +984,20 @@ def edit_similarity_pairs(
     """
     a = texts.select(F.col(id_col).alias(src), F.col(text_col).alias("_ta"))
     b = texts.select(F.col(id_col).alias(dst), F.col(text_col).alias("_tb"))
+    # Materialize the pair frame ONCE (lazy localCheckpoint — the
+    # established repo idiom; lazy so the miner still runs inside the
+    # caller's timed action, and ContextCleaner reclaims the blocks
+    # when the result frame is dropped, no cache-manager leak across
+    # the registry sweep). Without it the two broadcast builds below
+    # are keyed differently (src vs dst), so they can never share one
+    # BroadcastExchange and each re-executes the ENTIRE miner subtree
+    # feeding `pairs` — measured r15 on dedup_edit_verified: the
+    # prefix-miner tail ran once per broadcast (the formatted plan
+    # shows the miner subtree three times), and checkpointing cut the
+    # query's executed exchanges from the miner's ~3× replication to
+    # one pass + two pair-sized broadcast builds (guide §1.2: don't
+    # compute things you throw away).
+    pairs = pairs.localCheckpoint(eager=False)
     # half A carries pairs' scalar columns (jaccard etc.) so they
     # survive to the output; half B joins the DISTINCT ID projection —
     # a miner that emits the same pair d times (e.g. once per

@@ -20,6 +20,10 @@ def spark():
         .appName("mldag_spark-tests")
         .config("spark.sql.shuffle.partitions", "4")
         .config("spark.sql.adaptive.enabled", "true")
+        # mirror the bench session (r15): joins may reuse an existing
+        # subset partitioning — the plan pins must cover the plans the
+        # bench actually runs
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .getOrCreate()

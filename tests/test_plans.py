@@ -192,15 +192,25 @@ def test_ngram_jaccard_shuffles_bounded_and_never_broadcasts(spark, registry):
         if "Exchange hashpartitioning" in l and "ReusedExchange" not in l
     ]
     # id-repartition, df aggregate + element joins (prefix build +
-    # self-join), pair distinct, verification common + size joins.
+    # self-join), pair distinct, verification common join re-key.
     # Pinned at the plan's MEASURED exchange count (ADVICE r7 — a
     # round headroom number would let silently added exchanges pass):
-    # any change here must be a conscious diff
-    assert len(data_shuffles) == 13, plan
+    # any change here must be a conscious diff. r15: 13 → 9 — the
+    # verification kernel's two size joins became count-over-window
+    # on the element rows (two pair-keyed exchanges + the final
+    # pair-aggregate exchange gone), and the right verification join
+    # reuses the element rows' id-partitioning (subset co-partition,
+    # conftest mirrors the bench conf) instead of re-shuffling them
+    # onto (id, element).
+    assert len(data_shuffles) == 9, plan
     # two source paths (element rows re-derived for the _e-keyed and
-    # id-keyed consumers); everything else reuses an exchange
+    # id-keyed consumers); everything else reuses an exchange. r15:
+    # the two size-join subtrees that used to re-consume the shared
+    # id exchange are gone (sizes ride the verification windows), so
+    # the reuse count drops 5 → 3 with the verification subtree
+    # re-using the prefix build's exchanges
     assert plan.count("FileScan parquet") == 2, plan
-    assert plan.count("ReusedExchange") >= 5, plan
+    assert plan.count("ReusedExchange") == 3, plan
 
 
 def test_minhash_lsh_never_broadcasts_corpus_data(spark, registry):
