@@ -66,13 +66,24 @@ def minhash_signatures_rows(
     full query's bottleneck (verification + shuffles are). Same-seed
     string hashing kept: simplest, and fingerprints stay stable.
     """
-    mins = [
-        F.min(F.xxhash64(elem_col, F.lit(i))).alias(f"_h{i}")
-        for i in range(num_hashes)
-    ]
-    return rows.groupBy(id_col).agg(*mins).select(
-        id_col,
-        F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("mh"),
+    # The whole signature is ONE parsed SQL expression instead of
+    # num_hashes × (xxhash64 + lit + min + alias) Column objects plus
+    # a num_hashes-wide re-select: each py4j Column call is a
+    # millisecond-scale driver round trip, and at the default 64
+    # hashes the old form alone cost ~0.5 s of the query's WALL per
+    # invocation in DataFrame construction (r15 measurement: the full
+    # LSH query spent 1.55 s warm in construction, ~40 % of its bench
+    # wall; guide §1.2 step 2 — per-task work includes the driver).
+    # `array(min(xxhash64(e,0)), min(xxhash64(e,1)), …)` parses
+    # server-side in single-digit ms and analyzes to the IDENTICAL
+    # aggregate (SQL integer literals are IntegerType, exactly what
+    # F.lit(i) produced, so every hash value is bit-identical —
+    # pinned by test_operators' signature goldens).
+    mins_sql = ", ".join(
+        f"min(xxhash64(`{elem_col}`, {i}))" for i in range(num_hashes)
+    )
+    return rows.groupBy(id_col).agg(
+        F.expr(f"array({mins_sql})").alias("mh")
     )
 
 
@@ -143,19 +154,18 @@ def minhash_band_index(
     # slicing below references the aggregated `mh` attribute instead of
     # re-inlining the hash tree into every slice on both join sides.
     sig = minhash_signatures_rows(rows, id_col, elem_col, num_hashes)
+    # one parsed expression instead of bands × (lit + hash + slice +
+    # struct + alias) py4j Column round trips — same construction-
+    # cost argument (and bit-identical analysis result: SQL `hash` is
+    # F.hash, Murmur3 seed 42, and integer literals match F.lit) as
+    # the signature aggregate above
+    structs_sql = ", ".join(
+        f"struct({j} as band, hash(slice(mh, {j * r + 1}, {r})) as bucket)"
+        for j in range(bands)
+    )
     return sig.select(
         F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("band"),
-                        F.hash(F.slice("mh", j * r + 1, r)).alias("bucket"),
-                    )
-                    for j in range(bands)
-                ]
-            )
-        ).alias("b"),
+        F.expr(f"explode(array({structs_sql}))").alias("b"),
     ).select(id_col, "b.band", "b.bucket")
 
 
