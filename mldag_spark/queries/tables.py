@@ -18,6 +18,8 @@ Scale notes (the 100 TB design stance):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 TABLES = (
@@ -29,6 +31,33 @@ TABLES = (
 # is borderline at very large SF — callers join it via ``dim()`` only
 # when the probe side is a fact table.
 DIM_TABLES = {"region", "nation", "supplier", "part", "customer"}
+
+# Schema cache (metadata only, never data): each schema-INFERRING
+# ``spark.read.parquet`` pays a footer read + parse at DataFrame-
+# construction time, ~55 ms per call warm on this host — and the
+# headline bench constructs ~38 scans per pass, all over the same
+# static tables. Production reads resolve schemas from a catalog
+# (metastore/Iceberg manifest) and never pay per-query inference;
+# this cache is the path-table analog. Keyed on (absolute path,
+# mtime, size) so a rewritten input invalidates; stores only the
+# StructType — the scan itself still reads the parquet bytes on
+# every execution.
+_SCHEMA_CACHE: dict[tuple[str, float, int], object] = {}
+
+
+def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    try:
+        st = os.stat(path)
+        key = (os.path.abspath(path), st.st_mtime, st.st_size)
+    except OSError:
+        # unstatable (e.g. non-local FS): fall back to plain inference
+        return spark.read.parquet(path)
+    sch = _SCHEMA_CACHE.get(key)
+    if sch is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[key] = df.schema
+        return df
+    return spark.read.schema(sch).parquet(path)
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -42,7 +71,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # corrupts the other (a DIV 1000 on microseconds collapses all
         # event time to ~1970).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = _read_parquet(spark, f"{sf_dir}/{name}.parquet")
         ts_type = df.schema["ts"].dataType.typeName()
         if ts_type in ("long", "integer"):
             # raw nanos → truncate to Spark's microsecond timestamps.
@@ -52,7 +81,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # timestamp / timestamp_ntz → normalize to TimestampType so every
         # downstream consumer (and the oracle schema hash) sees one dtype.
         return df.withColumn("ts", F.col("ts").cast("timestamp"))
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _read_parquet(spark, f"{sf_dir}/{name}.parquet")
 
 
 def dim(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
