@@ -2990,17 +2990,21 @@ def text_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     collision). Distinct-doc counting is a two-level aggregate; the
     final per-doc rollup is |docs| rows.
 
-    Deliberate trade (plan-audited): the chunk projection is computed
-    in BOTH branches (frequency + probe), i.e. two scans of
-    ``documents``. The single-scan alternative — a dense_rank window
-    over ``partitionBy(ck)`` — was rejected because boilerplate keys
-    are BY DEFINITION the hottest keys in the corpus: a window puts a
-    mega-frequent chunk's every occurrence into one partition (the
-    exact skew this op exists to find), while the aggregate keeps
-    map-side partial combining and AQE picks broadcast-vs-merge for
-    the join-back at runtime based on how much boilerplate actually
-    exists. Columnar re-scan + re-chunk is the cheaper, skew-immune
-    price."""
+    Single-scan (r15): the chunk frame is lazily localCheckpoint'ed at
+    its reuse point, so the scan + regex tokenize + chunk explode runs
+    ONCE and both branches (frequency + probe) read the materialized
+    (doc_id, n_tokens, ck) blocks — 24 B/row, the narrowest possible
+    reuse frame thanks to the 8-byte ck fingerprint. Lazy, so the
+    producer still executes inside the caller's action; ContextCleaner
+    reclaims the blocks when the frame is dropped. Measured at sf0.1:
+    0.794 → 0.688 s (interleaved A/B, identical rows at sf0.001 and
+    sf0.1). The r8-r14 two-scan shape was itself a deliberate trade
+    against a dense_rank window over ``partitionBy(ck)`` — still
+    rejected, unchanged rationale: boilerplate keys are BY DEFINITION
+    the hottest keys in the corpus, a window puts a mega-frequent
+    chunk's every occurrence into one partition, while the aggregate
+    keeps map-side partial combining and AQE picks broadcast-vs-merge
+    for the join-back at runtime."""
     d = load(spark, sf_dir, "documents")
     # materialize the token array in its own projection: referencing
     # `toks` through a column (not the raw expression) keeps Catalyst
@@ -3031,6 +3035,8 @@ def text_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("ck", F.xxhash64("chunk"))
         .drop("chunk")
+        # lazy: executes inside the caller's timed action, once
+        .localCheckpoint(eager=False)
     )
     boiler = (
         chunks.groupBy("ck")
@@ -3110,14 +3116,26 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 1-token doc slices to two empty arrays and yields no rows, same
     # as the replaced when(n >= 2, ...) guard
     m = n - 1
-    grams = pretok.select(
-        "doc_id",
-        F.explode(
-            F.arrays_zip(F.slice(toks, 1, m), F.slice(toks, 2, m))
-        ).alias("_z"),
-    ).select(
-        "doc_id",
-        F.concat_ws(" ", F.col("_z.0"), F.col("_z.1")).alias("bg"),
+    grams = (
+        pretok.select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(F.slice(toks, 1, m), F.slice(toks, 2, m))
+            ).alias("_z"),
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(" ", F.col("_z.0"), F.col("_z.1")).alias("bg"),
+        )
+        # r15: grams feeds both the frequency branch and the probe
+        # join, so without a reuse point the scan + regex tokenize +
+        # explode executes twice. Lazy localCheckpoint materializes it
+        # once inside the caller's action; the blocks are the same
+        # occurrence-scale rows the probe join shuffles anyway, so no
+        # new scale class of data is stored. Interleaved A/B at sf0.1:
+        # ckpt faster in 3/4 warm passes (min 0.99 → 0.96 s), identical
+        # rows at sf0.001 and sf0.1.
+        .localCheckpoint(eager=False)
     )
     # r8 (VERDICT r7 #4): score each DISTINCT bigram once — log2,
     # round and the decimal cast run |distinct bg| times, built from
