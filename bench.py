@@ -518,17 +518,16 @@ def main() -> int:
         # verification join). Measured: dedup_minhash_lsh executed
         # plan 8 → 4 data exchanges.
         .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
-        # r15 (guide §5): with the co-partition reuse above, the
-        # verification stages run at full shuffle-partition fan-out
-        # instead of AQE-coalesced counts, so on this 1 GiB local
-        # heap 32 concurrent sort tasks each allocating the default
-        # 1 MiB spill-READER read-ahead buffer per spill file can tip
-        # a text-heavy sort into OOM (observed once on
-        # dedup_edit_verified at sf0.1: OutOfMemoryError inside
-        # UnsafeSorterSpillReader's ByteBuffer.allocate). 256 KiB
-        # bounds that footprint 4x; at production heap sizes the
-        # buffer size is noise either way.
-        .config("spark.unsafe.sorter.spill.reader.buffer.size", "256k")
+        # r15 retraction: a spill-reader buffer shrink
+        # (spark.unsafe.sorter.spill.reader.buffer.size=256k) briefly
+        # shipped here against a once-observed dedup_edit_verified OOM
+        # in UnsafeSorterSpillReader's read-ahead allocation. Spark 4
+        # VALIDATES that conf at first spill-READ against the range
+        # [1m, 16m], so 256k made every spilling query throw
+        # INVALID_CONF_VALUE instead — it only looked fine because
+        # sf0.1 headline runs don't spill. Removed (default 1m is the
+        # range minimum anyway); the one observed OOM never reproduced
+        # post-r15 across 4/4 sf0.1 passes.
         # NB: do NOT raise spark.driver.memory here. On this host a large
         # (8-16g) heap makes the local-mode JVM intermittently freeze for
         # minutes (jstack cannot even attach); with the default heap the

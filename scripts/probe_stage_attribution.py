@@ -39,7 +39,6 @@ def main() -> int:
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
         .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
-        .config("spark.unsafe.sorter.spill.reader.buffer.size", "256k")
         .config("spark.ui.enabled", "true")
         .config("spark.ui.port", "4049")
         .config("spark.sql.session.timeZone", "UTC")

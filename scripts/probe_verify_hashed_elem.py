@@ -1,0 +1,163 @@
+#!/usr/bin/env python
+"""A/B probe (r15, read-only): hashed element fingerprints in the
+fuzzy-dedup verification kernel vs the shipped string-element shape.
+
+``_verify_pairs_by_rows`` sorts, windows, joins and re-shuffles the
+distinct (id, _e) element rows with ``_e`` as the raw shingle STRING
+(~20 B avg). The variant projects ``xxhash64(_e)`` ABOVE the distinct
+(so grouping/distinctness is still string-exact and the projection
+cannot split the callers' shared id-keyed exchange — the r8 pre-hash
+trap), then runs every downstream sort/join/aggregate on the 8-byte
+long. Counts are collision-exact on the test corpora (verified by rows
+equality below); the same trade text_boilerplate_chunks ships with its
+``ck`` fingerprint.
+
+Interleaved min-of-N in ONE session, codegen probe stamped per pass.
+Rows compared current-vs-variant at sf0.001 and the probe SF first.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+
+def main() -> int:
+    repeats = int(sys.argv[sys.argv.index("--repeats") + 1]) if "--repeats" in sys.argv else 4
+    sf_dir = sys.argv[sys.argv.index("--sf") + 1] if "--sf" in sys.argv else "/root/testdata/sf0.1"
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("probe-verify-hashed-elem")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+    import mldag_spark.operators.dedup as dedup
+    from mldag_spark.queries.text import dedup_minhash_lsh, dedup_ngram_jaccard
+
+    verify_orig = dedup._verify_pairs_by_rows
+
+    def verify_hashed(
+        candidates,
+        rows,
+        id_col,
+        elem_col,
+        left,
+        right,
+        threshold,
+        rows_right=None,
+    ):
+        from pyspark.sql.window import Window
+
+        def dh(r):
+            # distinct on the STRING (exact), fingerprint projected on
+            # top — CollapseProject folds it into the aggregate output,
+            # never below the grouping
+            return (
+                r.select(F.col(id_col), F.col(elem_col).alias("_es"))
+                .distinct()
+                .select(id_col, F.xxhash64("_es").alias("_e"))
+            )
+
+        ex = dh(rows)
+        ex_r = ex if rows_right is None else dh(rows_right)
+        w = (
+            Window.partitionBy(id_col)
+            .orderBy("_e")
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        )
+        exn = ex.withColumn("_n", F.count(F.lit(1)).over(w))
+        exn_r = exn if rows_right is None else ex_r.withColumn(
+            "_n", F.count(F.lit(1)).over(w)
+        )
+        ra = exn.select(
+            F.col(id_col).alias(left), "_e", F.col("_n").alias("_na")
+        ).hint("merge")
+        rb = exn_r.select(
+            F.col(id_col).alias(right), "_e", F.col("_n").alias("_nb")
+        ).hint("merge")
+        common = (
+            candidates.join(ra, left)
+            .repartition(F.col(right))
+            .join(rb, [right, "_e"])
+            .groupBy(left, right, "_na", "_nb")
+            .agg(F.count(F.lit(1)).alias("_nc"))
+        )
+        jac = F.col("_nc").cast("double") / (
+            F.col("_na") + F.col("_nb") - F.col("_nc")
+        )
+        return (
+            common.filter(jac >= threshold)
+            .select(left, right, F.round(jac, 4).alias("jaccard"))
+        )
+
+    def with_variant(fn, query):
+        def run(spark, d):
+            dedup._verify_pairs_by_rows = fn
+            try:
+                return query(spark, d)
+            finally:
+                dedup._verify_pairs_by_rows = verify_orig
+
+        return run
+
+    cases = [
+        ("lsh_current", with_variant(verify_orig, dedup_minhash_lsh)),
+        ("lsh_hashed", with_variant(verify_hashed, dedup_minhash_lsh)),
+        ("ngram_current", with_variant(verify_orig, dedup_ngram_jaccard)),
+        ("ngram_hashed", with_variant(verify_hashed, dedup_ngram_jaccard)),
+    ]
+
+    # rows equality first (sf0.001 + the probe sf)
+    for check_sf in ("/root/testdata/sf0.001", sf_dir):
+        for base, var in (("lsh_current", "lsh_hashed"), ("ngram_current", "ngram_hashed")):
+            fb = dict(cases)[base](spark, check_sf)
+            fv = dict(cases)[var](spark, check_sf)
+            nb = fb.count()
+            d1 = fb.exceptAll(fv).count()
+            d2 = fv.exceptAll(fb).count()
+            print(f"EQ {base} vs {var} @ {check_sf}: rows={nb} exceptAll={d1}/{d2}", flush=True)
+            assert d1 == 0 and d2 == 0, "variant changed results"
+
+    def probe() -> float:
+        t0 = time.time()
+        spark.range(1_000_000_000).selectExpr("sum((id * id) % 1000003)").collect()
+        return round(time.time() - t0, 3)
+
+    for name, fn in cases:
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+
+    walls: dict[str, list[float]] = {n: [] for n, _ in cases}
+    probes = []
+    for r in range(repeats):
+        for name, fn in cases:
+            t0 = time.time()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            walls[name].append(round(time.time() - t0, 3))
+        probes.append(probe())
+        print(f"pass {r}: " + " ".join(f"{n}={walls[n][-1]}" for n, _ in cases) + f" probe={probes[-1]}", flush=True)
+
+    print("\nRESULT (min over passes):")
+    for n, _ in cases:
+        print(f"  {n}: min={min(walls[n])} all={walls[n]}")
+    print(f"  probes={probes}")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
