@@ -249,7 +249,10 @@ def _verify_pairs_by_rows(
     rows_right: DataFrame | None = None,
 ) -> DataFrame:
     """Exact-Jaccard verification of candidate pairs from (id, element)
-    ROWS — no per-document array is ever built.
+    ROWS — no per-document array is ever built. Set sizes are computed
+    on the exact element strings; intersection matching rides an
+    8-byte xxhash64 fingerprint (exact up to 2⁻⁶⁴-probability
+    collisions — see the fingerprint note below).
 
     Why rows and not ``collect_set`` arrays (the r2 formulation): the
     sf1.0 scale run caught TWO failure modes of the array plan with a
@@ -296,17 +299,36 @@ def _verify_pairs_by_rows(
     cost +1.2s. The filter only has teeth at low thresholds/shallow
     bands, where candidate false-positive rates are material.
     """
-    ex = (
-        rows.select(F.col(id_col), F.col(elem_col).alias("_e"))
-        .distinct()
-    )
-    if rows_right is None:
-        ex_r = ex
-    else:
-        ex_r = (
-            rows_right.select(F.col(id_col), F.col(elem_col).alias("_e"))
+    # r15 (guide §2.2 — shuffle/sort narrower types): every sort, join
+    # and shuffle downstream of the distinct carries an 8-byte
+    # xxhash64 fingerprint of the element instead of the raw string
+    # (shingles ~20 B, word n-grams 30-60 B). The projection sits
+    # ABOVE the per-id distinct, so (a) distinctness — and therefore
+    # the set sizes _na/_nb — stays string-exact, and (b) the callers'
+    # shared id-keyed exchange still satisfies the distinct's
+    # clustering (the r8 pre-hash trap was hashing BELOW it, which
+    # split the reuse). Intersection counts are exact up to xxhash64
+    # collisions between elements of one candidate pair's two
+    # documents (P ≈ n²/2⁶⁴ per pair — the identical trade
+    # text_boilerplate_chunks ships for its chunk fingerprint);
+    # verified row-identical vs the string shape at sf0.001/sf0.01
+    # (LSH + ngram) and sf0.1 (LSH) by
+    # scripts/probe_verify_hashed_elem.py. Besides the byte
+    # narrowing, this is what keeps the big string sort out of the
+    # verification path entirely: at sf0.1/32 tasks on a 1 GiB heap
+    # the (id, n-gram STRING) sort spilled and the 32 concurrent
+    # 1 MiB spill-reader read-ahead buffers OOMed the heap
+    # (dedup_ngram_jaccard, reproduced); with the long fingerprint
+    # the same query completes.
+    def _fingerprinted(r: DataFrame) -> DataFrame:
+        return (
+            r.select(F.col(id_col), F.col(elem_col).alias("_es"))
             .distinct()
+            .select(id_col, F.xxhash64("_es").alias("_e"))
         )
+
+    ex = _fingerprinted(rows)
+    ex_r = ex if rows_right is None else _fingerprinted(rows_right)
     # Per-doc set sizes ride a count-over-window on the SAME element
     # rows instead of the r2-r14 shape (two groupBy(id) size frames +
     # two pair-keyed merge joins after `common`). The window partitions

@@ -213,6 +213,24 @@ def test_ngram_jaccard_shuffles_bounded_and_never_broadcasts(spark, registry):
     assert plan.count("ReusedExchange") == 3, plan
 
 
+def test_verify_kernel_fingerprints_elements_above_distinct(spark, registry):
+    """r15 (guide §2.2): the verification kernel's sorts/joins carry an
+    8-byte xxhash64 element fingerprint, not the raw string — but the
+    fingerprint must be projected ABOVE the per-id distinct (set sizes
+    stay string-exact, and the callers' shared id-keyed exchange still
+    feeds the distinct; hashing below it was the r8 trap that split
+    that reuse). Pins both halves: the distinct aggregate is keyed on
+    the element STRING and its output projects the xxhash64 long that
+    every downstream verification operator consumes."""
+    plan = _plan(registry["dedup_minhash_lsh"](spark, SF_DIR))
+    # fingerprint exists and is born from the string alias _es
+    assert "xxhash64(_es" in plan, plan
+    # the distinct groups on the string (_es), never on a pre-hashed key
+    keyed_lines = [l for l in plan.splitlines() if l.lstrip().startswith("Keys")]
+    assert any("_es" in l for l in keyed_lines), plan
+    assert not any("xxhash64" in l for l in keyed_lines), plan
+
+
 def test_minhash_lsh_never_broadcasts_corpus_data(spark, registry):
     """The sf1.0 scale run (r3, judge-reproduced) killed this query
     with `Not enough memory to build and broadcast the table`: every
