@@ -24,7 +24,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
-from mldag_spark.functions import cosine_similarity
+from mldag_spark.functions import dot, l2_norm
 
 
 def _cosine_arrow():
@@ -106,20 +106,32 @@ def brute_force_topk(
     Output: (query_id, neighbor_id, cos) with deterministic ranking
     (cosine rounded to 6 before ranking; ties broken by neighbor id).
     """
+    # r15 (guide §4-adjacent: interpreted HOF folds are the "UDF" of
+    # this JVM path): per-pair cosine_similarity re-folded BOTH
+    # vectors' norms inside every (corpus × query) pair — 3 array
+    # folds per pair where the dot product needs 1. Precompute each
+    # side's norm ONCE per row (queries pre-broadcast, corpus in the
+    # scan projection) and divide by the product: same fold over the
+    # same doubles, same final division — bit-identical cosines (the
+    # embedding_near_dup_stats precedent, r9).
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
-    )
+    ).withColumn("_qn", l2_norm(F.col("qv")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         _as_double(F.col(vec_col)).alias("cv"),
-    )
+    ).withColumn("_cn", l2_norm(F.col("cv")))
     sims = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6).alias("cos"),
+            F.round(
+                dot(F.col("qv"), F.col("cv"))
+                / (F.col("_qn") * F.col("_cn")),
+                6,
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -1724,14 +1736,16 @@ def binary_sign_topk(
     if refine is None:
         return coarse.select("query_id", "neighbor_id", "hamming", "rk")
     cand = coarse.select("query_id", "neighbor_id")
+    # norms precomputed once per row, not re-folded per candidate pair
+    # (bit-identical: the brute_force_topk note)
     cvec = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         _as_double(F.col(vec_col)).alias("cv"),
-    )
+    ).withColumn("_cn", l2_norm(F.col("cv")))
     qvec = queries.select(
         F.col(id_col).alias("query_id"),
         _as_double(F.col(vec_col)).alias("qv"),
-    )
+    ).withColumn("_qn", l2_norm(F.col("qv")))
     # candidate set is refine·|Q| rows (post-window: garbage estimate
     # → explicit hint); the corpus float table streams, never shuffles
     scored = (
@@ -1741,7 +1755,9 @@ def binary_sign_topk(
             "query_id",
             "neighbor_id",
             F.round(
-                cosine_similarity(F.col("qv"), F.col("cv")), 6
+                dot(F.col("qv"), F.col("cv"))
+                / (F.col("_qn") * F.col("_cn")),
+                6,
             ).alias("cos"),
         )
     )
