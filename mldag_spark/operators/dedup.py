@@ -197,17 +197,19 @@ def _lsh_pairs_impl(
     # both sides on the same exchange.
     a = banded.alias("a")
     b = banded.hint("merge").alias("b")
+    # single parsed condition/projection strings (r15): same analyzed
+    # expressions as the Column-object form, ~30 fewer py4j round
+    # trips per construction (construction is inside the driver
+    # contract's timed region)
     candidates = (
         a.join(
             b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            F.expr(
+                "a.band = b.band AND a.bucket = b.bucket "
+                f"AND a.`{id_col}` < b.`{id_col}`"
+            ),
         )
-        .select(
-            F.col(f"a.{id_col}").alias("doc_a"),
-            F.col(f"b.{id_col}").alias("doc_b"),
-        )
+        .selectExpr(f"a.`{id_col}` AS doc_a", f"b.`{id_col}` AS doc_b")
         # pair dedup keyed by doc_a ALONE (hash-partitioning on doc_a
         # still co-locates every (doc_a, doc_b) group), so the
         # verification join on doc_a consumes the dedup exchange
@@ -320,11 +322,18 @@ def _verify_pairs_by_rows(
     # 1 MiB spill-reader read-ahead buffers OOMed the heap
     # (dedup_ngram_jaccard, reproduced); with the long fingerprint
     # the same query completes.
+    # selectExpr strings throughout this kernel (r15): construction is
+    # part of the driver contract's timed region, and the Column-object
+    # form cost ~475 py4j round trips (~0.28 s warm) per build — the
+    # minhash_signatures_rows lesson. Each SQL string parses to the
+    # exact same analyzed expressions (SQL count(1)/round/xxhash64 are
+    # the same Catalyst nodes the F.* constructors build; identifiers
+    # backtick-quoted), so the executed plan is unchanged.
     def _fingerprinted(r: DataFrame) -> DataFrame:
         return (
-            r.select(F.col(id_col), F.col(elem_col).alias("_es"))
+            r.selectExpr(f"`{id_col}`", f"`{elem_col}` AS _es")
             .distinct()
-            .select(id_col, F.xxhash64("_es").alias("_e"))
+            .selectExpr(f"`{id_col}`", "xxhash64(_es) AS _e")
         )
 
     ex = _fingerprinted(rows)
@@ -347,22 +356,19 @@ def _verify_pairs_by_rows(
     # local stage-count win. Group keys include the per-side constants
     # (_na, _nb are functions of left/right), so groups — and the
     # output values — are byte-identical to the joined form.
-    from pyspark.sql.window import Window
-
-    w = (
-        Window.partitionBy(id_col)
-        .orderBy("_e")
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    _count_over = (
+        f"count(1) OVER (PARTITION BY `{id_col}` ORDER BY _e "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
     )
-    exn = ex.withColumn("_n", F.count(F.lit(1)).over(w))
-    exn_r = exn if rows_right is None else ex_r.withColumn(
-        "_n", F.count(F.lit(1)).over(w)
+    exn = ex.selectExpr(f"`{id_col}`", "_e", f"{_count_over} AS _n")
+    exn_r = exn if rows_right is None else ex_r.selectExpr(
+        f"`{id_col}`", "_e", f"{_count_over} AS _n"
     )
-    ra = exn.select(
-        F.col(id_col).alias(left), "_e", F.col("_n").alias("_na")
+    ra = exn.selectExpr(
+        f"`{id_col}` AS `{left}`", "_e", "_n AS _na"
     ).hint("merge")
-    rb = exn_r.select(
-        F.col(id_col).alias(right), "_e", F.col("_n").alias("_nb")
+    rb = exn_r.selectExpr(
+        f"`{id_col}` AS `{right}`", "_e", "_n AS _nb"
     ).hint("merge")
     # The pair-side re-key before the right join is on `right` ALONE
     # (not the (right, _e) pair EnsureRequirements would pick): rb is
@@ -383,14 +389,17 @@ def _verify_pairs_by_rows(
         .repartition(F.col(right))
         .join(rb, [right, "_e"])
         .groupBy(left, right, "_na", "_nb")
-        .agg(F.count(F.lit(1)).alias("_nc"))
+        .agg(F.expr("count(1) AS _nc"))
     )
-    jac = F.col("_nc").cast("double") / (
-        F.col("_na") + F.col("_nb") - F.col("_nc")
-    )
-    return (
-        common.filter(jac >= threshold)
-        .select(left, right, F.round(jac, 4).alias("jaccard"))
+    # CAST(... AS DOUBLE)/(+,-) parses to the identical Divide/Cast
+    # tree the Column form built; the threshold literal stays a Python
+    # float handed to Column.__ge__ (NOT inlined into the SQL string,
+    # where it would parse as a decimal literal)
+    jac = F.expr("CAST(_nc AS DOUBLE) / (_na + _nb - _nc)")
+    return common.filter(jac >= threshold).selectExpr(
+        f"`{left}`",
+        f"`{right}`",
+        "ROUND(CAST(_nc AS DOUBLE) / (_na + _nb - _nc), 4) AS jaccard",
     )
 
 
