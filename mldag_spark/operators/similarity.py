@@ -114,34 +114,45 @@ def brute_force_topk(
     # scan projection) and divide by the product: same fold over the
     # same doubles, same final division — bit-identical cosines (the
     # embedding_near_dup_stats precedent, r9).
-    q = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
-    ).withColumn("_qn", l2_norm(F.col("qv")))
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        _as_double(F.col(vec_col)).alias("cv"),
-    ).withColumn("_cn", l2_norm(F.col("cv")))
+    # selectExpr strings (r15): construction is inside the driver
+    # contract's timed region; the SQL forms parse to the same
+    # Catalyst expressions as the Column chains (0.0D keeps the fold
+    # zero a DOUBLE literal, matching F.lit(0.0); lambda variable
+    # names are cosmetic), verified by a normalized executed-plan
+    # diff. ~200 fewer py4j round trips per construction.
+    q = queries.selectExpr(
+        f"`{id_col}` AS query_id",
+        f"CAST(`{vec_col}` AS ARRAY<DOUBLE>) AS qv",
+    ).selectExpr(
+        "query_id",
+        "qv",
+        "SQRT(aggregate(qv, 0.0D, (acc, v) -> acc + v * v)) AS _qn",
+    )
+    c = corpus.selectExpr(
+        f"`{id_col}` AS neighbor_id",
+        f"CAST(`{vec_col}` AS ARRAY<DOUBLE>) AS cv",
+    ).selectExpr(
+        "neighbor_id",
+        "cv",
+        "SQRT(aggregate(cv, 0.0D, (acc, v) -> acc + v * v)) AS _cn",
+    )
     sims = (
         c.crossJoin(F.broadcast(q))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
+        .filter("neighbor_id != query_id")
+        .selectExpr(
             "query_id",
             "neighbor_id",
-            F.round(
-                dot(F.col("qv"), F.col("cv"))
-                / (F.col("_qn") * F.col("_cn")),
-                6,
-            ).alias("cos"),
+            "ROUND(aggregate(zip_with(qv, cv, (x, y) -> x * y), 0.0D, "
+            "(acc, v) -> acc + v) / (_qn * _cn), 6) AS cos",
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos"), F.asc("neighbor_id")
-    )
-    return (
-        sims.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select("query_id", "neighbor_id", "cos", "rk")
-    )
+    return sims.selectExpr(
+        "query_id",
+        "neighbor_id",
+        "cos",
+        "row_number() OVER (PARTITION BY query_id "
+        "ORDER BY cos DESC, neighbor_id ASC) AS rk",
+    ).filter(f"rk <= {int(k)}")
 
 
 def brute_force_topk_arrow(
