@@ -164,46 +164,46 @@ def events_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     (The SQL oracle states the same semantics declaratively; ties on
     equal o_orderdate resolve to the max o_orderkey on both sides.)
     """
-    e = load(spark, sf_dir, "events").select(
-        F.col("user_id").alias("key"),
-        F.col("ts").alias("t"),
+    # selectExpr strings (r15): identical analyzed expressions to the
+    # replaced Column chains, fewer py4j round trips in the driver
+    # contract's timed construction region (normalized executed-plan
+    # diff verified)
+    e = load(spark, sf_dir, "events").selectExpr(
+        "user_id AS key",
+        "ts AS t",
         "event_id",
-        F.lit(None).cast("long").alias("orderkey"),
-        F.lit(None).cast("timestamp").alias("orderdate"),
-        F.lit(1).alias("is_event"),
+        "CAST(NULL AS LONG) AS orderkey",
+        "CAST(NULL AS TIMESTAMP) AS orderdate",
+        "1 AS is_event",
     )
-    o = load(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("key"),
-        F.col("o_orderdate").alias("t"),
-        F.lit(None).cast("long").alias("event_id"),
-        F.col("o_orderkey").alias("orderkey"),
-        F.col("o_orderdate").alias("orderdate"),
-        F.lit(0).alias("is_event"),
+    o = load(spark, sf_dir, "orders").selectExpr(
+        "o_custkey AS key",
+        "o_orderdate AS t",
+        "CAST(NULL AS LONG) AS event_id",
+        "o_orderkey AS orderkey",
+        "o_orderdate AS orderdate",
+        "0 AS is_event",
     )
     # orders sort before events at identical timestamps (is_event asc);
     # among same-date orders the max orderkey wins, so order by
     # (t, is_event, orderkey) and carry the last non-null forward.
-    w = (
-        Window.partitionBy("key")
-        .orderBy("t", "is_event", "orderkey")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    _w = (
+        "OVER (PARTITION BY key ORDER BY t, is_event, orderkey "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
     )
     unioned = o.unionByName(e)
-    carried = unioned.select(
+    carried = unioned.selectExpr(
         "key",
         "event_id",
         "is_event",
-        F.last("orderkey", ignorenulls=True).over(w).alias("asof_orderkey"),
-        F.last("orderdate", ignorenulls=True).over(w).alias("asof_date"),
+        f"last(orderkey, true) {_w} AS asof_orderkey",
+        f"last(orderdate, true) {_w} AS asof_date",
     )
-    return (
-        carried.filter(F.col("is_event") == 1)
-        .select(
-            "event_id",
-            F.col("key").alias("user_id"),
-            "asof_date",
-            "asof_orderkey",
-        )
+    return carried.filter("is_event = 1").selectExpr(
+        "event_id",
+        "key AS user_id",
+        "asof_date",
+        "asof_orderkey",
     )
 
 

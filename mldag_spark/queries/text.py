@@ -3010,9 +3010,15 @@ def text_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     # `toks` through a column (not the raw expression) keeps Catalyst
     # from inlining the regex split into EVERY lambda slice below —
     # measured 5.5x on the chunking stage at sf0.1
-    pretok = d.select("doc_id", tokenize(F.col("text")).alias("toks"))
-    toks = F.col("toks")
-    n_full = (F.size(toks) / _BP_W).cast("int")
+    # selectExpr strings (r15): identical analyzed expressions to the
+    # replaced Column chains (normalized executed-plan diff verified),
+    # fewer py4j round trips in the driver contract's timed
+    # construction region.
+    pretok = d.selectExpr(
+        "doc_id",
+        r"split(trim(regexp_replace(lower(text), '\\s+', ' ')), ' ') AS toks",
+    )
+    n_full = f"CAST(size(toks) / {_BP_W} AS INT)"
     # sequence(0, -1) counts DOWN in Spark, so guard the <W-token doc.
     # Probed and rejected (r8): explode(sequence) + per-row codegen
     # slice instead of this transform() lambda — interleaved A/B at
@@ -3020,45 +3026,45 @@ def text_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     # doc, and the explode row carries the whole token array per
     # chunk); the zip-slice rewrite that paid off for k-gram shingles
     # does not transfer to stride-W chunking.
-    chunk_arr = F.when(
-        n_full > 0,
-        F.transform(
-            F.sequence(F.lit(0), n_full - 1),
-            lambda i: F.array_join(F.slice(toks, i * _BP_W + 1, _BP_W), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    chunk_arr = (
+        f"CASE WHEN {n_full} > 0 THEN "
+        f"transform(sequence(0, {n_full} - 1), "
+        f"i -> array_join(slice(toks, i * {_BP_W} + 1, {_BP_W}), ' ')) "
+        "ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
     chunks = (
-        pretok.select(
+        pretok.selectExpr(
             "doc_id",
-            F.size(toks).cast("long").alias("n_tokens"),
-            F.explode(chunk_arr).alias("chunk"),
+            "CAST(size(toks) AS LONG) AS n_tokens",
+            f"explode({chunk_arr}) AS chunk",
         )
-        .withColumn("ck", F.xxhash64("chunk"))
-        .drop("chunk")
+        .selectExpr("doc_id", "n_tokens", "xxhash64(chunk) AS ck")
         # lazy: executes inside the caller's timed action, once
         .localCheckpoint(eager=False)
     )
     boiler = (
         chunks.groupBy("ck")
-        .agg(F.count_distinct("doc_id").alias("ndocs"))
-        .filter(F.col("ndocs") >= _BP_MIN_DOCS)
-        .select("ck", F.lit(1).alias("is_b"))
+        .agg(F.expr("count(DISTINCT doc_id) AS ndocs"))
+        .filter(f"ndocs >= {_BP_MIN_DOCS}")
+        .selectExpr("ck", "1 AS is_b")
     )
     return (
         chunks.join(boiler, "ck", "left")
         .groupBy("doc_id", "n_tokens")
         .agg(
-            F.count(F.lit(1)).alias("n_chunks"),
-            F.coalesce(F.sum("is_b"), F.lit(0)).cast("long").alias("boiler_chunks"),
+            F.expr("count(1) AS n_chunks"),
+            F.expr("CAST(coalesce(sum(is_b), 0) AS LONG) AS boiler_chunks"),
         )
-        .select(
+        .selectExpr(
             "doc_id",
             "n_tokens",
             "n_chunks",
             "boiler_chunks",
-            (F.col("n_tokens") - _BP_W * F.col("boiler_chunks"))
-            .cast("long")
-            .alias("kept_tokens"),
+            # (boiler_chunks * W): the replaced Column form spelled
+            # W * F.col(...), which Python __rmul__ hands back
+            # operand-swapped — kept so the plan stays byte-identical
+            f"CAST(n_tokens - (boiler_chunks * {_BP_W}) AS LONG)"
+            " AS kept_tokens",
         )
     )
 
@@ -3106,27 +3112,29 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows. At 100 TB with a FIXED reference LM, both frequency passes
     become broadcast lookups; here AQE picks join sides from the
     measured vocabulary size at runtime."""
+    # selectExpr strings (r15): identical analyzed expressions to the
+    # replaced Column chains, fewer py4j round trips in the driver
+    # contract's timed construction region (oracle hash-pinned at
+    # sf0.001/sf0.01; the checkpoint hides the producer from plan
+    # dumps, so row equality is the gate here)
     d = load(spark, sf_dir, "documents")
-    pretok = d.select("doc_id", tokenize(F.col("text")).alias("toks"))
-    toks = F.col("toks")
-    n = F.size(toks)
+    pretok = d.selectExpr(
+        "doc_id",
+        r"split(trim(regexp_replace(lower(text), '\\s+', ' ')), ' ') AS toks",
+    )
     # bigrams by zipping the token array against its own 1-shifted
     # slice (the r8 shingle_rows shape, k=2): ordinary JVM expressions
     # instead of a per-element interpreted transform() lambda; a
     # 1-token doc slices to two empty arrays and yields no rows, same
     # as the replaced when(n >= 2, ...) guard
-    m = n - 1
+    m = "size(toks) - 1"
     grams = (
-        pretok.select(
+        pretok.selectExpr(
             "doc_id",
-            F.explode(
-                F.arrays_zip(F.slice(toks, 1, m), F.slice(toks, 2, m))
-            ).alias("_z"),
+            f"explode(arrays_zip(slice(toks, 1, {m}), slice(toks, 2, {m})))"
+            " AS _z",
         )
-        .select(
-            "doc_id",
-            F.concat_ws(" ", F.col("_z.0"), F.col("_z.1")).alias("bg"),
-        )
+        .selectExpr("doc_id", "concat_ws(' ', _z.`0`, _z.`1`) AS bg")
         # r15: grams feeds both the frequency branch and the probe
         # join, so without a reuse point the scan + regex tokenize +
         # explode executes twice. Lazy localCheckpoint materializes it
@@ -3155,24 +3163,27 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     #   - this hybrid: 1.07s, identical rows to both.
     # The per-occurrence decimal SUM stays (partition-invariant by
     # construction; measured not the dominant term).
-    bf = grams.groupBy("bg").agg(F.count(F.lit(1)).alias("cb"))
-    w1 = F.substring_index(F.col("bg"), " ", 1)
-    cf = bf.groupBy(w1.alias("w1")).agg(F.sum("cb").alias("cw"))
-    score = bf.withColumn("w1", w1).join(cf, "w1").select(
-        "bg",
-        F.round(-F.log2(F.col("cb").cast("double") / F.col("cw")), 6)
-        .cast("decimal(18,6)")
-        .alias("_surp"),
+    bf = grams.groupBy("bg").agg(F.expr("count(1) AS cb"))
+    w1 = "substring_index(bg, ' ', 1)"
+    cf = bf.groupBy(F.expr(f"{w1} AS w1")).agg(F.expr("sum(cb) AS cw"))
+    score = (
+        bf.selectExpr("bg", "cb", f"{w1} AS w1")
+        .join(cf, "w1")
+        .selectExpr(
+            "bg",
+            "CAST(ROUND(-log2(CAST(cb AS DOUBLE) / cw), 6)"
+            " AS DECIMAL(18,6)) AS _surp",
+        )
     )
     return (
         grams.join(score, "bg")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(
-                F.sum("_surp").cast("double") / F.count(F.lit(1)),
-                4,
-            ).alias("avg_surprisal"),
+            F.expr("count(1) AS n_bigrams"),
+            F.expr(
+                "ROUND(CAST(sum(_surp) AS DOUBLE) / count(1), 4)"
+                " AS avg_surprisal"
+            ),
         )
     )
 
