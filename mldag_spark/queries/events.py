@@ -115,22 +115,29 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     flag → running sum → per-session aggregate. One shuffle on
     user_id; all subsequent window/group steps reuse that partitioning.
     """
+    # parsed SQL strings (r15): identical analyzed expressions to the
+    # replaced Column chains (normalized executed-plan diff verified),
+    # fewer py4j round trips in the timed construction region
     e = load(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    # microsecond-precision gap (cast("long") would truncate to seconds
-    # and disagree with the oracle's interval comparison on µs ties)
-    us = F.unix_micros(F.col("ts"))
-    gap = us - F.lag(us).over(w)
-    flagged = e.withColumn(
-        "new_session",
-        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0),
+    _w = "OVER (PARTITION BY user_id ORDER BY ts, event_id"
+    # microsecond-precision gap (a cast to long would truncate to
+    # seconds and disagree with the oracle's interval comparison on µs
+    # ties)
+    gap = f"unix_micros(ts) - lag(unix_micros(ts)) {_w})"
+    flagged = e.selectExpr(
+        "*",
+        f"CASE WHEN (({gap}) IS NULL OR ({gap}) > {30 * 60 * 1_000_000})"
+        " THEN 1 ELSE 0 END AS new_session",
     )
-    sessions = flagged.withColumn("session_no", F.sum("new_session").over(wrun))
+    sessions = flagged.selectExpr(
+        "*",
+        f"sum(new_session) {_w} ROWS BETWEEN UNBOUNDED PRECEDING"
+        " AND CURRENT ROW) AS session_no",
+    )
     return sessions.groupBy("user_id", "session_no").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.min("ts").alias("session_start"),
-        F.max("ts").alias("session_end"),
+        F.expr("count(1) AS n_events"),
+        F.expr("min(ts) AS session_start"),
+        F.expr("max(ts) AS session_end"),
     )
 
 

@@ -112,21 +112,26 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = dim(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    # parsed SQL strings (r15, the q1 note): same analyzed expressions,
+    # fewer py4j round trips in the timed construction region
+    c = dim(spark, sf_dir, "customer").filter("c_mktsegment = 'BUILDING'")
     o = load(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") < F.lit("1997-03-15").cast("timestamp")
+        "o_orderdate < CAST('1997-03-15' AS TIMESTAMP)"
     )
     l = load(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") > F.lit("1997-03-15").cast("timestamp")
+        "l_shipdate > CAST('1997-03-15' AS TIMESTAMP)"
     )
     return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
+        l.join(o, F.expr("l_orderkey = o_orderkey"))
+        .join(c, F.expr("o_custkey = c_custkey"))
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias("revenue")
+            F.expr(
+                "CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)"
+                " AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue"
+            )
         )
-        .select("l_orderkey", "revenue", "o_orderdate")
+        .selectExpr("l_orderkey", "revenue", "o_orderdate")
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
     )
@@ -153,27 +158,28 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # parsed SQL strings (r15, the q1 note)
     c = dim(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        "o_orderdate >= CAST('1996-01-01' AS TIMESTAMP)"
+        " AND o_orderdate < CAST('1997-01-01' AS TIMESTAMP)"
     )
     l = load(spark, sf_dir, "lineitem")
     s = dim(spark, sf_dir, "supplier")
     n = dim(spark, sf_dir, "nation")
-    r = dim(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    r = dim(spark, sf_dir, "region").filter("r_name = 'ASIA'")
     return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(
-            s,
-            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
-        )
-        .join(n, s.s_nationkey == n.n_nationkey)
-        .join(r, n.n_regionkey == r.r_regionkey)
+        l.join(o, F.expr("l_orderkey = o_orderkey"))
+        .join(c, F.expr("o_custkey = c_custkey"))
+        .join(s, F.expr("l_suppkey = s_suppkey AND c_nationkey = s_nationkey"))
+        .join(n, F.expr("s_nationkey = n_nationkey"))
+        .join(r, F.expr("n_regionkey = r_regionkey"))
         .groupBy("n_name")
         .agg(
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias("revenue")
+            F.expr(
+                "CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)"
+                " AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue"
+            )
         )
     )
 
@@ -194,19 +200,24 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # parsed SQL strings (r15, the q1 note). The 0.05/0.07 literals
+    # parse as decimals where the Column form built doubles — constant
+    # folding erases the difference before execution (plan-diff
+    # verified, PushedFilters identical)
     l = load(spark, sf_dir, "lineitem")
     return (
         l.filter(
-            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
-            & (F.col("l_discount").between(0.05, 0.07))
-            & (F.col("l_quantity") < 24)
+            "l_shipdate >= CAST('1996-01-01' AS TIMESTAMP)"
+            " AND l_shipdate < CAST('1997-01-01' AS TIMESTAMP)"
+            " AND l_discount BETWEEN 0.05 AND 0.07"
+            " AND l_quantity < 24"
         )
         .agg(
-            dsum(F.col("l_extendedprice") * F.col("l_discount"), 2).alias(
-                "revenue"
+            F.expr(
+                "CAST(ROUND(SUM(CAST(l_extendedprice * l_discount"
+                " AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue"
             ),
-            F.count(F.lit(1)).alias("n_items"),
+            F.expr("count(1) AS n_items"),
         )
     )
 
@@ -231,19 +242,23 @@ def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # parsed SQL strings (r15, the q1 note)
     c = dim(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
-    l = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    l = load(spark, sf_dir, "lineitem").filter("l_returnflag = 'R'")
     n = dim(spark, sf_dir, "nation")
     return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(n, c.c_nationkey == n.n_nationkey)
+        l.join(o, F.expr("l_orderkey = o_orderkey"))
+        .join(c, F.expr("o_custkey = c_custkey"))
+        .join(n, F.expr("c_nationkey = n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias("revenue")
+            F.expr(
+                "CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)"
+                " AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue"
+            )
         )
-        .select("c_custkey", "c_name", "revenue", "n_name")
+        .selectExpr("c_custkey", "c_name", "revenue", "n_name")
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
@@ -335,14 +350,19 @@ def join_outer_order_linecounts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def window_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 orders per customer — the scalable top-k-per-group pattern
     (window + filter, no global sort; ties broken deterministically)."""
+    # parsed SQL strings (r15, the q1 note). The *-then-prune shape
+    # mirrors the replaced withColumn form so the executed plan stays
+    # byte-identical (the final Project sits above the Filter; column
+    # pruning trims the scan the same way)
     o = load(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.desc("o_totalprice"), F.asc("o_orderkey")
-    )
     return (
-        o.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 3)
-        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+        o.selectExpr(
+            "*",
+            "row_number() OVER (PARTITION BY o_custkey"
+            " ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk",
+        )
+        .filter("rk <= 3")
+        .selectExpr("o_custkey", "o_orderkey", "o_totalprice", "rk")
     )
 
 
@@ -388,10 +408,11 @@ def window_running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame
     """,
 )
 def agg_rollup_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # parsed SQL strings (r15, the q1 note)
     l = load(spark, sf_dir, "lineitem")
     return l.rollup("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.count(F.lit(1)).alias("cnt"),
+        F.expr("ROUND(SUM(l_quantity), 2) AS sum_qty"),
+        F.expr("count(1) AS cnt"),
     )
 
 

@@ -109,22 +109,30 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/dedup.py) or many lambdas stack (text_language_id: 4
     filters → 2× win). One IN-list over a 5-word set is not that
     case."""
+    # parsed SQL strings (r15): identical analyzed expressions to the
+    # replaced Column chains (normalized executed-plan diff verified),
+    # fewer py4j round trips in the timed construction region
     d = load(spark, sf_dir, "documents")
-    toks = tokenize(F.col("text"))
-    t = d.select("doc_id", toks.alias("toks"), F.length("text").alias("n_chars"))
-    n = F.size("toks")
-    stop = F.size(
-        F.filter("toks", lambda w: w.isin(*_LANG_WORDS["en"]))
-    )
-    distinct_ratio = F.size(F.array_distinct("toks")).cast("double") / n
-    return t.select(
+    t = d.selectExpr(
         "doc_id",
-        n.alias("n_tokens"),
-        F.round(stop.cast("double") / n, 4).alias("stopword_ratio"),
-        F.round(distinct_ratio, 4).alias("distinct_ratio"),
-        F.when((n.between(5, 1000)) & (distinct_ratio > 0.3), 1)
-        .otherwise(0)
-        .alias("quality_pass"),
+        r"split(trim(regexp_replace(lower(text), '\\s+', ' ')), ' ') AS toks",
+        "length(text) AS n_chars",
+    )
+    words = ", ".join(f"'{w}'" for w in _LANG_WORDS["en"])
+    dr = "CAST(size(array_distinct(toks)) AS DOUBLE) / size(toks)"
+    return t.selectExpr(
+        "doc_id",
+        "size(toks) AS n_tokens",
+        f"ROUND(CAST(size(filter(toks, w -> w IN ({words}))) AS DOUBLE)"
+        " / size(toks), 4) AS stopword_ratio",
+        f"ROUND({dr}, 4) AS distinct_ratio",
+        # explicit >=/<= rather than BETWEEN: SQL BETWEEN triggers the
+        # Spark 4 common-subexpression rewrite (an extra _common_expr
+        # Project) that Column.between never built — spelled out, the
+        # plan stays byte-identical to the replaced Column form
+        f"CASE WHEN ((size(toks) >= 5 AND size(toks) <= 1000)"
+        f" AND ({dr}) > 0.3)"
+        " THEN 1 ELSE 0 END AS quality_pass",
     )
 
 
