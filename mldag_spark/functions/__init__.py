@@ -130,30 +130,32 @@ def shingle_rows(
     shingle (the decontamination contract, where a partial tail gram
     must not alias a real one).
     """
-    carry_cols = [F.col(c) for c in carry]
-    base = df.select(
-        F.col(id_col), *carry_cols, tokenize(F.col(text_col)).alias("_t")
+    # selectExpr strings (r15): identical analyzed expressions to the
+    # replaced Column chains (normalized executed-plan diff verified on
+    # the dedup consumers), fewer py4j round trips in the driver
+    # contract's timed construction region
+    carry_sel = [f"`{c}`" for c in carry]
+    base = df.selectExpr(
+        f"`{id_col}`",
+        *carry_sel,
+        rf"split(trim(regexp_replace(lower(`{text_col}`), '\\s+', ' ')), ' ')"
+        " AS _t",
     )
-    n = F.size("_t")
     if complete_only:
-        base = base.filter(n >= k)
-        m = n - F.lit(k) + 1
+        base = base.filter(f"size(_t) >= {int(k)}")
+        m = f"size(_t) - {int(k)} + 1"
     else:
-        m = F.greatest(n - F.lit(k) + 1, F.lit(1))
-    slices = [F.slice("_t", i + 1, m) for i in range(k)]
-    return (
-        base.select(
-            F.col(id_col),
-            *carry_cols,
-            F.explode(F.arrays_zip(*slices)).alias("_z"),
-        )
-        .select(
-            F.col(id_col),
-            *carry_cols,
-            F.concat_ws(
-                " ", *[F.col(f"_z.{i}") for i in range(k)]
-            ).alias("shingle"),
-        )
+        m = f"greatest(size(_t) - {int(k)} + 1, 1)"
+    slices = ", ".join(f"slice(_t, {i + 1}, {m})" for i in range(k))
+    fields = ", ".join(f"_z.`{i}`" for i in range(k))
+    return base.selectExpr(
+        f"`{id_col}`",
+        *carry_sel,
+        f"explode(arrays_zip({slices})) AS _z",
+    ).selectExpr(
+        f"`{id_col}`",
+        *carry_sel,
+        f"concat_ws(' ', {fields}) AS shingle",
     )
 
 
