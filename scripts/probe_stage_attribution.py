@@ -28,6 +28,10 @@ def main() -> int:
         if a == "--runs":
             runs = int(sys.argv[i + 1])
 
+    import sys as _sys, os as _os
+    _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+    from mldag_spark.session import recommended_session_confs
+
     from pyspark.sql import SparkSession
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -35,10 +39,10 @@ def main() -> int:
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("stage-attribution")
         .config("spark.sql.shuffle.partitions", str(cpus))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
-        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+        # engine-contract confs from the package's single definition
+        # (r16, VERDICT r15 #2): AQE, bucketed-scan ordering, subset
+        # co-partition reuse — identical to the bench/tests sessions
+        .config(map=recommended_session_confs())
         .config("spark.ui.enabled", "true")
         .config("spark.ui.port", "4049")
         .config("spark.sql.session.timeZone", "UTC")

@@ -25,6 +25,10 @@ def main() -> int:
     repeats = int(sys.argv[sys.argv.index("--repeats") + 1]) if "--repeats" in sys.argv else 4
     sf_dir = sys.argv[sys.argv.index("--sf") + 1] if "--sf" in sys.argv else "/root/testdata/sf0.1"
 
+    import sys as _sys, os as _os
+    _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+    from mldag_spark.session import recommended_session_confs
+
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
@@ -33,10 +37,10 @@ def main() -> int:
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("probe-text-single-scan")
         .config("spark.sql.shuffle.partitions", str(cpus))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
-        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+        # engine-contract confs from the package's single definition
+        # (r16, VERDICT r15 #2): AQE, bucketed-scan ordering, subset
+        # co-partition reuse — identical to the bench/tests sessions
+        .config(map=recommended_session_confs())
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .getOrCreate()
