@@ -800,51 +800,54 @@ def connected_components(
         # declared non-fault-tolerant anyway.
         df._jdf.queryExecution().analyzed().rdd().unpersist(False)
 
+    # parsed SQL strings throughout the iteration builders (r16
+    # construction campaign): the star rounds re-CONSTRUCT their plans
+    # every iteration, so the Column-chain py4j cost repeated per
+    # round (~3.7k trips per query at gate scale). Identical analyzed
+    # expressions; iteration results value-gated by the convergence
+    # signature + every consumer's oracle hash.
     e = _ckpt(
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .filter(F.col("u") != F.col("v"))
-        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        edges.selectExpr(f"`{src}` AS u", f"`{dst}` AS v")
+        .filter("u != v")
+        .selectExpr("least(u, v) AS u", "greatest(u, v) AS v")
         .distinct()
     )
 
+    _sig_expr = F.expr(
+        # bit_xor, not sum: order-independent and cannot overflow
+        # under ANSI mode
+        "struct(count(1) AS n, coalesce(bit_xor(xxhash64(u, v)), 0) AS h)"
+    )
+
     def signature(df: DataFrame):
-        row = df.agg(
-            F.count(F.lit(1)).alias("n"),
-            # bit_xor, not sum: order-independent and cannot overflow
-            # under ANSI mode
-            F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
-        ).collect()[0]
+        row = df.agg(_sig_expr.alias("s")).collect()[0]["s"]
         return row["n"], row["h"]
 
     def large_star(df: DataFrame) -> DataFrame:
-        sym = df.union(df.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        m = sym.groupBy("u").agg(
-            F.least(F.min("v"), F.first("u")).alias("m")
-        )
+        sym = df.union(df.selectExpr("v AS u", "u AS v"))
+        m = sym.groupBy("u").agg(F.expr("least(min(v), first(u)) AS m"))
         return (
             sym.join(m, "u")
-            .filter(F.col("v") > F.col("u"))
-            .select(F.col("m").alias("u"), F.col("v"))
-            .filter(F.col("u") != F.col("v"))
+            .filter("v > u")
+            .selectExpr("m AS u", "v")
+            .filter("u != v")
             .distinct()
         )
 
     def small_star(df: DataFrame) -> DataFrame:
         # orient max→min, so every grouped neighbor is <= u
-        d = df.select(
-            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-        )
-        m = d.groupBy("u").agg(F.min("v").alias("m"))
+        d = df.selectExpr("greatest(u, v) AS u", "least(u, v) AS v")
+        m = d.groupBy("u").agg(F.expr("min(v) AS m"))
         relinked = (
             d.join(m, "u")
-            .select(F.col("m").alias("u"), F.col("v"))
-            .union(m.select(F.col("m").alias("u"), F.col("u").alias("v")))
+            .selectExpr("m AS u", "v")
+            .union(m.selectExpr("m AS u", "u AS v"))
         )
         return (
-            relinked.select(
-                F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+            relinked.selectExpr(
+                "least(u, v) AS u", "greatest(u, v) AS v"
             )
-            .filter(F.col("u") != F.col("v"))
+            .filter("u != v")
             .distinct()
         )
 
@@ -860,10 +863,10 @@ def connected_components(
 
     # converged edge set is a union of stars (root = component min);
     # label every member, roots included
-    members = e.select(F.col("v").alias("node"), F.col("u").alias("component"))
-    roots = e.select(F.col("u").alias("node"), F.col("u").alias("component"))
+    members = e.selectExpr("v AS node", "u AS component")
+    roots = e.selectExpr("u AS node", "u AS component")
     return members.union(roots).groupBy("node").agg(
-        F.min("component").alias("component")
+        F.expr("min(component) AS component")
     )
 
 
@@ -1094,22 +1097,26 @@ def simhash_values(
     fold: one xxhash64 per token, ``bits`` bit-tests, shuffle of
     ``bits`` ints per id.
     """
-    ex = df.select(F.col(id_col), F.explode(token_col).alias("_t")).select(
-        id_col, F.xxhash64("_t").alias("_h")
-    )
+    # parsed SQL strings (r16 construction campaign): same analyzed
+    # expressions as the replaced Column chains (CASE/shiftright/&/sum
+    # are the identical Catalyst nodes), ~10× fewer py4j round trips
+    # per construction — plan-identity-gated via dedup_simhash
+    ex = df.selectExpr(
+        f"`{id_col}`", f"explode(`{token_col}`) AS _t"
+    ).selectExpr(f"`{id_col}`", "xxhash64(_t) AS _h")
     sums = [
-        F.sum(
-            F.when(
-                F.shiftright("_h", i).bitwiseAND(F.lit(1)) == 1, 1
-            ).otherwise(-1)
-        ).alias(f"_b{i}")
+        F.expr(
+            f"sum(CASE WHEN (shiftright(_h, {i}) & 1) = 1"
+            f" THEN 1 ELSE -1 END) AS _b{i}"
+        )
         for i in range(bits)
     ]
     agg = ex.groupBy(id_col).agg(*sums)
-    out = F.lit(0)
-    for i in range(bits):
-        out = out + F.when(F.col(f"_b{i}") > 0, F.lit(1 << i)).otherwise(0)
-    return agg.select(id_col, out.alias("simhash"))
+    out = "0 + " + " + ".join(
+        f"(CASE WHEN _b{i} > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(bits)
+    )
+    return agg.selectExpr(f"`{id_col}`", f"{out} AS simhash")
 
 
 def hamming_distance(a, b, bits: int = 16):
@@ -1139,41 +1146,41 @@ def simhash_pairs(
         raise ValueError(f"max_hamming={max_hamming} needs more bands than {bits} bits")
     base, extra = divmod(bits, n_bands)
     widths = [base + (1 if i < extra else 0) for i in range(n_bands)]
+    # parsed SQL strings (r16 construction campaign) — identical
+    # analyzed expressions to the replaced Column chains,
+    # plan-identity-gated via dedup_simhash
     bands, off = [], 0
     for i, w in enumerate(widths):
         bands.append(
-            F.struct(
-                F.lit(i).alias("hidx"),
-                F.shiftright("simhash", off)
-                .bitwiseAND(F.lit((1 << w) - 1))
-                .alias("hval"),
-            )
+            f"struct({i} AS hidx,"
+            f" (shiftright(simhash, {off}) & {(1 << w) - 1}) AS hval)"
         )
         off += w
     sh = simhash_values(df, id_col, token_col, bits)
-    halves = sh.select(
-        id_col,
+    halves = sh.selectExpr(
+        f"`{id_col}`",
         "simhash",
-        F.explode(F.array(*bands)).alias("h"),
-    ).select(id_col, "simhash", "h.hidx", "h.hval")
+        f"explode(array({', '.join(bands)})) AS h",
+    ).selectExpr(f"`{id_col}`", "simhash", "h.hidx", "h.hval")
     a = halves.alias("a")
     b = halves.alias("b")
     return (
         a.join(
             b,
-            (F.col("a.hidx") == F.col("b.hidx"))
-            & (F.col("a.hval") == F.col("b.hval"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            F.expr(
+                "a.hidx = b.hidx AND a.hval = b.hval"
+                f" AND a.`{id_col}` < b.`{id_col}`"
+            ),
         )
-        .select(
-            F.col(f"a.{id_col}").alias("doc_a"),
-            F.col(f"b.{id_col}").alias("doc_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
+        .selectExpr(
+            f"a.`{id_col}` AS doc_a",
+            f"b.`{id_col}` AS doc_b",
+            "a.simhash AS sh_a",
+            "b.simhash AS sh_b",
         )
         .distinct()
-        .withColumn(
-            "hamming", hamming_distance(F.col("sh_a"), F.col("sh_b"), bits)
+        .selectExpr(
+            "*", "bit_count(sh_a ^ sh_b) AS hamming"
         )
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")

@@ -1612,17 +1612,25 @@ def binary_sign_pack(
     artifact — SCALING ``hamming_ann.widen``). ``n_bits`` must be a
     multiple of 32."""
     if n_bits is None:
+        # ONE parsed selectExpr instead of dim × (getItem + when +
+        # lit + cast) Column chains (r16 construction campaign: the
+        # Column form cost ~7.5k py4j round trips per pack, two packs
+        # per topk query). CASE WHEN / array[i] / {v}L literals
+        # analyze to the identical Catalyst nodes (constant-folded
+        # casts included) — normalized executed-plan diff: IDENTICAL.
         cols = []
         for j in range(0, dim, 32):
             hi = min(j + 32, dim)
-            word = F.lit(0).cast("long")
-            for i in range(j, hi):
-                word = word + F.when(
-                    F.col(vec_col).getItem(i) >= 0,
-                    F.lit(1 << (i - j)).cast("long"),
-                ).otherwise(F.lit(0).cast("long"))
-            cols.append(word.alias(f"{prefix}{j // 32}"))
-        return df.select(F.col(id_col).alias(out_id), *cols)
+            terms = " + ".join(
+                f"(CASE WHEN `{vec_col}`[{i}] >= 0"
+                f" THEN CAST({1 << (i - j)} AS BIGINT)"
+                " ELSE CAST(0 AS BIGINT) END)"
+                for i in range(j, hi)
+            )
+            cols.append(
+                f"CAST(0 AS BIGINT) + {terms} AS `{prefix}{j // 32}`"
+            )
+        return df.selectExpr(f"`{id_col}` AS `{out_id}`", *cols)
     if n_bits % 32:
         raise ValueError(f"n_bits must be a multiple of 32 (got {n_bits})")
     from pyspark.sql.functions import pandas_udf
@@ -1725,15 +1733,16 @@ def binary_sign_topk(
         corpus, id_col, vec_col, dim, out_id="neighbor_id", prefix="cw",
         n_bits=n_bits,
     )
-    ham = F.lit(0).cast("int")
-    for j in range(nwords):
-        ham = ham + F.bit_count(
-            F.col(f"cw{j}").bitwiseXOR(F.col(f"qw{j}"))
-        ).cast("int")
+    # one parsed expression for the popcount sum (r16 construction
+    # campaign) — `^`/bit_count/int casts analyze identically to the
+    # replaced bitwiseXOR Column chain; plan-identity-gated
+    ham = "CAST(0 AS INT) + " + " + ".join(
+        f"CAST(bit_count(cw{j} ^ qw{j}) AS INT)" for j in range(nwords)
+    )
     sims = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", ham.alias("hamming"))
+        .selectExpr("query_id", "neighbor_id", f"{ham} AS hamming")
     )
     from pyspark.sql.window import Window
 

@@ -880,16 +880,24 @@ def _km_dist(cent: list[float]):
     the value (and every comparison on it) is partition-invariant and
     engine-identical. The centroid rides along as a k·d-bounded
     literal array: the "broadcast the model" half of the Lloyd shape
-    (never a corpus-sized join side)."""
-    carr = F.array(*[F.lit(float(c)) for c in cent])
-    terms = F.zip_with(
-        F.col("v"), carr,
-        lambda x, c: ((x - c) * (x - c)).cast("decimal(20,12)"),
-    )
-    return F.aggregate(
-        terms,
-        F.lit(0).cast("decimal(24,12)"),
-        lambda acc, t: (acc + t).cast("decimal(24,12)"),
+    (never a corpus-sized join side).
+
+    Returns the SQL TEXT of the expression, not a Column (r16): the
+    Column form built d=64 F.lit py4j round trips per centroid — with
+    k centroids per assignment and 4 assignments per query,
+    kmeans_embedding_clusters alone cost ~26k construction trips
+    (~12 s of the full-registry sweep's driver time). One parsed
+    string per centroid is ~1 trip. `repr(float)`+`D` round-trips the
+    exact double (shortest-repr invariant), so the literal array is
+    bit-identical to the F.lit form — gated on the r15 normalized
+    executed-plan diff (modulo bound lambda variable names;
+    scripts/plan_normalize.py)."""
+    lits = ", ".join(repr(float(c)) + "D" for c in cent)
+    return (
+        f"aggregate(zip_with(v, array({lits}), "
+        "(x, c) -> CAST((x - c) * (x - c) AS DECIMAL(20,12))), "
+        "CAST(0 AS DECIMAL(24,12)), "
+        "(acc, t) -> CAST((acc + t) AS DECIMAL(24,12)))"
     )
 
 
@@ -953,14 +961,22 @@ def _km_assign(df: DataFrame, cents: list[list[float]]) -> DataFrame:
     (:func:`_km_assign_blas`) — same columns, same tie-break."""
     if len(cents) > _KM_UNROLL_MAX_K:
         return _km_assign_blas(df, cents)
-    amin = F.array_min(
-        F.array(*[
-            F.struct(_km_dist(c).alias("d"), F.lit(j).alias("c"))
-            for j, c in enumerate(cents)
-        ])
+    # ONE parsed expression for the whole k-struct argmin instead of
+    # k × (64-lit array + struct + alias) Column chains (r16 — see
+    # _km_dist). struct(… AS d, j AS c) analyzes to the exact struct
+    # the F.struct(alias) form built (named_struct('d', …) prints
+    # differently in plans — caught by the identity gate and avoided);
+    # the duplicated array_min tree for the two field extractions
+    # matches the Column form's duplication (amin["c"] / amin["d"]
+    # also inlined it twice), so the executed plan is unchanged —
+    # plan-identity-gated.
+    structs = ", ".join(
+        f"struct({_km_dist(c)} AS d, {j} AS c)"
+        for j, c in enumerate(cents)
     )
-    return df.select(
-        "vec_id", "v", amin["c"].alias("cid"), amin["d"].alias("d")
+    amin = f"array_min(array({structs}))"
+    return df.selectExpr(
+        "vec_id", "v", f"{amin}.c AS cid", f"{amin}.d AS d"
     )
 
 
@@ -994,25 +1010,29 @@ def _km_fit(
         list(r["v"]) for r in vec.orderBy("vec_id").limit(k).collect()
     ]
     work = vec.persist()
+    # ONE parsed struct expression for the 64 component sums + count
+    # instead of 65 Column chains per iteration (r16 construction
+    # campaign — the aggregate is an EAGER driver-side action inside
+    # the fit loop, not part of the returned plan, so the gate is
+    # value equality: the sums are exact DECIMAL(18,6), the quotient/
+    # round arithmetic is unchanged, and the resulting centroids are
+    # bit-identical — confirmed by the oracle hash of every consumer).
+    sums = ", ".join(
+        f"sum(CAST(element_at(v, {i + 1}) AS DECIMAL(18,6))) AS s{i}"
+        for i in range(_DIM)
+    )
+    agg_expr = F.expr(f"struct(count(1) AS n, {sums})")
     try:
         for _ in range(iters):
             stats = (
                 _km_assign(work, cents)
                 .groupBy("cid")
-                .agg(
-                    F.count(F.lit(1)).alias("n"),
-                    *[
-                        F.sum(
-                            F.element_at("v", i + 1).cast("decimal(18,6)")
-                        ).alias(f"s{i}")
-                        for i in range(_DIM)
-                    ],
-                )
+                .agg(agg_expr.alias("st"))
                 .collect()
             )
             new = {
                 r["cid"]: [
-                    round(float(r[f"s{i}"]) / r["n"], 6)
+                    round(float(r["st"][f"s{i}"]) / r["st"]["n"], 6)
                     for i in range(_DIM)
                 ]
                 for r in stats
@@ -1131,24 +1151,20 @@ def _sem_members(assigned: DataFrame) -> DataFrame:
     """(vec_id, v, cid) → + (bkt, rn, ss): the SemDeDup member frame.
     bkt = id-bucket of ``_SEM_ID_BUCKET`` (caps every window partition
     regardless of cluster size), rn = rank within (cid, bkt) by
-    vec_id, ss = exact decimal self-dot (norm²)."""
-    dec = lambda c: c.cast("decimal(20,12)")  # noqa: E731
-    return (
-        assigned.withColumn("bkt", F.expr(f"vec_id div {_SEM_ID_BUCKET}"))
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("cid", "bkt").orderBy("vec_id")
-            ),
-        )
-        .withColumn(
-            "ss",
-            F.aggregate(
-                F.transform("v", lambda x: dec(x * x)),
-                F.lit(0).cast("decimal(24,12)"),
-                lambda acc, t: (acc + t).cast("decimal(24,12)"),
-            ),
-        )
+    vec_id, ss = exact decimal self-dot (norm²). Parsed SQL strings
+    (r16 construction campaign) — identical analyzed expressions to
+    the replaced Column/lambda chains, plan-identity-gated."""
+    return assigned.selectExpr(
+        "*",
+        f"vec_id div {_SEM_ID_BUCKET} AS bkt",
+    ).selectExpr(
+        "*",
+        "row_number() OVER (PARTITION BY cid, bkt ORDER BY vec_id) AS rn",
+    ).selectExpr(
+        "*",
+        "aggregate(transform(v, x -> CAST(x * x AS DECIMAL(20,12))), "
+        "CAST(0 AS DECIMAL(24,12)), "
+        "(acc, t) -> CAST((acc + t) AS DECIMAL(24,12))) AS ss",
     )
 
 
@@ -1157,40 +1173,38 @@ def _sem_qual_pairs(a_m: DataFrame, b_m: DataFrame) -> DataFrame:
     :func:`_sem_members`): equi-join on (cid, bkt), later member
     (from ``b_m``) within ``_SEM_WINDOW`` ranks of the earlier (from
     ``a_m``), exact-decimal cosine >= ``_SEM_TAU``. Returns
-    (cid, vec_a, vec_b, cos)."""
-    dec = lambda c: c.cast("decimal(20,12)")  # noqa: E731
-    a = a_m.select(
-        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
-        F.col("ss").alias("ssa"), "cid", "bkt", F.col("rn").alias("rna"),
+    (cid, vec_a, vec_b, cos). Parsed SQL strings (r16 construction
+    campaign) — identical analyzed expressions to the replaced
+    Column/lambda chains, plan-identity-gated; the tau threshold stays
+    a Python float handed to Column.__ge__ (NOT inlined into SQL text,
+    where it would parse as a decimal literal — the r15 trap)."""
+    a = a_m.selectExpr(
+        "vec_id AS vec_a", "v AS va", "ss AS ssa", "cid", "bkt",
+        "rn AS rna",
     )
-    b = b_m.select(
-        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
-        F.col("ss").alias("ssb"), F.col("cid").alias("cidb"),
-        F.col("bkt").alias("bktb"), F.col("rn").alias("rnb"),
+    b = b_m.selectExpr(
+        "vec_id AS vec_b", "v AS vb", "ss AS ssb", "cid AS cidb",
+        "bkt AS bktb", "rn AS rnb",
     )
-    dot = F.aggregate(
-        F.zip_with("va", "vb", lambda x, y: dec(x * y)),
-        F.lit(0).cast("decimal(24,12)"),
-        lambda acc, t: (acc + t).cast("decimal(24,12)"),
+    dot = (
+        "aggregate(zip_with(va, vb, (x, y) -> CAST(x * y AS"
+        " DECIMAL(20,12))), CAST(0 AS DECIMAL(24,12)),"
+        " (acc, t) -> CAST((acc + t) AS DECIMAL(24,12)))"
     )
-    cos = F.round(
-        dot.cast("double")
-        / F.sqrt(F.col("ssa").cast("double") * F.col("ssb").cast("double")),
-        4,
+    cos = (
+        f"ROUND(CAST({dot} AS DOUBLE) / SQRT(CAST(ssa AS DOUBLE)"
+        " * CAST(ssb AS DOUBLE)), 4)"
     )
     return (
         a.join(
             b,
-            (F.col("cid") == F.col("cidb"))
-            & (F.col("bkt") == F.col("bktb"))
-            & (F.col("rnb") > F.col("rna"))
-            & (F.col("rnb") <= F.col("rna") + _SEM_WINDOW),
+            F.expr(
+                "cid = cidb AND bkt = bktb AND rnb > rna"
+                f" AND rnb <= rna + {_SEM_WINDOW}"
+            ),
         )
-        .filter(
-            (F.col("ssa").cast("double") > 0)
-            & (F.col("ssb").cast("double") > 0)
-        )
-        .select("cid", "vec_a", "vec_b", cos.alias("cos"))
+        .filter("CAST(ssa AS DOUBLE) > 0 AND CAST(ssb AS DOUBLE) > 0")
+        .selectExpr("cid", "vec_a", "vec_b", f"{cos} AS cos")
         .filter(F.col("cos") >= _SEM_TAU)
     )
 

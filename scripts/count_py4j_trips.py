@@ -22,7 +22,10 @@ import sys
 
 def main() -> int:
     out_path = sys.argv[1]
-    sf_dir = "/root/testdata/sf0.1"
+    # trip counts are scale-independent (same schemas, same expression
+    # trees); sf0.001 keeps the eager-construction queries (fit nodes,
+    # measured-count broadcasts) cheap
+    sf_dir = "/root/testdata/sf0.001"
     only = None
     for i, a in enumerate(sys.argv):
         if a == "--sf":
@@ -54,6 +57,7 @@ def main() -> int:
         .appName("py4j-trip-count")
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
     for k, v in recommended_session_confs().items():
@@ -69,11 +73,15 @@ def main() -> int:
     # warm pass: schema cache, module imports, first-touch JVM classes —
     # the steady-state construction cost is what the bench pays after
     # its sf0.001 warmup
+    import time
+
     for name in names:
+        t0 = time.time()
         try:
             qs[name](spark, sf_dir)
         except Exception:
             pass
+        print(f"warm {name}: {time.time() - t0:.1f}s", file=sys.stderr)
 
     trips: dict[str, int] = {}
     for name in names:
@@ -86,6 +94,7 @@ def main() -> int:
         except Exception as e:
             print(f"error {name}: {e}", file=sys.stderr)
             trips[name] = -1
+        print(f"count {name}: {trips[name]}", file=sys.stderr)
 
     ordered = dict(
         sorted(trips.items(), key=lambda kv: kv[1], reverse=True)
