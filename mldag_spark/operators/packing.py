@@ -78,25 +78,34 @@ def _bucket_expr(id_col: str, bounds: list) -> Column:
     k = len(bounds)
     if k == 0:
         return F.lit(0)
-    idc = F.col(id_col).cast("double")
+    # one parsed expression instead of k F.lit boundary literals + the
+    # lambda Column chains (r16 construction campaign: this builder
+    # runs per micro-batch in the streaming packs, so the Column form
+    # repaid its py4j cost every trigger). repr(float)+'D' round-trips
+    # the exact double; plan-identity-gated via the two pack queries.
+    idc = f"CAST(`{id_col}` AS DOUBLE)"
 
-    def count_less(arr: Column) -> Column:
-        return F.aggregate(
-            arr,
-            F.lit(0),
-            lambda acc, b: acc + F.when(idc > b, F.lit(1)).otherwise(F.lit(0)),
+    def count_less(arr_sql: str) -> str:
+        return (
+            f"aggregate({arr_sql}, 0, (acc, b) -> acc +"
+            f" (CASE WHEN {idc} > b THEN 1 ELSE 0 END))"
         )
+
+    def arr_sql(vals: list) -> str:
+        return "array(" + ", ".join(
+            repr(float(b)) + "D" for b in vals
+        ) + ")"
 
     step = max(1, math.isqrt(k))
     if step == 1:
-        return count_less(F.array(*[F.lit(float(b)) for b in bounds]))
+        return F.expr(count_less(arr_sql(bounds)))
     coarse = bounds[step - 1 :: step]
-    carr = F.array(*[F.lit(float(b)) for b in coarse])
-    barr = F.array(*[F.lit(float(b)) for b in bounds])
-    c = count_less(carr)
+    c = count_less(arr_sql(coarse))
     # uncertain range: bounds[c*step : c*step + step - 1] (1-based slice)
-    fine = count_less(F.slice(barr, c * step + 1, step - 1))
-    return c * step + fine
+    fine = count_less(
+        f"slice({arr_sql(bounds)}, ({c}) * {step} + 1, {step - 1})"
+    )
+    return F.expr(f"({c}) * {step} + {fine}")
 
 
 def token_budget_batches(

@@ -91,6 +91,11 @@ def main() -> int:
 
     src = "/root/testdata/sf0.1"
     work = "/tmp/sf0.1_rowgrouped"
+    for i, a in enumerate(sys.argv):
+        if a == "--src":
+            src = sys.argv[i + 1]
+        if a == "--work":
+            work = sys.argv[i + 1]
     if not os.path.isdir(work):
         from pyspark.sql import SparkSession
 
