@@ -855,21 +855,40 @@ def test_corpus_fraction_anti_joins_are_aqe_adaptive(spark, registry):
         small drop set (the fast plan survives the safety change).
     """
     # expected BROADCAST-hint counts: the rate-sized drop/dirty
-    # anti-joins contribute ZERO; dag_pipeline_clean_pack keeps
-    # exactly one structure-bounded hint (the packer's |buckets|-row
-    # offsets branch). A F.broadcast call renders as "ResolvedHint
-    # (strategy=broadcast)" in analyzed plans (the first assert
-    # shipped as "hints=[broadcast]", a string Spark never prints —
-    # vacuous; code-review r15 late-2 #1); merge hints are a
-    # different strategy and don't count.
+    # anti-joins contribute ZERO. A F.broadcast call renders as
+    # "ResolvedHint (strategy=broadcast)" in analyzed plans (the first
+    # assert shipped as "hints=[broadcast]", a string Spark never
+    # prints — vacuous; code-review r15 late-2 #1); merge hints are a
+    # different strategy and don't count. r16: dag_pipeline_clean_pack
+    # dropped from 1 hint to 0 — the packer input is now a lazy
+    # localCheckpoint (the 6-scans→1 reuse fix), which is an
+    # ExistingRDD leaf, so token_budget_batches takes its
+    # driver-literal offsets path (no broadcast branch; both paths
+    # value-pinned equal by test_token_budget_batches_on_existing_
+    # rdd_source, and the offsets collect is |buckets|-bounded).
     for q, n_hints in (
         ("dedup_keep_representatives", 0),
-        ("dag_pipeline_clean_pack", 1),
+        ("dag_pipeline_clean_pack", 0),
     ):
         df = registry[q](spark, SF_DIR)
         analyzed = df._jdf.queryExecution().analyzed().toString()
         got = analyzed.lower().count("(strategy=broadcast)")
         assert got == n_hints, (q, got, n_hints)
+    # the anti-join pin moves to the frames that CONTAIN the anti
+    # join. r16: clean_pack's packed output reads from the lazy
+    # `kept` checkpoint, so its own plan no longer shows the
+    # decontamination join — assert on the decontaminate NODE's
+    # output instead (run.node_outputs), which is the exact frame the
+    # checkpoint materializes. dedup_keep_representatives' anti join
+    # is still in its returned plan.
+    from mldag_spark.queries.dag_pipeline import build_clean_pack_dag
+
+    rep = registry["dedup_keep_representatives"](spark, SF_DIR)
+    kept = build_clean_pack_dag(spark).transform(SF_DIR).node_outputs[
+        "decontaminate"
+    ]["result"]
+    for q, df in (("dedup_keep_representatives", rep),
+                  ("clean_pack.decontaminate", kept)):
         # execute THIS dataframe's own plan (collect, not count —
         # count() spawns a separate aggregate execution and leaves
         # df's AdaptiveSparkPlan unexecuted/initial) so the explain
