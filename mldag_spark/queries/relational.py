@@ -700,12 +700,29 @@ def agg_approx_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver gate verifies the approximate aggregate without depending
     on the engine-specific estimate value."""
     l = load(spark, sf_dir, "lineitem")
-    agg = l.groupBy("l_returnflag").agg(
+    # r16 (guide §2.2/§5): mixing the two exact COUNT(DISTINCT) with
+    # the HLL sketches in ONE aggregate made Catalyst's distinct
+    # rewrite key the FIRST HashAggregate on (l_returnflag, l_partkey,
+    # l_suppkey, gid) while carrying both rsd=0.01 HLL buffers
+    # (~1.6k longs EACH) per group — ~63k groups × ~26 KB of sketch
+    # buffer at sf0.1, gigabytes of aggregation hash map for 3 output
+    # rows (measured: 65 s warm; the plan dump is 200 KB of HLL word
+    # columns). Splitting the sketches into their own aggregate keys
+    # them on l_returnflag alone (3 groups, 2 sketches each) and the
+    # exact side keeps the plain expand path; the 3-row join back is
+    # broadcast by AQE. The sketch is computed over the same multiset
+    # with the same rsd, and HLL insertion is duplicate-insensitive
+    # and deterministic, so every output value is bit-identical
+    # (oracle hash-gated). Measured after: 0.9 s warm at sf0.1.
+    exact = l.groupBy("l_returnflag").agg(
         F.countDistinct("l_partkey").alias("n_parts_exact"),
         F.countDistinct("l_suppkey").alias("n_supps_exact"),
+    )
+    sketch = l.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", 0.01).alias("_pa"),
         F.approx_count_distinct("l_suppkey", 0.01).alias("_sa"),
     )
+    agg = exact.join(sketch, "l_returnflag")
     within = (
         (
             F.abs(F.col("_pa") - F.col("n_parts_exact"))

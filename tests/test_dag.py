@@ -620,3 +620,52 @@ def test_quality_classifier_deterministic(spark, sf_dir):
     assert sum(r[2] for r in a) == n_docs
     preds = {r[1] for r in a}
     assert preds <= {0, 1} and len(preds) == 2
+
+
+def test_fit_apply_transform_pass_reuses_fit_materialization(spark, sf_dir):
+    """r16 (guide §1.2): fit_transform runs two passes; the featurize
+    frame is a memoized lazy localCheckpoint so the transform pass
+    reads the rows the eager scaler.fit already materialized instead
+    of re-running the clean → dedup-window front half. Pins: the
+    stats leaf's plan reads the checkpoint (no parquet re-scan), and
+    the memo never serves one sf_dir's rows for another."""
+    import io
+    import contextlib
+
+    from mldag_spark.queries.dag_pipeline import build_fit_apply_dag
+
+    dag = build_fit_apply_dag(spark)
+    run = dag.fit_transform(sf_dir)
+    stats = run.outputs["fit_apply_stats"]
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        stats.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "ExistingRDD" in plan
+    assert "Scan parquet" not in plan and "FileScan" not in plan
+
+    # same dag instance, different input dir: cache miss, not stale rows
+    other = sf_dir.replace("sf0.001", "sf0.01")
+    run2 = dag.fit_transform(other)
+    a = {tuple(r) for r in stats.collect()}
+    b = {tuple(r) for r in run2.outputs["fit_apply_stats"].collect()}
+    assert a != b
+
+
+def test_quality_classifier_scores_from_fit_materialization(spark, sf_dir):
+    """r16 twin of the fit_apply pin: the classifier's featurize frame
+    (tokenize ×3 over the corpus) is memoized + lazily checkpointed,
+    so the rollup leaf scores from the materialized features instead
+    of re-tokenizing."""
+    import io
+    import contextlib
+
+    from mldag_spark.queries import REGISTRY
+
+    out = REGISTRY["dag_ml_quality_classifier"](spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "ExistingRDD" in plan
+    assert "Scan parquet" not in plan and "FileScan" not in plan

@@ -945,3 +945,26 @@ def test_keep_best_survivors_bounds_loser_broadcast(spark):
     analyzed2 = surv2._jdf.queryExecution().analyzed().toString()
     n_under = analyzed2.lower().count("(strategy=broadcast)")
     assert n_under == n_over + 1, (n_under, n_over)
+
+
+def test_approx_distinct_sketches_never_key_on_distinct_columns(
+    spark, registry
+):
+    """r16 (guide §2.2/§5): mixing COUNT(DISTINCT) with the rsd=0.01
+    HLL sketches in one aggregate keyed the first HashAggregate on
+    (l_returnflag, l_partkey, l_suppkey, gid) while carrying ~1.6k
+    longs of sketch buffer PER GROUP — gigabytes of hash map for 3
+    output rows (65 s warm at sf0.1). Pin the split: any aggregate
+    computing approx_count_distinct must key on l_returnflag alone."""
+    plan = _plan(registry["agg_approx_distinct_counts"](spark, SF_DIR))
+    blocks = plan.split("\n\n")
+    sketch_blocks = [
+        b for b in blocks
+        if "HashAggregate" in b and "approx_count_distinct" in b
+    ]
+    assert sketch_blocks, "expected HLL aggregate nodes in the plan"
+    for b in sketch_blocks:
+        keys = [l for l in b.splitlines() if l.startswith("Keys")]
+        assert keys and all(
+            "l_partkey" not in k and "l_suppkey" not in k for k in keys
+        ), b.splitlines()[0]
