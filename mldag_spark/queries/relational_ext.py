@@ -340,11 +340,27 @@ def agg_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``agg_approx_distinct_counts``'s family is the 100 TB default.
     """
     l = load(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 4).alias("p25"),
-        F.round(F.median("l_extendedprice"), 4).alias("p50"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 4).alias("p75"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 4).alias("p99"),
+    # r16 (guide §5): four separate percentile/median aggregates each
+    # built and serialized their OWN value→count map buffer over the
+    # same column (median IS percentile 0.5 — Catalyst rewrites it to
+    # the same Percentile class). The array form computes all four
+    # quantiles from ONE shared buffer with the same per-percentage
+    # interpolation, so every value is bit-identical (probed at sf0.1;
+    # oracle hash-gated). Measured: 5.2 → 1.85 s warm at sf0.1.
+    ps = F.percentile(
+        "l_extendedprice",
+        F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75), F.lit(0.99)),
+    )
+    return (
+        l.groupBy("l_returnflag")
+        .agg(ps.alias("_ps"))
+        .select(
+            "l_returnflag",
+            F.round(F.col("_ps")[0], 4).alias("p25"),
+            F.round(F.col("_ps")[1], 4).alias("p50"),
+            F.round(F.col("_ps")[2], 4).alias("p75"),
+            F.round(F.col("_ps")[3], 4).alias("p99"),
+        )
     )
 
 
@@ -690,17 +706,29 @@ def agg_approx_percentile_invariant(
     median hash-matches the oracle; the band check verifies the
     sketch — no dependence on the engine-specific estimate value."""
     l = load(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias(
-            "p50_exact"
-        ),
-        (
-            F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000))
-            .between(
-                F.percentile("l_extendedprice", F.lit(0.49)),
-                F.percentile("l_extendedprice", F.lit(0.51)),
-            )
-        ).alias("approx_in_rank_band"),
+    # r16 (guide §5), same fix as agg_price_percentiles: the three
+    # exact quantiles (0.5 and the 0.49/0.51 band edges) now share ONE
+    # Percentile buffer via the array form instead of building three;
+    # identical interpolation per percentage, values probed
+    # bit-identical at sf0.1. Measured: 3.05 → 1.41 s warm.
+    q3 = F.percentile(
+        "l_extendedprice", F.array(F.lit(0.5), F.lit(0.49), F.lit(0.51))
+    )
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            q3.alias("_q"),
+            F.percentile_approx(
+                "l_extendedprice", F.lit(0.5), F.lit(10000)
+            ).alias("_ap"),
+        )
+        .select(
+            "l_returnflag",
+            F.round(F.col("_q")[0], 4).alias("p50_exact"),
+            F.col("_ap")
+            .between(F.col("_q")[1], F.col("_q")[2])
+            .alias("approx_in_rank_band"),
+        )
     )
 
 
