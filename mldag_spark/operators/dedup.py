@@ -104,6 +104,13 @@ def minhash_lsh_pairs(
     verified with exact Jaccard on the original sets, so the result
     has no false positives; recall at the threshold is ~1.
 
+    Verification caveat (r16, ADVICE r15): intersection matching
+    rides 8-byte xxhash64 element fingerprints, so "exact" holds up
+    to 2⁻⁶⁴-probability per-pair element collisions (a collision can
+    only inflate an intersection count) — see
+    :func:`_verify_pairs_by_rows` for the full note and the probe
+    evidence (row-identical at sf0.001–sf0.1).
+
     Returns columns ``doc_a < doc_b`` and ``jaccard`` (rounded to 4).
     """
     rows = df.select(F.col(id_col), F.explode(set_col).alias("_elem"))
@@ -125,6 +132,8 @@ def minhash_lsh_pairs_rows(
     producer (``functions.shingle_rows``): signatures aggregate the
     rows directly (multiplicity-invariant min) and verification joins
     the same rows, so no per-document array is ever materialized.
+    Shares :func:`minhash_lsh_pairs`' verification contract, including
+    its xxhash64-fingerprint collision caveat.
     """
     return _lsh_pairs_impl(
         rows, id_col, elem_col, threshold, num_hashes, bands
@@ -473,7 +482,9 @@ def jaccard_prefix_pairs(
     same aggregate) → exact verification via
     :func:`_verify_pairs_by_rows` over the FULL element rows.
     Returns (doc_a < doc_b, jaccard rounded to 4) — byte-identical
-    contract to the inverted-index formulation it replaces.
+    contract to the inverted-index formulation it replaces, and the
+    same verification caveat as :func:`minhash_lsh_pairs`: exact up
+    to 2⁻⁶⁴-probability xxhash64 element-fingerprint collisions.
     """
     from fractions import Fraction
 
@@ -1208,7 +1219,8 @@ def incremental_lsh_pairs(
     O(|batch|·bands) plus the bucket joins — independent of corpus
     size except through bucket occupancy. Returns
     (batch_id, index_id, jaccard) with exact verification, same
-    contract as :func:`minhash_lsh_pairs`.
+    contract as :func:`minhash_lsh_pairs` — including its
+    xxhash64-fingerprint collision caveat.
 
     ``index_bands``: a precomputed :func:`minhash_band_index` of
     ``index_rows`` (persisted/bucketed in production, cached in the

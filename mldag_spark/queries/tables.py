@@ -42,13 +42,30 @@ DIM_TABLES = {"region", "nation", "supplier", "part", "customer"}
 # mtime, size) so a rewritten input invalidates; stores only the
 # StructType — the scan itself still reads the parquet bytes on
 # every execution.
-_SCHEMA_CACHE: dict[tuple[str, float, int], object] = {}
+_SCHEMA_CACHE: dict[tuple, object] = {}
 
 
 def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
     try:
         st = os.stat(path)
-        key = (os.path.abspath(path), st.st_mtime, st.st_size)
+        if os.path.isdir(path):
+            # directory-style dataset (the normal Spark write layout,
+            # ADVICE r15): an in-place part-file rewrite does not touch
+            # the directory's own mtime/size, so key on the part files'
+            # aggregate (newest mtime, total size, count) instead
+            parts = [
+                os.stat(os.path.join(path, f))
+                for f in os.listdir(path)
+                if not f.startswith((".", "_"))
+            ]
+            key = (
+                os.path.abspath(path),
+                max((p.st_mtime for p in parts), default=st.st_mtime),
+                sum(p.st_size for p in parts),
+                len(parts),
+            )
+        else:
+            key = (os.path.abspath(path), st.st_mtime, st.st_size)
     except OSError:
         # unstatable (e.g. non-local FS): fall back to plain inference
         return spark.read.parquet(path)

@@ -189,3 +189,37 @@ def test_streaming_event_time_not_collapsed(spark, tmp_path):
         f"streaming hourly rollup emitted {n} windows, pyarrow says {expected}"
         " — event time collapsed in the streaming source"
     )
+
+
+def test_schema_cache_invalidates_on_in_place_part_rewrite(spark, tmp_path):
+    """ADVICE r15: for directory-style parquet datasets, rewriting a
+    part file in place does not change the directory's own mtime/size,
+    so a (dir-stat)-keyed schema cache would serve a stale schema.
+    The cache keys directories on the part files' aggregate
+    (newest mtime, total size, count) instead — pin that a rewritten
+    part re-infers."""
+    import os
+    import shutil
+
+    from mldag_spark.queries.tables import _read_parquet
+
+    d = str(tmp_path / "ds")
+    spark.range(5).selectExpr("id AS a").coalesce(1).write.parquet(d)
+    assert _read_parquet(spark, d).schema.fieldNames() == ["a"]
+
+    # rewrite the single part file IN PLACE with a different schema,
+    # then restore the directory's own mtime so only the part changed
+    dir_stat = os.stat(d)
+    part = [f for f in os.listdir(d) if f.endswith(".parquet")][0]
+    tmp2 = str(tmp_path / "ds2")
+    spark.range(7).selectExpr("id AS b", "id AS c").coalesce(1).write.parquet(
+        tmp2
+    )
+    part2 = [f for f in os.listdir(tmp2) if f.endswith(".parquet")][0]
+    shutil.copyfile(os.path.join(tmp2, part2), os.path.join(d, part))
+    for f in os.listdir(d):  # a real writer replaces checksums too
+        if f.endswith(".crc"):
+            os.remove(os.path.join(d, f))
+    os.utime(d, (dir_stat.st_atime, dir_stat.st_mtime))
+
+    assert _read_parquet(spark, d).schema.fieldNames() == ["b", "c"]
